@@ -1,0 +1,11 @@
+"""Query registry: the engine's public query surface.
+
+``registry.QUERIES`` maps query name -> callable(spark, sf_dir) -> DataFrame;
+``registry.ORACLE_SQL`` maps the same names to ANSI SQL DuckDB oracles.
+``__spark_entry__`` at the repo root re-exports these for the driver.
+"""
+
+from advanced_etl_pipelines_spark.plans.registry import (  # noqa: F401
+    ORACLE_SQL,
+    QUERIES,
+)

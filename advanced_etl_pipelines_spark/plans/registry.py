@@ -1,0 +1,812 @@
+"""Query registry: every SURVEY.md §2 operator as a (Spark query, SQL oracle)
+pair over the driver testdata tables.
+
+Conventions that make the driver's order-insensitive value-hash stable:
+
+* Every float aggregate is ``round(x, 4)`` on BOTH sides — Spark's partial
+  aggregation order and DuckDB's accumulation differ in the last bits of a
+  double; 4 decimals is far above that noise floor while far below any
+  semantic difference.
+* Sums of integer columns are cast to BIGINT in the oracle (DuckDB sums
+  BIGINT into HUGEINT, Spark into LONG).
+* Timestamps in output are formatted to strings (``yyyy-MM-dd HH:mm:ss``)
+  to sidestep timezone-object representation differences.
+* Any LIMIT/top-k has a full deterministic ORDER BY (value, then key).
+* Column aliases match exactly between the DataFrame code and the SQL.
+
+Scale notes are inline per query: which side broadcasts, where the shuffle
+is, why the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from advanced_etl_pipelines_spark.functions.features import (
+    aqi_category_pm25,
+    risk_class_from_severity,
+    temp_category,
+)
+from advanced_etl_pipelines_spark.operators import relational as R
+from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_sf_table(spark, sf_dir, name)
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query and (optionally) its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# Rounding convention (see module docstring): an epsilon far above double
+# accumulation noise (~1e-13 rel) but far below the rounding step pushes
+# exact-decimal ties (e.g. avg=70.47625) off the half boundary, so Spark's
+# HALF_UP and DuckDB's HALF_EVEN agree.  Sums get 2 decimals: their
+# magnitude (1e8+ at sf0.1) makes 4-decimal margins comparable to the
+# engines' accumulation-order noise.
+EPS = 1e-9
+
+
+def r4(c) -> F.Column:
+    return F.round(c + F.lit(EPS), 4)
+
+
+def r2(c) -> F.Column:
+    return F.round(c + F.lit(EPS), 2)
+
+
+# ---------------------------------------------------------------------------
+# Reference-core operators (SURVEY.md §2.3 A*, §2.2 P*, §2.4 F*) on testdata
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_dedup_mean",
+    """
+    SELECT user_id, event_type,
+           ROUND(1e-9 + AVG(value), 4) AS avg_value,
+           COUNT(*) AS cnt
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def q_agg_dedup_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 group-by mean dedup (`ETL_Multi_Lvl_API/transform.py:259-262`).
+    One hash-agg shuffle on the grouping key; partial agg map-side."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        r4(F.avg("value")).alias("avg_value"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "pivot_avg_wide",
+    """
+    SELECT user_id,
+           ROUND(1e-9 + AVG(value) FILTER (WHERE event_type = 'click'), 4) AS click,
+           ROUND(1e-9 + AVG(value) FILTER (WHERE event_type = 'error'), 4) AS error,
+           ROUND(1e-9 + AVG(value) FILTER (WHERE event_type = 'purchase'), 4) AS purchase,
+           ROUND(1e-9 + AVG(value) FILTER (WHERE event_type = 'signup'), 4) AS signup,
+           ROUND(1e-9 + AVG(value) FILTER (WHERE event_type = 'view'), 4) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_avg_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 long->wide pivot with mean (`ETL_Multi_Lvl_API/transform.py:196-202`).
+    Explicit pivot values -> single job, fixed schema."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = ev.groupBy("user_id").pivot("event_type", types).agg(F.avg("value"))
+    return wide.select("user_id", *[r4(F.col(t)).alias(t) for t in types])
+
+
+@query(
+    "crosstab_pct",
+    """
+    WITH counts AS (
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, f_cnt, o_cnt, p_cnt,
+           f_cnt + o_cnt + p_cnt AS total,
+           ROUND(1e-9 + f_cnt * 100.0 / (f_cnt + o_cnt + p_cnt), 4) AS pct_f,
+           ROUND(1e-9 + o_cnt * 100.0 / (f_cnt + o_cnt + p_cnt), 4) AS pct_o,
+           ROUND(1e-9 + p_cnt * 100.0 / (f_cnt + o_cnt + p_cnt), 4) AS pct_p
+    FROM counts
+    """,
+)
+def q_crosstab_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 crosstab with totals/pcts (`ETL_Multi_Lvl_API/etl_analysis.py:230-245`)."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .withColumnsRenamed({"F": "f_cnt", "O": "o_cnt", "P": "p_cnt"})
+    )
+    total = F.col("f_cnt") + F.col("o_cnt") + F.col("p_cnt")
+    return wide.select(
+        "o_orderpriority",
+        "f_cnt",
+        "o_cnt",
+        "p_cnt",
+        total.alias("total"),
+        r4(F.col("f_cnt") * 100.0 / total).alias("pct_f"),
+        r4(F.col("o_cnt") * 100.0 / total).alias("pct_o"),
+        r4(F.col("p_cnt") * 100.0 / total).alias("pct_p"),
+    )
+
+
+@query(
+    "argmax_group_avg",
+    """
+    SELECT c_mktsegment, ROUND(1e-9 + AVG(c_acctbal), 4) AS avg_acctbal
+    FROM customer GROUP BY c_mktsegment
+    ORDER BY AVG(c_acctbal) DESC, c_mktsegment ASC LIMIT 1
+    """,
+)
+def q_argmax_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 argmax over group aggregate
+    (`ETL_Multi_Lvl_API/etl_analysis.py:171-190`).  TakeOrderedAndProject —
+    no global sort at scale."""
+    cust = _t(spark, sf_dir, "customer")
+    out = R.argmax_group_avg(cust, "c_mktsegment", "c_acctbal", "avg_acctbal")
+    return out.select("c_mktsegment", r4(F.col("avg_acctbal")).alias("avg_acctbal"))
+
+
+@query(
+    "argmax_hour_of_day",
+    """
+    SELECT EXTRACT(hour FROM ts) AS hour_of_day, ROUND(1e-9 + AVG(value), 4) AS avg_value
+    FROM events GROUP BY 1 ORDER BY AVG(value) DESC, 1 ASC LIMIT 1
+    """,
+)
+def q_argmax_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 worst hour-of-day (`ETL_Multi_Lvl_API/etl_analysis.py:201-215`)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").cast("bigint").alias("hour_of_day"))
+        .agg(F.avg("value").alias("avg_value"))
+        .orderBy(F.desc("avg_value"), F.asc("hour_of_day"))
+        .limit(1)
+        .select("hour_of_day", r4(F.col("avg_value")).alias("avg_value"))
+    )
+
+
+@query(
+    "value_counts_pct",
+    """
+    SELECT l_returnflag, COUNT(*) AS cnt,
+           ROUND(1e-9 + COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 4) AS pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_value_counts_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 value-counts -> pct (`ETL_Multi_Lvl_API/etl_analysis.py:193-198`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = R.value_counts_pct(li, "l_returnflag")
+    return out.select("l_returnflag", "cnt", r4(F.col("pct")).alias("pct"))
+
+
+@query(
+    "global_summary",
+    """
+    SELECT COUNT(*) AS rows,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS time_min,
+           STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS time_max,
+           ROUND(1e-9 + AVG(value), 4) AS value_mean
+    FROM events
+    """,
+)
+def q_global_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 one-row global summary (`ETL_Weather_API/etl_analysis.py:107-114`)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("time_min"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("time_max"),
+        r4(F.avg("value")).alias("value_mean"),
+    )
+
+
+@query(
+    "group_mean_date_hour",
+    """
+    SELECT CAST(ts AS DATE) AS date, EXTRACT(hour FROM ts) AS hour,
+           ROUND(1e-9 + AVG(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_group_mean_date_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 hourly-avg analytics (`ETL_Weather_API/etl_analysis.py:126-130`)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.to_date("ts").alias("date"), F.hour("ts").cast("bigint").alias("hour")
+    ).agg(r4(F.avg("value")).alias("avg_value"))
+
+
+@query(
+    "group_mean_daily",
+    """
+    SELECT CAST(ts AS DATE) AS date, ROUND(1e-9 + AVG(value), 4) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_group_mean_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 daily mean (`ETL_Weather_API/etl_analysis.py:144-146`)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("date")).agg(
+        r4(F.avg("value")).alias("avg_value")
+    )
+
+
+@query(
+    "multi_col_grouped_mean",
+    """
+    SELECT l_returnflag,
+           ROUND(1e-9 + AVG(l_quantity), 4) AS avg_qty,
+           ROUND(1e-9 + AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(1e-9 + AVG(l_discount), 4) AS avg_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_multi_col_grouped_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 multi-column grouped mean (`ETL_Multi_Lvl_API/etl_analysis.py:260`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.avg("l_quantity")).alias("avg_qty"),
+        r4(F.avg("l_extendedprice")).alias("avg_price"),
+        r4(F.avg("l_discount")).alias("avg_disc"),
+    )
+
+
+@query(
+    "top_n_by_count",
+    """
+    SELECT user_id, COUNT(*) AS cnt FROM events
+    GROUP BY user_id ORDER BY cnt DESC, user_id ASC LIMIT 6
+    """,
+)
+def q_top_n_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 top-6 by row count (`ETL_Multi_Lvl_API/etl_analysis.py:304`)."""
+    return R.top_n_by_count(_t(spark, sf_dir, "events"), "user_id", 6)
+
+
+@query(
+    "resample_hourly",
+    """
+    SELECT event_type,
+           STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           ROUND(1e-9 + AVG(value), 4) AS avg_value, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 hourly resample via event-time window
+    (`ETL_Multi_Lvl_API/etl_analysis.py:308-320`).  One grouped pass for all
+    series (the reference loops per city in Python)."""
+    ev = _t(spark, sf_dir, "events")
+    out = R.resample_avg(ev, "ts", "1 hour", ["event_type"], "value")
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        r4(F.col("avg_value")).alias("avg_value"),
+        "cnt",
+    )
+
+
+@query(
+    "histogram_40",
+    """
+    WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+               FROM lineitem)
+    SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 40.0)) AS INT),
+                 39) AS bucket,
+           COUNT(*) AS cnt
+    FROM lineitem, b GROUP BY 1
+    """,
+)
+def q_histogram_40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 equal-width histogram, 40 bins
+    (`ETL_Multi_Lvl_API/etl_analysis.py:266-275`)."""
+    return R.histogram(_t(spark, sf_dir, "lineitem"), "l_extendedprice", 40)
+
+
+@query(
+    "union_all_counts",
+    """
+    SELECT o_orderpriority, COUNT(*) AS cnt FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    ) GROUP BY 1
+    """,
+)
+def q_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 unionByName concat (`ETL_Multi_Lvl_API/transform.py:242`)."""
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    o = orders.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return R.union_all(f, o).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# --- §2.4 feature expressions transposed to testdata -----------------------
+
+
+@query(
+    "feature_aqi_category",
+    """
+    SELECT CASE
+             WHEN l_extendedprice / 100 IS NULL THEN 'Unknown'
+             WHEN l_extendedprice / 100 <= 50 THEN 'Good'
+             WHEN l_extendedprice / 100 >= 51 AND l_extendedprice / 100 <= 100 THEN 'Moderate'
+             WHEN l_extendedprice / 100 >= 101 AND l_extendedprice / 100 <= 200 THEN 'Unhealthy'
+             WHEN l_extendedprice / 100 >= 201 AND l_extendedprice / 100 <= 300 THEN 'Very Unhealthy'
+             WHEN l_extendedprice / 100 > 300 THEN 'Hazardous'
+             ELSE 'Unknown'
+           END AS aqi_category,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_feature_aqi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 gapped AQI boundaries (`ETL_Multi_Lvl_API/transform.py:42-59`)
+    applied to a scaled price — values in the (50,51)... gaps land in
+    'Unknown', pinning the exact reference semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            aqi_category_pm25(F.col("l_extendedprice") / 100).alias("aqi_category")
+        )
+        .groupBy("aqi_category")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "feature_severity_risk",
+    """
+    WITH sev AS (
+      SELECT COALESCE(l_quantity, 0) * 5.0
+             + COALESCE(l_discount * 100, 0) * 3.0
+             + COALESCE(l_tax * 100, 0) * 4.0
+             + COALESCE(CAST(l_linenumber AS DOUBLE), 0) * 4.0 AS severity
+      FROM lineitem)
+    SELECT CASE WHEN severity > 400 THEN 'High Risk'
+                WHEN severity > 200 THEN 'Moderate Risk'
+                ELSE 'Low Risk' END AS risk_class,
+           COUNT(*) AS cnt,
+           ROUND(1e-9 + AVG(severity), 4) AS avg_severity
+    FROM sev GROUP BY 1
+    """,
+)
+def q_feature_severity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 null-as-zero weighted severity + F3 risk thresholds
+    (`ETL_Multi_Lvl_API/transform.py:62-80`) on lineitem columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    z = lambda c: F.coalesce(c.cast("double"), F.lit(0.0))  # noqa: E731
+    sev = (
+        z(F.col("l_quantity")) * 5.0
+        + z(F.col("l_discount") * 100) * 3.0
+        + z(F.col("l_tax") * 100) * 4.0
+        + z(F.col("l_linenumber").cast("double")) * 4.0
+    )
+    return (
+        li.select(sev.alias("severity"))
+        .select(risk_class_from_severity("severity").alias("risk_class"), "severity")
+        .groupBy("risk_class")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            r4(F.avg("severity")).alias("avg_severity"),
+        )
+    )
+
+
+@query(
+    "feature_temp_category",
+    """
+    SELECT CASE
+             WHEN value IS NULL OR value <= -100 OR value > 100 THEN NULL
+             WHEN value <= 0 THEN 'very_cold'
+             WHEN value <= 10 THEN 'cold'
+             WHEN value <= 20 THEN 'mild'
+             WHEN value <= 30 THEN 'warm'
+             ELSE 'hot' END AS temp_category,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def q_feature_temp_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 pd.cut right-closed bins (`ETL_Weather_API/transform.py:75`)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(temp_category("value").alias("temp_category"))
+        .groupBy("temp_category")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "feature_feels_like",
+    """
+    SELECT event_type,
+           ROUND(1e-9 + AVG(value - (CAST(user_id % 100 AS DOUBLE) / 100.0) * 2.0), 4)
+             AS avg_feels_like
+    FROM events GROUP BY event_type
+    """,
+)
+def q_feature_feels_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 humidity-adjusted proxy formula (`ETL_Weather_API/transform.py:77`)
+    transposed onto events columns."""
+    ev = _t(spark, sf_dir, "events")
+    feels = F.col("value") - (
+        (F.col("user_id") % 100).cast("double") / F.lit(100.0)
+    ) * F.lit(2.0)
+    return ev.groupBy("event_type").agg(r4(F.avg(feels)).alias("avg_feels_like"))
+
+
+@query(
+    "param_normalize",
+    """
+    SELECT CASE LOWER(TRIM(event_type))
+             WHEN 'click' THEN 'interaction'
+             WHEN 'view' THEN 'interaction'
+             WHEN 'purchase' THEN 'conversion'
+             WHEN 'signup' THEN 'conversion'
+             ELSE NULL END AS canonical,
+           COUNT(*) AS cnt
+    FROM events
+    WHERE CASE LOWER(TRIM(event_type))
+             WHEN 'click' THEN 'interaction'
+             WHEN 'view' THEN 'interaction'
+             WHEN 'purchase' THEN 'conversion'
+             WHEN 'signup' THEN 'conversion'
+             ELSE NULL END IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_param_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 parameter-name normalization with unknown-drop
+    (`ETL_Multi_Lvl_API/transform.py:171-192`): chained when() over a
+    trimmed/lowered key, nulls filtered."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.lower(F.trim(F.col("event_type")))
+    canonical = (
+        F.when(key.isin("click", "view"), F.lit("interaction"))
+        .when(key.isin("purchase", "signup"), F.lit("conversion"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        ev.select(canonical.alias("canonical"))
+        .where(F.col("canonical").isNotNull())
+        .groupBy("canonical")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "json_extract_coalesce",
+    """
+    SELECT event_type,
+           ROUND(1e-9 + AVG(COALESCE(CAST(json_extract_string(props, '$.k') AS DOUBLE),
+                              value)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 key-variant coalesce (`ETL_Multi_Lvl_API/transform.py:110-118`)
+    over a semi-structured JSON column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.coalesce(
+        F.get_json_object("props", "$.k").cast("double"), F.col("value")
+    )
+    return ev.groupBy("event_type").agg(r4(F.avg(k)).alias("avg_k"))
+
+
+@query(
+    "filter_project_limit",
+    """
+    SELECT event_id, user_id, ROUND(1e-9 + value, 4) AS value
+    FROM events WHERE event_type = 'click' AND value > 5.0
+    ORDER BY event_id ASC LIMIT 2000
+    """,
+)
+def q_filter_project_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P11/P12: filter + projection + deterministic limit
+    (`ETL_Multi_Lvl_API/etl_analysis.py:268,308,336`).  Predicate and column
+    pruning both reach the parquet scan."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where((F.col("event_type") == "click") & (F.col("value") > 5.0))
+        .orderBy(F.asc("event_id"))
+        .limit(2000)
+        .select("event_id", "user_id", r4(F.col("value")).alias("value"))
+    )
+
+
+@query(
+    "trim_normalize_count",
+    """
+    SELECT TRIM(LOWER(source)) AS source_norm, COUNT(*) AS cnt
+    FROM documents GROUP BY 1
+    """,
+)
+def q_trim_normalize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 string trim normalization (`ETL_Multi_Lvl_API/etl_analysis.py:352-353`)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(
+        F.trim(F.lower(F.col("source"))).alias("source_norm")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# [extension] joins / windows / rollup (SURVEY.md §2.3 note, §7 M5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_star_dims",
+    """
+    SELECT r_name, COUNT(*) AS cnt, ROUND(1e-9 + AVG(c_acctbal), 4) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_join_star_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim joins: both dims broadcast (nation=25, region=5 rows)
+    so the fact side never shuffles for the join — only the final tiny
+    aggregate exchanges."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            r4(F.avg("c_acctbal")).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_fact_revenue",
+    """
+    SELECT o_orderpriority,
+           ROUND(1e-9 + SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS cnt
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join on the order key.  At 100 TB this is a shuffle
+    (sort-merge / shuffled-hash) on l_orderkey — co-partitioned if both
+    tables are bucketed by orderkey, which the sinks module supports."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            r2(F.sum(revenue)).alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "window_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 orders per customer.  Spark rewrites
+    rn<=3 into a per-partition top-k (WindowGroupLimit) — no full sort
+    of each group at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           ROUND(1e-9 + SUM(l_extendedprice), 2) AS sum_price,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — subtotals + grand total in one pass
+    (Spark expands to a single Expand+HashAggregate, no re-scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        r2(F.sum("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "lag_gap_seconds",
+    """
+    WITH g AS (
+      SELECT event_type,
+             EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS gap_s
+      FROM events)
+    SELECT event_type, ROUND(1e-9 + AVG(gap_s), 4) AS avg_gap_s, COUNT(gap_s) AS cnt
+    FROM g GROUP BY event_type
+    """,
+)
+def q_lag_gap_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window: inter-event gap per user, averaged by type — the
+    sessionization primitive."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # cast(timestamp as double) keeps microsecond fraction — matches DuckDB
+    # EPOCH() on the same micros-truncated values bit-for-bit.
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    return (
+        ev.select("event_type", gap.alias("gap_s"))
+        .groupBy("event_type")
+        .agg(r4(F.avg("gap_s")).alias("avg_gap_s"), F.count("gap_s").alias("cnt"))
+    )
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           ROUND(1e-9 + SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(1e-9 + SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(1e-9 + SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(1e-9 + AVG(l_quantity), 4) AS avg_qty,
+           ROUND(1e-9 + AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(1e-9 + AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style pricing summary.  Scan -> partial agg ->
+    one small exchange -> final agg, fully in whole-stage codegen; the
+    shipdate predicate pushes into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r2(F.sum(disc_price)).alias("sum_disc_price"),
+            r2(F.sum(charge)).alias("sum_charge"),
+            r4(F.avg("l_quantity")).alias("avg_qty"),
+            r4(F.avg("l_extendedprice")).alias("avg_price"),
+            r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_top_revenue",
+    """
+    SELECT o_orderkey,
+           ROUND(1e-9 + SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: filtered dim broadcast into fact joins, top-10 by
+    revenue with deterministic tie-break."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).alias("rev_raw"))
+        .orderBy(F.desc("rev_raw"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            r2(F.col("rev_raw")).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )

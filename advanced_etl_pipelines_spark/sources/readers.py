@@ -1,0 +1,79 @@
+"""Table readers (SURVEY.md §2.1 S4/S6 + driver testdata loading).
+
+``read_table`` is the engine's canonical parquet scan.  One real-world wart
+it absorbs: parquet files with TIMESTAMP(NANOS) columns (pandas/arrow
+default) are illegal for Spark's vectorized reader.  We detect them from
+the parquet footer (driver-side, metadata-only — no data read) and fall
+back to ``spark.sql.legacy.parquet.nanosAsLong`` + an explicit
+floor-to-micros conversion.  Flooring nanos to micros is exactly what
+DuckDB does when it reads the same file as TIMESTAMP, so oracle comparisons
+stay bit-identical.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@lru_cache(maxsize=256)
+def _nanos_columns(path: str) -> tuple[str, ...]:
+    """Column names with nanosecond timestamp type, from the parquet footer."""
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return ()
+        target = parts[0]
+    try:
+        schema = pq.read_schema(target)
+    except Exception:
+        return ()
+    cols = []
+    for field in schema:
+        t = field.type
+        if getattr(t, "unit", None) == "ns":
+            cols.append(field.name)
+    return tuple(cols)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan that tolerates TIMESTAMP(NANOS) columns.
+
+    Predicate pushdown and column pruning still apply: the nanos->micros
+    conversion is a projection on top of the scan, and filters on other
+    columns push through it.
+    """
+    nanos = _nanos_columns(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    # Integer DIV keeps full precision (double division would lose bits
+    # above 2^53); floor-to-micros == DuckDB's TIMESTAMP_NS -> TIMESTAMP.
+    conv = {
+        c: F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        for c in nanos
+        if c in df.columns
+    }
+    return df.withColumns(conv)
+
+
+def read_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (``/root/testdata/sf*/<name>.parquet``)."""
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+def latest_path(dir_path: str, pattern: str) -> str | None:
+    """S6 latest-wins discovery: glob + lexicographic sort, take last
+    (`ETL_Multi_Lvl_API/load.py:40-44`; `ETL_Weather_API/load.py:106-107`).
+    Works because the reference timestamps filenames in sortable UTC format;
+    in the lakehouse layout this becomes "read newest partition"."""
+    matches = sorted(glob.glob(os.path.join(dir_path, pattern)))
+    return matches[-1] if matches else None
