@@ -40,6 +40,13 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _dbl(c: Column | str) -> Column:
+    """Cast-with-null-on-failure: parity with the reference's pervasive
+    ``pd.to_numeric(errors="coerce")`` (P4, `transform.py:246-247`).
+    try_cast keeps that semantics under Spark 4's default ANSI mode."""
+    return _col(c).try_cast("double")
+
+
 def aqi_category_pm25(v: Column | str) -> Column:
     """AQI category from PM2.5 (`ETL_Multi_Lvl_API/transform.py:42-59`).
 
@@ -47,7 +54,7 @@ def aqi_category_pm25(v: Column | str) -> Column:
     101<=v<=200 Unhealthy; 201<=v<=300 Very Unhealthy; v>300 Hazardous;
     null or in a gap (e.g. 50.5) -> Unknown.
     """
-    c = _col(v).cast("double")
+    c = _dbl(v)
     return (
         F.when(c.isNull(), F.lit("Unknown"))
         .when(c <= 50, F.lit("Good"))
@@ -83,7 +90,7 @@ def severity_score(
     Term order mirrors the reference exactly so float accumulation order
     (and hence bits) matches a left-to-right evaluation of the same formula.
     """
-    z = lambda c: F.coalesce(_col(c).cast("double"), F.lit(0.0))  # noqa: E731
+    z = lambda c: F.coalesce(_dbl(c), F.lit(0.0))  # noqa: E731
     return (
         z(pm2_5) * 5.0
         + z(pm10) * 3.0
@@ -97,7 +104,7 @@ def severity_score(
 def risk_class_from_severity(sev: Column | str) -> Column:
     """>400 High, >200 Moderate, else Low — null lands in Low
     (`transform.py:75-80`; pandas NaN comparisons are False)."""
-    c = _col(sev).cast("double")
+    c = _dbl(sev)
     return (
         F.when(c > 400, F.lit("High Risk"))
         .when(c > 200, F.lit("Moderate Risk"))
@@ -109,7 +116,7 @@ def temp_category(temp_c: Column | str) -> Column:
     """pd.cut right-closed bins (-100,0],(0,10],(10,20],(20,30],(30,100]
     -> very_cold|cold|mild|warm|hot; outside range / null -> NULL
     (`ETL_Weather_API/transform.py:75`)."""
-    c = _col(temp_c).cast("double")
+    c = _dbl(temp_c)
     null_s = F.lit(None).cast("string")
     return (
         F.when(c.isNull() | (c <= -100) | (c > 100), null_s)
@@ -127,6 +134,4 @@ def feels_like_c(
 ) -> Column:
     """temperature_c - (relative_humidity/100)*2, null-propagating
     (`ETL_Weather_API/transform.py:77`)."""
-    return _col(temp_c).cast("double") - (
-        _col(rel_humidity).cast("double") / F.lit(100.0)
-    ) * F.lit(2.0)
+    return _dbl(temp_c) - (_dbl(rel_humidity) / F.lit(100.0)) * F.lit(2.0)

@@ -1,0 +1,100 @@
+"""Unit tests for relational operator compositions (SURVEY.md §2.2-2.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advanced_etl_pipelines_spark.operators import relational as R
+
+
+def test_ensure_schema_adds_missing_typed_nulls(spark):
+    df = spark.createDataFrame([(1, "a")], "id int, name string")
+    out = R.ensure_schema(df, {"id": "int", "extra": "double", "flag": "string"})
+    assert set(out.columns) == {"id", "name", "extra", "flag"}
+    row = out.collect()[0]
+    assert row["extra"] is None and row["flag"] is None
+    assert dict(out.dtypes)["extra"] == "double"
+
+
+def test_dedup_mean_collapses_duplicates(spark):
+    df = spark.createDataFrame(
+        [("delhi", 1, 10.0), ("delhi", 1, 20.0), ("delhi", 2, 5.0),
+         ("mumbai", 1, None), ("mumbai", 1, 8.0)],
+        "city string, t int, pm double",
+    )
+    out = {(r["city"], r["t"]): r["pm"]
+           for r in R.dedup_mean(df, ["city", "t"], ["pm"]).collect()}
+    assert out[("delhi", 1)] == 15.0
+    assert out[("delhi", 2)] == 5.0
+    assert out[("mumbai", 1)] == 8.0  # avg skips NULL like pandas mean skips NaN
+
+
+def test_pivot_avg_fixed_schema_emits_all_values(spark):
+    df = spark.createDataFrame(
+        [("delhi", 1, "pm2_5", 10.0), ("delhi", 1, "pm2_5", 30.0),
+         ("delhi", 1, "ozone", 7.0)],
+        "city string, t int, param string, value double",
+    )
+    out = R.pivot_avg(df, ["city", "t"], "param", ["pm2_5", "ozone", "pm10"], "value")
+    assert out.columns == ["city", "t", "pm2_5", "ozone", "pm10"]
+    row = out.collect()[0]
+    assert row["pm2_5"] == 20.0 and row["ozone"] == 7.0 and row["pm10"] is None
+
+
+def test_crosstab_counts_zero_fill_and_pct(spark):
+    df = spark.createDataFrame(
+        [("delhi", "High Risk"), ("delhi", "High Risk"), ("delhi", "Low Risk"),
+         ("pune", "Low Risk")],
+        "city string, risk string",
+    )
+    out = {r["city"]: r for r in R.crosstab_counts(
+        df, "city", "risk", ["High Risk", "Moderate Risk", "Low Risk"],
+        total_name="total_hours").collect()}
+    d = out["delhi"]
+    assert (d["High Risk"], d["Moderate Risk"], d["Low Risk"]) == (2, 0, 1)
+    assert d["total_hours"] == 3
+    assert abs(d["pct_high_risk"] - 200 / 3) < 1e-9
+    p = out["pune"]
+    assert p["pct_low_risk"] == 100.0
+
+
+def test_argmax_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("b", 10.0), ("a", 10.0), ("c", 5.0)], "k string, v double"
+    )
+    # equal means: 'a' must win (asc key tie-break), independent of row order
+    out = R.argmax_group_avg(df, "k", "v").collect()
+    assert out[0]["k"] == "a"
+
+
+def test_value_counts_pct_absent_class_zero(spark):
+    df = spark.createDataFrame([("High Risk",)] * 3, "risk string")
+    out = {r["risk"]: (r["cnt"], r["pct"]) for r in R.value_counts_pct(
+        df, "risk", ["High Risk", "Moderate Risk", "Low Risk"]).collect()}
+    assert out["High Risk"] == (3, 100.0)
+    assert out["Moderate Risk"] == (0, 0.0)
+    assert out["Low Risk"] == (0, 0.0)
+
+
+def test_histogram_equal_width_and_clamp(spark):
+    df = spark.createDataFrame([(float(x),) for x in range(11)], "v double")
+    out = {r["bucket"]: r["cnt"] for r in R.histogram(df, "v", 5).collect()}
+    # min=0 max=10, width=2: buckets [0,2) [2,4) [4,6) [6,8) [8,10]
+    assert out == {0: 2, 1: 2, 2: 2, 3: 2, 4: 3}  # 10.0 clamps into last
+
+
+def test_union_all_pads_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, a string")
+    b = spark.createDataFrame([(2, "y")], "id int, b string")
+    out = R.union_all(a, b)
+    assert set(out.columns) == {"id", "a", "b"}
+    assert out.count() == 2
+
+
+def test_global_summary_shape(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "t int, temp double"
+    )
+    row = R.global_summary(df, "t", ["temp"]).collect()[0]
+    assert row["rows"] == 2 and row["time_min"] == 1 and row["time_max"] == 2
+    assert row["temp_mean"] == 15.0
