@@ -1,0 +1,177 @@
+"""Text-analysis expressions for LLM-data pipelines (SURVEY.md §2.6).
+
+[extension] — no reference counterpart; required by BASELINE.json's north
+star (language-ID, quality scoring, token counting, fingerprinting over the
+``documents`` table).  Everything here is a native Column expression
+(split/filter/transform/aggregate higher-order functions), so the hot path
+stays inside whole-stage codegen — at 100 TB a Python-UDF tokenizer would
+be the single slowest operator in the plant.
+
+Each function documents its exact DuckDB-SQL equivalent so registry oracles
+stay in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small, fixed stopword set per language. Deliberately tiny: this is a
+# deterministic n-gram/stopword heuristic for language ID and quality
+# scoring, not a linguistics library. Order matters nowhere; membership only.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "von"],
+    "pt": ["o", "a", "de", "e", "que", "em", "um", "uma", "por", "para"],
+}
+
+WORD_SPLIT_RE = "[^a-z0-9]+"  # duckdb: string_split_regex(lower(t), ...)
+TOKEN_RE = r"\S+"  # whitespace token counting
+
+
+def word_tokens(c: Column | str) -> Column:
+    """Lowercased alnum word tokens, empties removed.
+
+    DuckDB: ``list_filter(string_split_regex(lower(t), '[^a-z0-9]+'),
+    x -> x <> '')``.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.filter(
+        F.split(F.lower(col), WORD_SPLIT_RE), lambda x: x != F.lit("")
+    )
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count. DuckDB: ``len(regexp_extract_all(t, '\\S+'))``."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), 0))
+
+
+def char_count(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.length(col)
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Share of characters that are not [a-z0-9\\s] after lowercasing.
+
+    DuckDB: ``len(regexp_replace(lower(t), '[a-z0-9\\s]', '', 'g')) * 1.0
+    / greatest(len(t), 1)``.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    stripped = F.regexp_replace(F.lower(col), r"[a-z0-9\s]", "")
+    return F.length(stripped) * F.lit(1.0) / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_hits(tokens: Column, lang: str = "en") -> Column:
+    """Count of tokens that are stopwords of ``lang`` (with multiplicity).
+
+    DuckDB: ``len(list_filter(tokens, t -> list_contains([...], t)))``.
+    """
+    stop = F.lit(STOPWORDS[lang])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(stop, t)))
+
+
+def stopword_ratio(tokens: Column, lang: str = "en") -> Column:
+    return stopword_hits(tokens, lang) * F.lit(1.0) / F.greatest(
+        F.size(tokens), F.lit(1)
+    )
+
+
+def mean_word_len(tokens: Column) -> Column:
+    """Mean token length over word tokens (0.0 for empty docs).
+
+    DuckDB: ``list_sum(list_transform(tokens, t -> len(t))) * 1.0 /
+    greatest(len(tokens), 1)`` (list_sum of empty -> NULL, coalesce to 0).
+    """
+    total = F.aggregate(
+        tokens, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return total * F.lit(1.0) / F.greatest(F.size(tokens), F.lit(1))
+
+
+def lang_scores(tokens: Column) -> dict[str, Column]:
+    """Stopword-hit score per candidate language."""
+    return {lang: stopword_hits(tokens, lang) for lang in STOPWORDS}
+
+
+def lang_guess(tokens: Column) -> Column:
+    """Argmax language by stopword hits; ties broken by language-code order;
+    all-zero scores -> 'und' (undetermined).
+
+    The oracle mirrors this as a chained CASE over the same scores, with
+    strictly-greater comparisons in the same order.
+    """
+    scores = lang_scores(tokens)
+    langs = sorted(STOPWORDS)  # deterministic tie order: de, en, es, fr, pt
+    best = None
+    for lang in langs:
+        best = scores[lang] if best is None else F.greatest(best, scores[lang])
+    out = F.lit("und")
+    # first language (in sorted order) achieving the max wins
+    for lang in reversed(langs):
+        out = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(out)
+    return out
+
+
+def quality_score(c: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic over length / punctuation /
+    stopword density / word shape.
+
+    q = 0.25·len_ok + 0.25·(1 − min(punct·5, 1)) + 0.30·min(stop·4, 1)
+        + 0.20·word_shape_ok
+    with len_ok = 1 if 100 <= chars <= 20000, word_shape_ok = 1 if mean
+    word length in [3, 12].  The weights are arbitrary but fixed; the
+    oracle repeats the identical arithmetic.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    toks = word_tokens(col)
+    n = char_count(col).cast("double")
+    len_ok = F.when((n >= 100) & (n <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
+    p = punct_ratio(col)
+    punct_term = F.lit(1.0) - F.least(p * 5.0, F.lit(1.0))
+    s = stopword_ratio(toks, "en")
+    stop_term = F.least(s * 4.0, F.lit(1.0))
+    mwl = mean_word_len(toks)
+    shape_ok = F.when((mwl >= 3.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.25) * len_ok
+        + F.lit(0.25) * punct_term
+        + F.lit(0.30) * stop_term
+        + F.lit(0.20) * shape_ok
+    )
+
+
+def word_ngrams(tokens: Column, n: int = 3) -> Column:
+    """Space-joined word n-grams; empty array when fewer than n tokens.
+
+    DuckDB: ``list_transform(range(1, len(t) - (n-2)), i ->
+    t[i] || ' ' || t[i+1] || ...)`` (range() is empty when hi <= lo).
+    """
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    idx = F.when(F.size(tokens) >= n, idx).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def gram(i: Column) -> Column:
+        parts = [F.element_at(tokens, (i + j).cast("int")) for j in range(n)]
+        return F.concat_ws(" ", *parts)
+
+    return F.transform(idx, gram)
+
+
+def doc_fingerprint(tokens: Column) -> Column:
+    """Order-sensitive 64-bit rolling fingerprint: left fold of
+    ``acc -> xxhash64(acc, token)`` over word tokens.  (A multiplicative
+    rolling hash would overflow-throw under ANSI mode; rehashing the
+    accumulator mixes just as well and stays in bigint range.)
+    Engine-native hash — no SQL oracle (registry records it rows-only)."""
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: F.xxhash64(acc, t),
+    )

@@ -1,0 +1,353 @@
+"""Deduplication operator family for LLM training-data pipelines.
+
+[extension] (SURVEY.md §2.6) — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+and embedding-cosine near-dup.  All are shuffle-architected for scale:
+
+* exact: one hash-agg on a 64-bit digest of the normalized text — shuffle
+  carries (digest, id), never the document bodies.
+* MinHash LSH: per-doc signature (map-side, no shuffle) → explode to
+  (band, band_hash) keys → self-join *within buckets only*.  The classic
+  O(n²) pair space collapses to the bucket-collision pair space.
+* SimHash: 64-bit signature; candidate generation by banding the bits,
+  verification by popcount(XOR) ≤ radius.
+* embedding: random-hyperplane sign buckets → cosine verify within bucket.
+
+Everything is a native expression (xxhash64, HOFs) — no Python in the hot
+path; the only tunables are (num_perm, bands) and thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from advanced_etl_pipelines_spark.functions.text import word_ngrams, word_tokens
+from advanced_etl_pipelines_spark.functions.vectors import as_double, cosine
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace, trim."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per normalized text.
+
+    Window row_number over the digest partition: one shuffle keyed by a
+    64-bit hash, not by the full text.  (A groupBy-min + semi-join is the
+    alternative; the window form keeps every original column.)
+    """
+    digest = F.xxhash64(normalize_text(text_col)).alias("__digest")
+    w = Window.partitionBy("__digest").orderBy(F.asc(id_col))
+    return (
+        df.withColumn("__digest", digest)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__digest", "__rn")
+    )
+
+
+def exact_dup_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
+    """Per-group doc/unique/dup counts on normalized text."""
+    norm = normalize_text(text_col)
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(norm).alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct(norm)).alias("n_dups"),
+    )
+
+
+# --- MinHash -----------------------------------------------------------------
+
+
+def minhash_signature_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig) frame: num_perm-wide MinHash signature over distinct word
+    shingles.  "Permutation" i is xxhash64(shingle, seed-column i); the
+    signature element is the min over the doc's shingles.
+
+    Shape: explode shingles to rows, then ONE groupBy(id) with num_perm
+    min-aggregates reassembled into an array.  Two earlier shapes lose
+    badly and are worth recording:
+
+    * a nested HOF expression (transform over permutations × transform
+      over shingles) — Catalyst's CollapseProject inlines the shingle
+      array into every permutation lambda, so each document is tokenized
+      num_perm times (measured 50× slower);
+    * the same with a staged projection — CollapseProject merges it away.
+
+    The explode shape tokenizes once per doc, hashes each shingle
+    num_perm times in one codegen'd projection, and the partial (map-side)
+    min-aggregation collapses the shuffle to one row of num_perm longs per
+    doc — the same volume a signature table would occupy on disk.  Docs
+    too short to shingle are dropped.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_ngrams(word_tokens(text_col), shingle_n))
+        ).alias("s"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"_m{i}")
+        for i in range(num_perm)
+    ]
+    return (
+        exploded.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id", F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig")
+        )
+    )
+
+
+def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
+    """LSH banding: hash each ``rows``-wide slice -> array of band hashes."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.slice(sig, b * rows + 1, rows), b),
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate pairs from band-bucket collisions, scored by estimated
+    Jaccard (matching signature fraction), filtered at ``threshold``.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.  The self-join is
+    keyed on (band_index, band_hash): only colliding docs ever meet, so
+    the shuffle is proportional to bucket sizes, not n².
+    """
+    rows = num_perm // bands
+    # Materialize (id, sig) ONCE: the signature is the expensive map-side
+    # pass (num_perm × shingles hashes per doc); without persist, the
+    # self-join below would recompute it for each side.  At warehouse scale
+    # this persist becomes a materialized signature table on disk.
+    base = minhash_signature_frame(
+        df, text_col, id_col, num_perm, shingle_n
+    ).persist()
+    # Slim (id, band, band_hash) rows for the bucket join — signatures are
+    # NOT carried through the shuffle.
+    banded = base.select(
+        "id",
+        F.posexplode(minhash_bands(F.col("sig"), bands, rows)).alias(
+            "band", "band_hash"
+        ),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    est = matches * F.lit(1.0) / F.lit(float(num_perm))
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, sh) frame: 63-bit SimHash over word tokens — bit b of ``sh`` is
+    1 when the sum over tokens of sign(bit b of xxhash64(token)) is
+    positive.  Bit 63 (the sign bit) is dropped so ``sh`` stays
+    non-negative.
+
+    Same explode-then-aggregate shape as the MinHash signature (see
+    ``minhash_signature_frame`` for why nested HOFs lose): one row per
+    token, each hashed once, 63 conditional-sum aggregates with map-side
+    partial aggregation.  Docs with no tokens get sh = 0 via the left
+    join (matching the all-zero-bit definition).
+    """
+    ids = df.select(F.col(id_col).alias("id"))
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(word_tokens(text_col)).alias("t")
+    ).select("id", F.xxhash64("t").alias("h"))
+    sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(63)
+    ]
+    assembled = None
+    for b in range(63):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        assembled = term if assembled is None else assembled + term
+    sh = exploded.groupBy("id").agg(*sums).select("id", assembled.alias("sh"))
+    return ids.join(sh, "id", "left").na.fill({"sh": 0})
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 8,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into ``bands`` chunks,
+    join on band equality, verify popcount(a XOR b) <= max_hamming.
+
+    Default ``bands = max_hamming + 1``: by pigeonhole, any pair within the
+    radius has at least one untouched band, so recall is 100% within
+    ``max_hamming``.  More bands -> smaller chunks -> bigger buckets ->
+    more candidate pairs to verify; callers with huge corpora can pass a
+    smaller ``bands`` to trade recall for join size."""
+    bands = bands if bands is not None else max_hamming + 1
+    chunk = 64 // bands
+    sim = simhash_frame(df, text_col, id_col)
+    banded = sim.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), b * chunk).bitwiseAND(
+                        F.lit((1 << chunk) - 1).cast("bigint")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    hamming = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- exact n-gram Jaccard ----------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams for pairs within a blocking
+    key (e.g. language).  The block join bounds the pair space; for open
+    data use minhash_near_dups as the blocker instead.
+
+    Returns (id_a, id_b, jaccard).
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.array_distinct(word_ngrams(word_tokens(text_col), n)).alias("g"),
+    ).where(F.size("g") > 0)
+    l, r = grams.alias("l"), grams.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.g"), F.col("r.g")))
+    union = F.size(F.array_union(F.col("l.g"), F.col("r.g")))
+    jac = inter * F.lit(1.0) / union
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    planes: list[list[float]],
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate vectors: random-hyperplane sign bucket (all planes
+    agree) as the blocking key, exact cosine verify within bucket.
+
+    ``planes`` must be generated deterministically (seeded) by the caller;
+    they are broadcast as literals inside the expression tree.
+    """
+    v = as_double(vec_col)
+    sig = None
+    for p in planes:
+        bit = F.when(
+            F.aggregate(
+                F.zip_with(v, F.lit(p), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        sig = bit if sig is None else sig * 2 + bit
+    base = df.select(
+        F.col(id_col).alias("id"), v.alias("v"), sig.alias("bucket")
+    )
+    l, r = base.alias("l"), base.alias("r")
+    cos = cosine(F.col("l.v"), F.col("r.v"))
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

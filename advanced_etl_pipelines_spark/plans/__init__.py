@@ -9,3 +9,6 @@ from advanced_etl_pipelines_spark.plans.registry import (  # noqa: F401
     ORACLE_SQL,
     QUERIES,
 )
+
+# Importing registers the extension query families into QUERIES/ORACLE_SQL.
+from advanced_etl_pipelines_spark.plans import registry_llm  # noqa: E402,F401

@@ -1,0 +1,319 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.6 [extension]): text analysis,
+dedup family, similarity search, multimodal plumbing.
+
+Registered into the same QUERIES/ORACLE_SQL as the reference-core set.
+Oracle-less entries (minhash/simhash/LSH/mapInPandas) use engine-native
+hashing that has no DuckDB equivalent; the driver records them rows-only.
+
+DuckDB fragments shared by several oracles:
+  tokens:  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> x <> '')
+  3-grams: list_transform(range(1, len(t)-1), i ->
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from advanced_etl_pipelines_spark.functions import text as T
+from advanced_etl_pipelines_spark.functions import vectors as V
+from advanced_etl_pipelines_spark.operators import dedup as D
+from advanced_etl_pipelines_spark.operators import multimodal as M
+from advanced_etl_pipelines_spark.operators import similarity as S
+from advanced_etl_pipelines_spark.plans.registry import _t, query, r4
+
+_TOKENS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+@query(
+    "text_stats",
+    f"""
+    WITH tk AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           LEN(regexp_extract_all(text, '\\S+')) AS n_tokens,
+           LEN(toks) AS n_words,
+           ROUND(1e-9 + COALESCE(list_sum(list_transform(toks, t -> LENGTH(t))), 0)
+                 * 1.0 / GREATEST(LEN(toks), 1), 4) AS mean_word_len,
+           ROUND(1e-9 + LENGTH(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+                 * 1.0 / GREATEST(LENGTH(text), 1), 4) AS punct_ratio
+    FROM tk
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/punctuation statistics — all native HOFs,
+    zero Python in the row path."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.word_tokens("text")
+    return docs.select(
+        "doc_id",
+        T.char_count("text").cast("bigint").alias("n_chars"),
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        F.size(toks).cast("bigint").alias("n_words"),
+        r4(T.mean_word_len(toks)).alias("mean_word_len"),
+        r4(T.punct_ratio("text")).alias("punct_ratio"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return f"LEN(list_filter(toks, t -> list_contains([{words}], t)))"
+
+
+_LANG_CASE = (
+    "CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_pt) = 0 THEN 'und' "
+    "WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_pt) THEN 'de' "
+    "WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_pt) THEN 'en' "
+    "WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_pt) THEN 'es' "
+    "WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_pt) THEN 'fr' "
+    "ELSE 'pt' END"
+)
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH tk AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+                 {_lang_score_sql('de')} AS s_de,
+                 {_lang_score_sql('en')} AS s_en,
+                 {_lang_score_sql('es')} AS s_es,
+                 {_lang_score_sql('fr')} AS s_fr,
+                 {_lang_score_sql('pt')} AS s_pt
+          FROM tk)
+    SELECT doc_id, lang AS labeled_lang, {_LANG_CASE} AS guessed_lang
+    FROM s
+    """,
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (n-gram heuristic).  Deterministic argmax
+    with code-order tie-break; all-zero scores -> 'und'."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.word_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.lang_guess(toks).alias("guessed_lang"),
+    )
+
+
+_QUALITY_SQL = """
+    WITH tk AS (SELECT source, text, {toks} AS toks FROM documents),
+    q AS (SELECT source,
+            0.25 * (CASE WHEN LENGTH(text) >= 100 AND LENGTH(text) <= 20000
+                         THEN 1.0 ELSE 0.0 END)
+          + 0.25 * (1.0 - LEAST(LENGTH(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+                                * 1.0 / GREATEST(LENGTH(text), 1) * 5.0, 1.0))
+          + 0.30 * LEAST({stop_en} * 1.0 / GREATEST(LEN(toks), 1) * 4.0, 1.0)
+          + 0.20 * (CASE WHEN COALESCE(list_sum(list_transform(toks, t -> LENGTH(t))), 0)
+                              * 1.0 / GREATEST(LEN(toks), 1) >= 3.0
+                          AND COALESCE(list_sum(list_transform(toks, t -> LENGTH(t))), 0)
+                              * 1.0 / GREATEST(LEN(toks), 1) <= 12.0
+                         THEN 1.0 ELSE 0.0 END) AS q
+          FROM tk)
+    SELECT source, COUNT(*) AS cnt, ROUND(1e-9 + AVG(q), 4) AS avg_quality
+    FROM q GROUP BY source
+"""
+
+
+@query(
+    "text_quality_score",
+    _QUALITY_SQL.format(toks=_TOKENS_SQL, stop_en=_lang_score_sql("en")),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length/punct/stopword/word-shape),
+    averaged per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        r4(F.avg(T.quality_score("text"))).alias("avg_quality"),
+    )
+
+
+_NORM_SQL = "TRIM(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "dedup_exact_stats",
+    f"""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT {_NORM_SQL}) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT {_NORM_SQL}) AS n_dups
+    FROM documents GROUP BY source
+    """,
+)
+def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup accounting per source on whitespace/case-normalized text."""
+    return D.exact_dup_stats(_t(spark, sf_dir, "documents"), "text", "source")
+
+
+@query(
+    "dedup_exact_keep_first",
+    f"""
+    WITH reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
+                  GROUP BY {_NORM_SQL})
+    SELECT d.lang, COUNT(*) AS cnt
+    FROM documents d JOIN reps USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def q_dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the min-id representative, surviving-doc counts
+    per language.  One shuffle on the text digest, bodies never move."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        D.exact_dedup(docs, "text", "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH tk AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, lang,
+                 list_distinct(list_transform(range(1, LEN(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+          FROM tk WHERE LEN(toks) >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(1e-9 + LEN(list_distinct(list_intersect(a.grams, b.grams))) * 1.0
+                 / LEN(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE LEN(list_distinct(list_intersect(a.grams, b.grams))) * 1.0
+          / LEN(list_distinct(list_concat(a.grams, b.grams))) >= 0.15
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs, blocked by language.  The
+    blocking key bounds the pair space; production would block by MinHash
+    band instead (see dedup_minhash_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang", n=3, threshold=0.15
+    )
+    return out.select("id_a", "id_b", r4(F.col("jaccard")).alias("jaccard"))
+
+
+@query("dedup_minhash_pairs")  # engine-native xxhash64 — rows-only check
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 perms)+LSH(16 bands) candidate pairs with estimated
+    Jaccard >= 0.2.  Bucket-collision join, never n²."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_near_dups(
+        docs, "text", "doc_id", num_perm=64, bands=16, threshold=0.2
+    )
+
+
+@query("dedup_simhash")  # engine-native xxhash64 — rows-only check
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit SimHash + near-dup pair count at hamming <= 12.
+    Output: one row per doc with its simhash and how many near-dups it has
+    (0 for most), so the result is non-empty regardless of data."""
+    docs = _t(spark, sf_dir, "documents")
+    sims = D.simhash_frame(docs, "text", "doc_id").withColumnsRenamed(
+        {"id": "doc_id", "sh": "simhash"}
+    )
+    pairs = D.simhash_near_dups(docs, "text", "doc_id", max_hamming=12)
+    both = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    cnt = both.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_near_dups"))
+    return (
+        sims.join(cnt, "doc_id", "left")
+        .na.fill({"n_near_dups": 0})
+        .select("doc_id", "simhash", "n_near_dups")
+    )
+
+
+@query(
+    "knn_bruteforce_cosine",
+    """
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, c.cv) AS cs
+      FROM q JOIN c ON q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, ROUND(1e-9 + cs, 4) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the first 20 vectors: broadcast query set,
+    corpus scan never shuffles, per-query window top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    out = S.brute_force_topk(emb, queries, "embedding", "vec_id", k=5)
+    return out.select(
+        "query_id", "neighbor_id", r4(F.col("cos_sim")).alias("cos_sim"), "rank"
+    )
+
+
+@query("knn_lsh_topk")  # approximate — verified against brute force in tests
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (16 hyperplanes, 4 bands, seed 42):
+    the 100 TB path — candidates from bucket collisions, cosine rerank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return S.lsh_topk(emb, queries, "embedding", "vec_id", k=5)
+
+
+@query(
+    "embedding_norm_stats",
+    """
+    SELECT label, COUNT(*) AS cnt,
+           ROUND(1e-9 + AVG(SQRT(list_inner_product(
+               CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4)
+             AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding count and mean L2 norm — the sanity scan every
+    embedding pipeline starts with."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = V.as_double("embedding")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        r4(F.avg(V.l2_norm(v))).alias("avg_norm"),
+    )
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS id,
+           (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(16 + (octet_length(encode(text)) % 240) AS INT) AS width_hint,
+           CAST(16 + ((octet_length(encode(text)) * 3) % 240) AS INT) AS height_hint
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media column + typed metadata, native-expression path.
+    (Fake media = UTF-8 bytes of the text; schema/partitioning identical to
+    a real blob column.)"""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.attach_fake_media(docs, "text", "doc_id")
+    return M.media_meta_native(media)
+
+
+@query("multimodal_decode_stub")  # mapInPandas seam — rows-only check
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode of the media column (deterministic
+    fake codec; real PIL/pyav would plug into the same seam)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.attach_fake_media(docs, "text", "doc_id")
+    return M.decode_media_meta(media)

@@ -1,0 +1,93 @@
+"""Dedup family tests with planted duplicates/near-duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advanced_etl_pipelines_spark.operators import dedup as D
+
+BASE = (
+    "spark engine shuffles data across partitions while the optimizer "
+    "prunes columns and pushes filters into the parquet scan layer"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE, "en"),
+        (2, BASE.upper(), "en"),  # exact dup after normalization
+        (3, "  " + BASE + "  ", "en"),  # exact dup after trim
+        (4, BASE.replace("parquet", "orc"), "en"),  # near-dup
+        (5, "completely different text about cooking pasta al dente tonight", "en"),
+        (6, "another unrelated snippet regarding mountain weather forecasts", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = D.exact_dedup(_docs(spark), "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 4, 5, 6]  # 2 and 3 collapse into 1
+
+
+def test_exact_dup_stats(spark):
+    row = D.exact_dup_stats(_docs(spark), "text", "lang").collect()[0]
+    assert row["n_docs"] == 6 and row["n_unique"] == 4 and row["n_dups"] == 2
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_near_dups(
+            _docs(spark), "text", "doc_id", threshold=0.3
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dups
+    assert (1, 4) in pairs  # one-word-changed near-dup
+    assert not any({a, b} & {5, 6} for a, b in pairs)  # unrelated stay apart
+
+
+def test_simhash_identical_distance_zero(spark):
+    sims = {r["id"]: r["sh"] for r in D.simhash_frame(
+        _docs(spark), "text", "doc_id").collect()}
+    assert sims[1] == sims[2] == sims[3]
+    assert sims[1] != sims[5]
+    # near-dup differs in few bits
+    assert bin(sims[1] ^ sims[4]).count("1") <= 12
+    assert bin(sims[5] ^ sims[6]).count("1") > 12
+
+
+def test_simhash_near_dups_pairs(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.simhash_near_dups(
+        _docs(spark), "text", "doc_id", max_hamming=12).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (1, 4) in pairs
+    assert (5, 6) not in pairs
+
+
+def test_ngram_jaccard_exact_and_threshold(spark):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            _docs(spark), "text", "doc_id", "lang", threshold=0.5
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert 0.5 <= out[(1, 4)] < 1.0
+    assert (1, 5) not in out
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (4, [-1.0, 0.0, 0.0, 0.0]),     # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from advanced_etl_pipelines_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+    planes = random_hyperplanes(4, 8, seed=7)
+    pairs = {(r["id_a"], r["id_b"]) for r in D.embedding_near_dups(
+        df, "embedding", "vec_id", planes, threshold=0.95).collect()}
+    assert pairs == {(1, 2)}

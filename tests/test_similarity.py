@@ -1,0 +1,66 @@
+"""Similarity search: brute-force exactness + LSH recall floor."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_etl_pipelines_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+
+    return read_sf_table(spark, SF, "embeddings")
+
+
+def test_brute_force_planted_duplicate(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),   # exact copy of 1
+        (3, [0.9, 0.1, 0.0]),
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.brute_force_topk(df, df.where(F.col("vec_id") == 1),
+                             "embedding", "vec_id", k=2).collect()
+    assert out[0]["neighbor_id"] == 2 and abs(out[0]["cos_sim"] - 1.0) < 1e-12
+    assert out[1]["neighbor_id"] == 3
+
+
+def test_brute_force_excludes_self_and_ranks(emb, spark):
+    q = emb.where(F.col("vec_id") < 5)
+    out = S.brute_force_topk(emb, q, "embedding", "vec_id", k=5)
+    rows = out.collect()
+    assert len(rows) == 25
+    by_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for _, rs in by_q.items():
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_recall_floor_vs_brute_force(emb, spark):
+    """LSH is approximate; on sf0.001 (500 vecs, 64-dim) demand >= 40%
+    top-5 recall with the default 16-plane/4-band config."""
+    q = emb.where(F.col("vec_id") < 20)
+    bf = S.brute_force_topk(emb, q, "embedding", "vec_id", k=5)
+    lsh = S.lsh_topk(emb, q, "embedding", "vec_id", k=5)
+    bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    lsh_pairs = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
+    recall = len(bf_pairs & lsh_pairs) / len(bf_pairs)
+    assert recall >= 0.4, f"LSH recall {recall:.2f} below floor"
+
+
+def test_lsh_deterministic_across_runs(emb, spark):
+    q = emb.where(F.col("vec_id") < 3)
+    a = sorted(map(tuple, S.lsh_topk(emb, q, "embedding", "vec_id", k=3)
+                   .select("query_id", "neighbor_id").collect()))
+    b = sorted(map(tuple, S.lsh_topk(emb, q, "embedding", "vec_id", k=3)
+                   .select("query_id", "neighbor_id").collect()))
+    assert a == b
