@@ -146,22 +146,49 @@ def quality_score(c: Column | str) -> Column:
     )
 
 
+def bind_once(value: Column, f) -> Column:
+    """Evaluate ``value`` exactly once per row and feed it to ``f`` as a
+    lambda variable.
+
+    Spark evaluates any expression referenced k times in a projection (or
+    inside an HOF lambda body) k times per row — subexpression elimination
+    does not reach inside lambda bodies, so composing array functions over
+    an expensive input (e.g. a regex tokenizer) multiplies its cost.  The
+    single-element-array trick makes the input a *HOF argument* (evaluated
+    once), while every reference inside ``f`` is a free lambda-variable
+    read: ``element_at(transform(array(value), f), 1)``.
+    """
+    return F.element_at(F.transform(F.array(value), f), 1)
+
+
 def word_ngrams(tokens: Column, n: int = 3) -> Column:
     """Space-joined word n-grams; empty array when fewer than n tokens.
 
     DuckDB: ``list_transform(range(1, len(t) - (n-2)), i ->
     t[i] || ' ' || t[i+1] || ...)`` (range() is empty when hi <= lo).
+
+    Shape matters enormously here: an earlier version indexed
+    ``element_at(tokens, i+j)`` inside a ``transform`` lambda, which
+    re-evaluates the whole ``tokens`` expression (regex split + filter)
+    per gram per part — O(grams × n) tokenizations per row.  This version
+    binds ``tokens`` once per row (``bind_once``), then zips the array
+    with its own shifted slices and cuts the partial grams off the tail;
+    the tokenizer runs exactly once per document.
     """
-    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
-    idx = F.when(F.size(tokens) >= n, idx).otherwise(
-        F.array().cast("array<int>")
-    )
 
-    def gram(i: Column) -> Column:
-        parts = [F.element_at(tokens, (i + j).cast("int")) for j in range(n)]
-        return F.concat_ws(" ", *parts)
+    def build(t: Column) -> Column:
+        grams = t
+        for j in range(1, n):
+            shifted = F.slice(t, j + 1, F.greatest(F.size(t) - j, F.lit(0)))
+            # zip_with pads the shorter side with NULL and concat_ws skips
+            # NULLs, so tail entries are partial grams — removed by the
+            # slice below.
+            grams = F.zip_with(
+                grams, shifted, lambda a, b: F.concat_ws(" ", a, b)
+            )
+        return F.slice(grams, 1, F.greatest(F.size(t) - (n - 1), F.lit(0)))
 
-    return F.transform(idx, gram)
+    return bind_once(tokens, build)
 
 
 def doc_fingerprint(tokens: Column) -> Column:

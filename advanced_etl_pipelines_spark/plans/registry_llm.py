@@ -211,14 +211,16 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash")  # engine-native xxhash64 — rows-only check
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 64-bit SimHash + near-dup pair count at hamming <= 12.
-    Output: one row per doc with its simhash and how many near-dups it has
-    (0 for most), so the result is non-empty regardless of data."""
+    """Per-doc 64-bit SimHash + near-dup pair count at hamming <= 3 (the
+    Manku-et-al web-dedup radius; 4 bands of 16 bits keep LSH buckets
+    near-singleton).  Output: one row per doc with its simhash and its
+    near-dup count (0 for most), so the result is non-empty regardless of
+    data.  The signature frame is computed once and persisted; both the
+    per-doc output and the pair join read it."""
     docs = _t(spark, sf_dir, "documents")
-    sims = D.simhash_frame(docs, "text", "doc_id").withColumnsRenamed(
-        {"id": "doc_id", "sh": "simhash"}
-    )
-    pairs = D.simhash_near_dups(docs, "text", "doc_id", max_hamming=12)
+    base = D.simhash_frame(docs, "text", "doc_id").persist()
+    sims = base.withColumnsRenamed({"id": "doc_id", "sh": "simhash"})
+    pairs = D.simhash_near_dups(docs, "text", "doc_id", max_hamming=3, sim=base)
     both = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
         pairs.select(F.col("id_b").alias("doc_id"))
     )
