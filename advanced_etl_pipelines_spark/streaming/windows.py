@@ -1,0 +1,106 @@
+"""Structured Streaming surface (SURVEY.md §2.5 [extension]).
+
+The reference is batch-only; its incremental story is timestamped raw
+files plus a ``(city,time)``-keyed upsert that makes re-runs idempotent
+(`ETL_Multi_Lvl_API/load.py:117-144`).  The streaming analogue of that
+loop is: file/rate source → event-time watermark → windowed aggregation →
+``foreachBatch`` MERGE-upsert keyed on the window — a strict superset of
+the reference's late-data semantics (it has none; full overwrite-by-key).
+
+Everything here composes the same batch expression library: a windowed
+aggregation is the streaming twin of ``resample_avg`` (A13), and the
+``foreachBatch`` sink reuses ``sinks.upsert_parquet`` (S7) so batch and
+streaming share one idempotent write path.
+
+Scale notes: state size = active windows × groups; the watermark bounds
+it by evicting windows older than (max event time − delay).  Shuffle is
+keyed on (group, window) exactly like the batch groupBy, so skew remedies
+(salting, AQE) carry over.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    slide_duration: str | None = None,
+    watermark_delay: str = "10 minutes",
+    group_cols: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling (or sliding) window aggregate over an event
+    stream: count + sum/avg(value) per (window, group).
+
+    Works identically on a batch DataFrame (watermark is a no-op there),
+    which is how tests pin streaming output == batch output.
+    """
+    w = F.window(F.col(ts_col), window_duration, slide_duration or window_duration)
+    src = events.withWatermark(ts_col, watermark_delay) if events.isStreaming else events
+    return (
+        src.groupBy(w.alias("win"), *[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def start_upsert_stream(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """``writeStream.foreachBatch`` → key-idempotent parquet upsert (the
+    streaming S7).  ``update`` output mode re-emits a window whenever the
+    watermark admits late rows; the upsert keyed on the window columns
+    overwrites the stale aggregate, so the sink converges to the same
+    table a batch run would produce.
+    """
+    from advanced_etl_pipelines_spark.sources.sinks import upsert_parquet
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(batch_df.sparkSession, batch_df, target_path, keys)
+
+    writer = (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def file_event_stream(
+    spark,
+    source_dir: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File source over a landing directory — the streaming S4.  New files
+    are discovered per micro-batch; ``maxFilesPerTrigger`` throttles
+    backfill so one giant landing burst doesn't become one giant batch."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)

@@ -1,0 +1,124 @@
+"""Streaming surface tests: batch/stream parity, late-data upsert
+convergence, rate-source smoke."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+from advanced_etl_pipelines_spark.streaming.windows import (
+    file_event_stream,
+    start_upsert_stream,
+    windowed_event_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _await(query, timeout_s: int = 120) -> None:
+    query.awaitTermination(timeout_s * 1000)
+    deadline = time.time() + timeout_s
+    while query.isActive and time.time() < deadline:
+        time.sleep(0.2)
+    assert not query.isActive, "stream did not finish"
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    """availableNow file stream through the windowed agg + upsert sink
+    must produce exactly the batch result (row-for-row)."""
+    events = read_sf_table(spark, SF, "events")
+    src = str(tmp_path / "landing")
+    events.write.parquet(src)
+
+    batch = windowed_event_stats(read_sf_table(spark, SF, "events"))
+    expected = {tuple(r) for r in batch.collect()}
+
+    stream = file_event_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=4
+    )
+    out = str(tmp_path / "out")
+    q = start_upsert_stream(
+        windowed_event_stats(stream),
+        out,
+        ["window_start", "window_end", "event_type"],
+        str(tmp_path / "ckpt"),
+    )
+    _await(q)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_late_data_converges(spark, tmp_path):
+    """A late row arriving in a second micro-batch must update the
+    already-written window (upsert semantics, not append duplicates)."""
+    schema = "ts timestamp, event_type string, value double"
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "click", 1.0), ("2024-01-01 00:20:00", "click", 3.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    first.write.mode("append").parquet(src)
+
+    def run_once():
+        stream = file_event_stream(spark, src, spark.read.parquet(src).schema)
+        q = start_upsert_stream(
+            windowed_event_stats(stream, watermark_delay="1 hour"),
+            out,
+            ["window_start", "window_end", "event_type"],
+            ckpt,
+        )
+        _await(q)
+
+    run_once()
+    got1 = spark.read.parquet(out).collect()
+    assert len(got1) == 1 and got1[0]["n_events"] == 2
+
+    # late row for the SAME window lands later
+    late = spark.createDataFrame(
+        [("2024-01-01 00:30:00", "click", 5.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    late.write.mode("append").parquet(src)
+    run_once()
+
+    got2 = spark.read.parquet(out).collect()
+    assert len(got2) == 1
+    assert got2[0]["n_events"] == 3
+    assert abs(got2[0]["sum_value"] - 9.0) < 1e-9
+
+
+def test_rate_source_smoke(spark, tmp_path):
+    """Rate source → window agg → memory sink runs and emits rows."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 3).cast("string").alias("event_type"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    agg = windowed_event_stats(stream, window_duration="2 seconds", watermark_delay="0 seconds")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rate_smoke")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT COUNT(*) FROM rate_smoke").first()[0]
+            if n > 0:
+                break
+            time.sleep(0.5)
+        assert n > 0
+    finally:
+        q.stop()
