@@ -23,12 +23,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from advanced_etl_pipelines_spark.functions.vectors import as_double, cosine
+from advanced_etl_pipelines_spark.functions.vectors import (
+    as_double,
+    dot,
+    l2_norm,
+)
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _cos_hoisted() -> "F.Column":
+    """cosine over pre-computed per-row norms ``qn``/``cn`` — the pair
+    loop pays only the dot-product fold."""
+    denom = F.col("qn") * F.col("cn")
+    return F.when(
+        denom > 0, dot(F.col("qv"), F.col("cv")) / denom
+    ).otherwise(F.lit(None).cast("double"))
 
 
 def brute_force_topk(
@@ -45,17 +58,20 @@ def brute_force_topk(
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    )
+    ).withColumn("cn", l2_norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    # Norms are per-ROW columns, so the O(n·q) pair loop runs ONE fold
+    # (the dot product) instead of three; same arithmetic as
+    # dot/(sqrt(a·a)·sqrt(b·b)), bit-identical to the oracle's formula.
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            _cos_hoisted().alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -69,24 +85,34 @@ def brute_force_topk(
 
 
 def _band_signatures(v, planes: list[list[float]], bands: int):
-    """Array of per-band bucket signatures (ints) from hyperplane signs."""
+    """Array of per-band bucket signatures (ints) from hyperplane signs.
+
+    ``bind_once`` pins the (possibly non-trivial) vector expression to a
+    single evaluation per row; otherwise Catalyst inlines it into every
+    plane's fold (n_planes re-evaluations)."""
+    from advanced_etl_pipelines_spark.functions.text import bind_once
+
     per_band = len(planes) // bands
-    band_cols = []
-    for b in range(bands):
-        sig = F.lit(0)
-        for p in planes[b * per_band : (b + 1) * per_band]:
-            bit = F.when(
-                F.aggregate(
-                    F.zip_with(v, F.lit(p), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                >= 0,
-                F.lit(1),
-            ).otherwise(F.lit(0))
-            sig = sig * 2 + bit
-        band_cols.append(sig)
-    return F.array(*band_cols)
+
+    def build(vv):
+        band_cols = []
+        for b in range(bands):
+            sig = F.lit(0)
+            for p in planes[b * per_band : (b + 1) * per_band]:
+                bit = F.when(
+                    F.aggregate(
+                        F.zip_with(vv, F.lit(p), lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    >= 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+                sig = sig * 2 + bit
+            band_cols.append(sig)
+        return F.array(*band_cols)
+
+    return bind_once(v, build)
 
 
 def lsh_topk(
@@ -109,34 +135,38 @@ def lsh_topk(
     """
     dim = len(corpus.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    ).withColumn("sigs", _band_signatures(F.col("cv"), planes, bands))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    ).withColumn("sigs", _band_signatures(F.col("qv"), planes, bands))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+        )
+        .withColumn("cn", l2_norm(F.col("cv")))
+        .withColumn("sigs", _band_signatures(F.col("cv"), planes, bands))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+        )
+        .withColumn("qn", l2_norm(F.col("qv")))
+        .withColumn("sigs", _band_signatures(F.col("qv"), planes, bands))
+    )
 
     c_b = c.select(
-        "neighbor_id", "cv", F.posexplode("sigs").alias("band", "bucket")
+        "neighbor_id", "cv", "cn", F.posexplode("sigs").alias("band", "bucket")
     )
     q_b = q.select(
-        "query_id", "qv", F.posexplode("sigs").alias("band", "bucket")
+        "query_id", "qv", "qn", F.posexplode("sigs").alias("band", "bucket")
     )
     cand = (
         c_b.join(F.broadcast(q_b), on=["band", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return (
-        cand.select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
-        )
+        cand.select("query_id", "neighbor_id", _cos_hoisted().alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
