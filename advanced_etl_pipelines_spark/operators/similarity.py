@@ -115,6 +115,132 @@ def _band_signatures(v, planes: list[list[float]], bands: int):
     return bind_once(v, build)
 
 
+def _kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int,
+    seed: int,
+    sample_size: int = 2048,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Driver-side Lloyd's k-means on a deterministic sample (orderBy id →
+    limit), numpy only.  The sample is tiny (≤ sample_size·dim doubles);
+    at warehouse scale this is the classic IVF training step — train on a
+    sample, assign the full corpus distributed."""
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows])
+    # cosine k-means: operate on unit vectors
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    init = rng.permutation(len(x))[:n_clusters]
+    cent = x[init]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_clusters):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent.tolist()
+
+
+def _centroid_scores(v, centroids: list[list[float]]):
+    """Array of dot(v, centroid_c) per cluster; v bound once per row."""
+    from advanced_etl_pipelines_spark.functions.text import bind_once
+
+    def build(vv):
+        return F.array(*[dot(vv, F.lit(c)) for c in centroids])
+
+    return bind_once(v, build)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means-partition the corpus,
+    search only the ``n_probe`` clusters nearest each query, exact-cosine
+    rerank inside them.
+
+    The 100 TB shape: centroids train on a driver sample and broadcast as
+    literals; cluster assignment is a map-side expression; the join is
+    keyed on cluster id, so each query touches n_probe/n_clusters of the
+    corpus.  Recall is tunable via n_probe (n_probe == n_clusters is
+    exact).  Unlike LSH, cluster sizes adapt to the data distribution.
+    """
+    centroids = _kmeans_centroids(corpus, vec_col, id_col, n_clusters, seed)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+        )
+        .withColumn("cn", l2_norm(F.col("cv")))
+        .withColumn("scores", _centroid_scores(F.col("cv"), centroids))
+        .withColumn(
+            "cluster",
+            F.array_position(F.col("scores"), F.array_max("scores")).cast("int"),
+        )
+        .drop("scores")
+    )
+    # per-query top-n_probe clusters: sort (score, idx) structs desc, slice
+    idx = F.sequence(F.lit(0), F.lit(n_clusters - 1))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+        )
+        .withColumn("qn", l2_norm(F.col("qv")))
+        .withColumn("scores", _centroid_scores(F.col("qv"), centroids))
+        .withColumn(
+            "probes",
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.zip_with(
+                            F.col("scores"),
+                            idx,
+                            lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+                        )
+                    )
+                ),
+                1,
+                n_probe,
+            ),
+        )
+        .select("query_id", "qv", "qn", F.explode("probes").alias("p"))
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            (F.col("p.i") + 1).cast("int").alias("cluster"),
+        )
+    )
+    cand = (
+        c.join(F.broadcast(q), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id", _cos_hoisted().alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -271,6 +271,56 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, "embedding", "vec_id", k=5)
 
 
+@query("knn_ivf_topk")  # approximate — recall vs brute force pinned in tests
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (16 clusters, 4 probes, seed 42): centroids
+    train on a driver sample, broadcast as literals; each query scans
+    n_probe/n_clusters of the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return S.ivf_topk(
+        emb, queries, "embedding", "vec_id", k=5, n_clusters=16, n_probe=4
+    )
+
+
+@query("dedup_embedding_cosine")  # LSH-bucketed — rows-only check
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: random-hyperplane sign bucket as the
+    blocking key, exact cosine >= 0.99 verify within bucket.  Output is
+    per-label pair counts plus a total row so the result is non-empty
+    even when no near-dups exist."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    planes = S.random_hyperplanes(dim, 8, seed=7)
+    pairs = D.embedding_near_dups(
+        emb, "embedding", "vec_id", planes, threshold=0.99
+    )
+    counts = pairs.agg(F.count(F.lit(1)).alias("n_pairs")).select(
+        F.lit("near_dup_pairs").alias("metric"), F.col("n_pairs").cast("bigint")
+    )
+    total = emb.agg(F.count(F.lit(1)).alias("n_pairs")).select(
+        F.lit("corpus_vectors").alias("metric"), F.col("n_pairs").cast("bigint")
+    )
+    return total.unionAll(counts)
+
+
+@query("text_fingerprint")  # engine-native xxhash64 fold — rows-only check
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive 64-bit rolling document fingerprint + per-source
+    distinct-fingerprint counts (detects exact token-sequence dups even
+    when whitespace/punctuation differ)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = T.doc_fingerprint(T.word_tokens("text"))
+    return (
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("fp")).alias("n_distinct_fp"),
+        )
+    )
+
+
 @query(
     "embedding_norm_stats",
     """

@@ -57,6 +57,28 @@ def test_lsh_recall_floor_vs_brute_force(emb, spark):
     assert recall >= 0.4, f"LSH recall {recall:.2f} below floor"
 
 
+def test_ivf_recall_floor_vs_brute_force(emb, spark):
+    """IVF with 4/16 probes on sf0.001: demand >= 50% top-5 recall (data-
+    adaptive clusters usually beat LSH at equal candidate budget)."""
+    q = emb.where(F.col("vec_id") < 20)
+    bf = S.brute_force_topk(emb, q, "embedding", "vec_id", k=5)
+    ivf = S.ivf_topk(emb, q, "embedding", "vec_id", k=5, n_clusters=16, n_probe=4)
+    bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    ivf_pairs = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(bf_pairs & ivf_pairs) / len(bf_pairs)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+
+def test_ivf_full_probe_is_exact(emb, spark):
+    """n_probe == n_clusters degrades to exact brute force — same pairs."""
+    q = emb.where(F.col("vec_id") < 5)
+    bf = S.brute_force_topk(emb, q, "embedding", "vec_id", k=5)
+    ivf = S.ivf_topk(emb, q, "embedding", "vec_id", k=5, n_clusters=8, n_probe=8)
+    assert {(r["query_id"], r["neighbor_id"]) for r in bf.collect()} == {
+        (r["query_id"], r["neighbor_id"]) for r in ivf.collect()
+    }
+
+
 def test_lsh_deterministic_across_runs(emb, spark):
     q = emb.where(F.col("vec_id") < 3)
     a = sorted(map(tuple, S.lsh_topk(emb, q, "embedding", "vec_id", k=3)
