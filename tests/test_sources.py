@@ -1,0 +1,152 @@
+"""S1/S2/S3 HTTP extract + S9 catalog tests — injectable transport, no
+network, no requests dependency."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+import pytest
+
+from advanced_etl_pipelines_spark.sources import http as H
+from advanced_etl_pipelines_spark.sources.catalog import (
+    AIR_QUALITY_TABLE_COLUMNS,
+    create_table_if_not_exists,
+    jdbc_reader,
+)
+
+
+def _ok(payload):
+    return lambda url, params, timeout: (200, json.dumps(payload))
+
+
+def test_fetch_retries_with_exponential_backoff():
+    calls, sleeps = [], []
+    def flaky(url, params, timeout):
+        calls.append(url)
+        if len(calls) < 3:
+            raise ConnectionError("boom")
+        return 200, json.dumps({"ok": 1})
+
+    out = H.fetch_with_retry(
+        "http://x", transport=flaky, sleep=sleeps.append
+    )
+    assert out == {"ok": 1}
+    assert len(calls) == 3
+    assert sleeps == [1, 2]  # 2^(n-1) seconds
+
+
+def test_fetch_gives_up_after_max_retries():
+    def always_500(url, params, timeout):
+        return 500, "err"
+
+    with pytest.raises(RuntimeError, match="after 3 attempts"):
+        H.fetch_with_retry("http://x", transport=always_500, sleep=lambda s: None)
+
+
+def test_fetch_non_json_falls_back_to_text():
+    def text_body(url, params, timeout):
+        return 200, "plain text not json"
+
+    assert H.fetch_with_retry("http://x", transport=text_body) == "plain text not json"
+
+
+def test_fetch_many_politeness_sleep_and_continue_on_failure():
+    sleeps = []
+    def transport(url, params, timeout):
+        if "bad" in url:
+            raise ConnectionError("down")
+        return 200, json.dumps({"u": url})
+
+    out = H.fetch_many(
+        [("a", "http://a", {}), ("bad", "http://bad", {}), ("c", "http://c", {})],
+        transport=transport,
+        sleep=sleeps.append,
+        max_retries=1,
+    )
+    assert [n for n, _ in out] == ["a", "bad", "c"]
+    assert out[1][1] is None and out[2][1] == {"u": "http://c"}
+    assert sleeps.count(0.5) == 2  # between calls, not before the first
+
+
+def test_land_raw_json_timestamped_and_txt_fallback(tmp_path):
+    now = datetime(2025, 12, 11, 8, 31, 42, tzinfo=timezone.utc)
+    p = H.land_raw_json({"hourly": {"time": []}}, str(tmp_path), "mumbai", now=now)
+    assert p.endswith("mumbai_raw_20251211T083142Z.json")
+    assert json.load(open(p)) == {"hourly": {"time": []}}
+    p2 = H.land_raw_json({1, 2}, str(tmp_path), "odd", now=now)  # set: not JSON
+    assert p2.endswith(".txt")
+
+
+def test_fetch_land_parse_roundtrip(spark, tmp_path):
+    """Fetched payload → raw zone → the AQ pipeline parser: end-to-end
+    extract semantics without network."""
+    from advanced_etl_pipelines_spark.pipelines import air_quality as aq
+
+    payload = {
+        "hourly": {
+            "time": ["2025-12-11T00:00", "2025-12-11T01:00"],
+            "pm2_5": [10.0, 310.5],
+            "pm10": [20.0, None],
+        }
+    }
+    fetched = H.fetch_many(
+        [("delhi", "http://api", {})], transport=_ok(payload), sleep=lambda s: None
+    )
+    H.land_raw_json(fetched[0][1], str(tmp_path), "delhi")
+    staged = aq.transform(aq.parse_raw(aq.read_raw(spark, str(tmp_path))))
+    rows = {r["time"].hour: r for r in staged.collect()}
+    assert rows[0]["city"] == "delhi" and rows[0]["aqi_pm25"] == "Good"
+    assert rows[1]["aqi_pm25"] == "Hazardous"
+    assert rows[1]["pm10"] is None
+
+
+def test_payloads_to_df_infers_schema(spark):
+    df = H.payloads_to_df(
+        spark,
+        [("d", {"hourly": {"time": ["t0"], "pm2_5": [4.2]}}), ("skip", None)],
+    )
+    row = df.first()
+    assert row["_fetch_name"] == "d"
+    assert row["hourly"]["pm2_5"] == [4.2]
+
+
+def test_create_table_if_not_exists(spark, tmp_path):
+    create_table_if_not_exists(
+        spark,
+        "aq_test_tbl",
+        AIR_QUALITY_TABLE_COLUMNS,
+        location=str(tmp_path / "tbl"),
+    )
+    try:
+        cols = {f.name for f in spark.table("aq_test_tbl").schema.fields}
+        assert {"city", "time", "severity", "risk_class"} <= cols
+        # idempotent
+        create_table_if_not_exists(
+            spark, "aq_test_tbl", AIR_QUALITY_TABLE_COLUMNS,
+            location=str(tmp_path / "tbl"),
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS aq_test_tbl")
+
+
+def test_jdbc_reader_option_validation(spark):
+    with pytest.raises(ValueError, match="exactly one"):
+        jdbc_reader(spark, "jdbc:postgresql://h/db")
+    with pytest.raises(ValueError, match="exactly one"):
+        jdbc_reader(spark, "jdbc:x", table="t", query="SELECT 1")
+    with pytest.raises(ValueError, match="requires"):
+        jdbc_reader(spark, "jdbc:x", table="t", partition_column="id")
+    with pytest.raises(ValueError, match="requires table"):
+        jdbc_reader(
+            spark, "jdbc:x", table="t", limit=10,  # limit rewrites to query
+            partition_column="id", num_partitions=8, lower_bound=0, upper_bound=9,
+        )
+    # configured readers build without contacting a database
+    assert jdbc_reader(
+        spark, "jdbc:postgresql://h/db", table="weather_data",
+        partition_column="id", num_partitions=8, lower_bound=0, upper_bound=1000,
+    ) is not None
+    assert jdbc_reader(
+        spark, "jdbc:postgresql://h/db", table="weather_data", limit=10
+    ) is not None
