@@ -103,6 +103,107 @@ def decode_media_meta(df: DataFrame, strict: bool = False) -> DataFrame:
     return df.mapInPandas(decode, schema=MEDIA_META_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "id bigint, media_type string, width int, height int, media binary"
+)
+
+
+def resize_media(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Arrow-batched media resize seam: (id, media, media_type) → resized
+    binary + final dimensions.
+
+    The fake codec emulates a resize by deterministic byte subsampling to
+    ``target_w*target_h`` bytes (stride sampling keeps it stable); a real
+    implementation replaces the inner function with PIL
+    ``Image.resize``.  The Spark contract — binary in, binary out, bounded
+    Arrow batches, no shuffle — is exactly what a real resizer needs.
+    """
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = max(target_w * target_h, 1)
+
+        def fake(media: bytes) -> bytes:
+            if not media:
+                return b"\x00" * n_out
+            stride = max(len(media) // n_out, 1)
+            out = bytes(media[::stride])[:n_out]
+            return out + b"\x00" * (n_out - len(out))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "media_type": pdf["media_type"],
+                    "width": target_w,
+                    "height": target_h,
+                    "media": pdf["media"].map(fake),
+                }
+            )
+
+    return df.mapInPandas(do_resize, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "id bigint, frame_idx int, frame binary"
+
+
+def sample_frames(df: DataFrame, every_n: int = 8, frame_bytes: int = 64) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame
+    (id, frame_idx, frame bytes).  The fake codec treats the binary as a
+    concatenation of ``frame_bytes``-sized frames and emits every
+    ``every_n``-th; pyav's keyframe iterator drops into the same loop.
+
+    Scale shape: a row-expanding mapInPandas (1 video → ~frames/every_n
+    rows).  Downstream per-frame work repartitions by id to spread large
+    videos across executors.
+    """
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for vid, media, mt in zip(pdf["id"], pdf["media"], pdf["media_type"]):
+                if mt != "video" or not media:
+                    continue
+                n_frames = max(len(media) // frame_bytes, 1)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(vid)
+                    idxs.append(fi)
+                    frames.append(bytes(media[fi * frame_bytes : (fi + 1) * frame_bytes]))
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(do_sample, schema=FRAMES_SCHEMA)
+
+
+FEATURES_SCHEMA = "id bigint, media_type string, feature array<float>"
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Embedding-extraction seam: media bytes → fixed-dim float vector.
+    Fake featurizer = normalized byte histogram folded to ``dim`` buckets
+    (deterministic, vectorized with numpy per Arrow batch); a real model
+    (CLIP/wav2vec) binds here, typically with ``spark.sql.execution.arrow.
+    maxRecordsPerBatch`` tuned down so model batches fit accelerator
+    memory.  Output feeds directly into operators/similarity.py."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for media in pdf["media"]:
+                if not media:
+                    feats.append([0.0] * dim)
+                    continue
+                arr = np.frombuffer(bytes(media), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+                norm = np.linalg.norm(hist)
+                feats.append((hist / norm if norm else hist).astype("float32").tolist())
+            yield pd.DataFrame(
+                {"id": pdf["id"], "media_type": pdf["media_type"], "feature": feats}
+            )
+
+    return df.mapInPandas(featurize, schema=FEATURES_SCHEMA)
+
+
 def media_meta_native(df: DataFrame) -> DataFrame:
     """SQL-expressible subset of the decode (byte length + deterministic
     pseudo-dimensions) as native expressions — used by the oracle-checked

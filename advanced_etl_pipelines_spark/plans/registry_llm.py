@@ -369,3 +369,42 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = M.attach_fake_media(docs, "text", "doc_id")
     return M.decode_media_meta(media)
+
+
+@query("multimodal_resize_stats")  # mapInPandas seam — rows-only check
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize every media blob to 32x32 through the Arrow resize seam,
+    then aggregate resized byte sizes per media type (verifies the
+    row-preserving binary->binary contract at corpus scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.attach_fake_media(docs, "text", "doc_id")
+    resized = M.resize_media(media, 32, 32)
+    return resized.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.octet_length("media")).alias("total_bytes"),
+    )
+
+
+@query("multimodal_frame_sample")  # row-expanding mapInPandas — rows-only
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample every 8th fake frame from video rows; output one row per
+    video with its sampled-frame count (row-expanding seam + reaggregate)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.attach_fake_media(docs, "text", "doc_id")
+    frames = M.sample_frames(media, every_n=8, frame_bytes=64)
+    return frames.groupBy("id").agg(F.count(F.lit(1)).alias("n_sampled_frames"))
+
+
+@query("multimodal_feature_knn")  # featurize -> ANN composition — rows-only
+def q_multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media bytes -> 16-dim fake features (Arrow featurizer seam) -> exact
+    cosine top-3 for the first 10 ids: the multimodal-embedding pipeline
+    end to end, reusing the similarity operator unchanged."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.attach_fake_media(docs, "text", "doc_id")
+    feats = M.extract_features(media, dim=16)
+    queries_df = feats.where(F.col("id") < 10)
+    out = S.brute_force_topk(feats, queries_df, "feature", "id", k=3)
+    return out.select(
+        "query_id", "neighbor_id", r4(F.col("cos_sim")).alias("cos_sim"), "rank"
+    )

@@ -1,0 +1,160 @@
+"""Property tests (SURVEY.md §5): algebraic invariants that hold for ALL
+inputs, driven by hypothesis.  Each example builds one small frame and
+runs one Spark action, so example counts stay modest."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from advanced_etl_pipelines_spark.functions.features import (
+    aqi_category_pm25,
+    risk_class_from_severity,
+    severity_score,
+)
+from advanced_etl_pipelines_spark.operators.dedup import exact_dedup
+from advanced_etl_pipelines_spark.operators.relational import dedup_mean, pivot_avg
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+maybe = st.one_of(st.none(), finite)
+
+POLL = [
+    "pm2_5",
+    "pm10",
+    "nitrogen_dioxide",
+    "sulphur_dioxide",
+    "carbon_monoxide",
+    "ozone",
+]
+
+
+@SETTINGS
+@given(st.lists(st.tuples(*[maybe] * 6), min_size=1, max_size=8))
+def test_severity_is_linear_null_as_zero(spark, rows):
+    """severity == Σ wᵢ·coalesce(xᵢ,0) exactly, for any null pattern."""
+    df = spark.createDataFrame(
+        [tuple(r) for r in rows], ", ".join(f"{c} double" for c in POLL)
+    )
+    got = [r[0] for r in df.select(severity_score()).collect()]
+    weights = dict(zip(POLL, [5.0, 3.0, 4.0, 4.0, 2.0, 3.0]))
+    for g, row in zip(got, rows):
+        want = sum(
+            weights[c] * (v or 0.0) for c, v in zip(POLL, row)
+        )
+        assert math.isclose(g, want, rel_tol=1e-12, abs_tol=1e-9)
+
+
+@SETTINGS
+@given(st.lists(maybe, min_size=1, max_size=12))
+def test_aqi_category_total_and_gap_semantics(spark, values):
+    """Every input lands in exactly one category; values in the integer
+    gaps (50,51), (100,101), (200,201), (300,301) -> Unknown."""
+    df = spark.createDataFrame([(v,) for v in values], "pm2_5 double")
+    out = [r[0] for r in df.select(aqi_category_pm25("pm2_5")).collect()]
+    cats = {"Good", "Moderate", "Unhealthy", "Very Unhealthy", "Hazardous", "Unknown"}
+    for v, c in zip(values, out):
+        assert c in cats
+        if v is not None and any(
+            lo < v < lo + 1 for lo in (50, 100, 200, 300)
+        ):
+            assert c == "Unknown", (v, c)
+        if v is not None and v <= 50:
+            assert c == "Good"
+
+
+@SETTINGS
+@given(st.lists(maybe, min_size=1, max_size=12))
+def test_risk_class_threshold_monotone(spark, sevs):
+    df = spark.createDataFrame([(v,) for v in sevs], "severity double")
+    out = [r[0] for r in df.select(risk_class_from_severity("severity")).collect()]
+    for v, c in zip(sevs, out):
+        if v is None:
+            assert c == "Low Risk"  # NaN>400 is False in pandas too
+        elif v > 400:
+            assert c == "High Risk"
+        elif v > 200:
+            assert c == "Moderate Risk"
+        else:
+            assert c == "Low Risk"
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.sampled_from(["x", "y"]), finite),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_pivot_round_trip(spark, rows):
+    """long -> pivot(avg) -> melt recovers group means for present cells."""
+    df = spark.createDataFrame(rows, "k string, p string, v double")
+    wide = pivot_avg(df, ["k"], "p", ["x", "y"], "v")
+    melted = wide.selectExpr(
+        "k", "stack(2, 'x', x, 'y', y) as (p, v)"
+    ).where(F.col("v").isNotNull())
+    got = {(r["k"], r["p"]): r["v"] for r in melted.collect()}
+    want: dict[tuple[str, str], list[float]] = {}
+    for k, p, v in rows:
+        want.setdefault((k, p), []).append(v)
+    assert set(got) == set(want)
+    for key, vals in want.items():
+        assert math.isclose(
+            got[key], sum(vals) / len(vals), rel_tol=1e-9, abs_tol=1e-6
+        )
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["aa", "bb", " aa ", "AA"])),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_exact_dedup_idempotent_and_minimal(spark, rows):
+    df = spark.createDataFrame(
+        [(i, t) for i, (g, t) in enumerate(rows)], "doc_id long, text string"
+    )
+    once = exact_dedup(df, "text", "doc_id")
+    twice = exact_dedup(once, "text", "doc_id")
+    a = sorted(r["doc_id"] for r in once.collect())
+    b = sorted(r["doc_id"] for r in twice.collect())
+    assert a == b  # idempotent
+    # survivor count == distinct normalized texts
+    norm = {t.strip().lower().replace("  ", " ") for _, t in rows}
+    import re
+
+    norm = {re.sub(r"\s+", " ", t.strip().lower()) for _, t in rows}
+    assert len(a) == len(norm)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["k1", "k2"]), finite),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_dedup_mean_matches_plain_mean(spark, rows):
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r["k"]: r["v"] for r in dedup_mean(df, ["k"], ["v"]).collect()}
+    want: dict[str, list[float]] = {}
+    for k, v in rows:
+        want.setdefault(k, []).append(v)
+    for k, vals in want.items():
+        assert math.isclose(
+            out[k], sum(vals) / len(vals), rel_tol=1e-9, abs_tol=1e-6
+        )
