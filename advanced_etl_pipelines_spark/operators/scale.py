@@ -1,0 +1,88 @@
+"""Scale-out join strategies (SURVEY.md §4 — what the 100 TB design
+actually turns on).
+
+The reference never joins (its only key-match is the sink-side upsert),
+but the engine's [extension] star-schema surface does, and at warehouse
+scale two problems dominate: the shuffle itself, and skewed keys.  Three
+remedies, each a first-class operator here:
+
+* ``broadcast`` — Spark built-in; used throughout the registry for dims.
+* **bucketing** — pre-shuffle both tables once at write time; every
+  subsequent equi-join on the bucket keys is exchange-free.  Pays one
+  shuffle to amortize across all future joins.
+* **salting** — split each hot key into ``salt_factor`` synthetic
+  sub-keys on the big side and replicate the small side per sub-key; the
+  hot partition becomes ``salt_factor`` even ones.  AQE's skew-join
+  splitting (enabled in our session factory) handles moderate skew
+  automatically; explicit salting is for the pathological keys AQE can't
+  split (e.g. a single null-ish key holding half the table).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` hash-bucketed by ``bucket_cols`` (optionally
+    sorted within buckets, enabling exchange-AND-sort-free sort-merge
+    joins).  ``n_buckets`` should match across tables that will join."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket keys.  With matching
+    bucket counts the physical plan contains NO Exchange on either side —
+    verified by test_scale.py against the plan string."""
+    return spark.table(left_table).join(spark.table(right_table), list(on), how)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side into ``salt_factor``
+    sub-keys (deterministic spread via xxhash64 over the whole row so
+    identical rows co-locate but a hot key's rows fan out), replicate the
+    small side once per salt value, join on (keys + salt), drop the salt.
+
+    Result is row-identical to ``big.join(small, on, how)``; the cost is
+    ``salt_factor``× replication of the small side — use for hot-key
+    joins where the small side is modest but too big to broadcast.
+    Supported: inner and left joins (the replicated side must be the
+    lookup side for outer semantics to hold).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    keys = list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_factor))
+    big_s = big.withColumn("_salt", salt.cast("int"))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
+    )
+    out = big_s.join(small_s, keys + ["_salt"], how)
+    return out.drop("_salt")

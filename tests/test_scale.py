@@ -1,0 +1,119 @@
+"""Scale-strategy tests: bucketed joins are exchange-free, salted joins
+are result-identical under skew."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_etl_pipelines_spark.operators.scale import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("buckets")
+    orders = read_sf_table(spark, SF, "orders")
+    customer = read_sf_table(spark, SF, "customer")
+    write_bucketed(
+        orders, "orders_b", ["o_custkey"], 8, ["o_custkey"],
+        path=str(base / "orders_b"),
+    )
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "customer_b", ["o_custkey"], 8, ["o_custkey"],
+        path=str(base / "customer_b"),
+    )
+    yield "orders_b", "customer_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    lt, rt = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = bucketed_join(spark, lt, rt, ["o_custkey"])
+        plan = _plan(out)
+        assert "Exchange" not in plan, plan
+        # and it still computes the right thing
+        expected = (
+            read_sf_table(spark, SF, "orders")
+            .join(
+                read_sf_table(spark, SF, "customer").withColumnRenamed(
+                    "c_custkey", "o_custkey"
+                ),
+                "o_custkey",
+            )
+            .count()
+        )
+        assert out.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_unbucketed_join_does_exchange(spark):
+    """Control: the same join without bucketing shuffles both sides."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = read_sf_table(spark, SF, "orders")
+        customer = read_sf_table(spark, SF, "customer").withColumnRenamed(
+            "c_custkey", "o_custkey"
+        )
+        plan = _plan(orders.join(customer, "o_custkey"))
+        assert "Exchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _skewed_frames(spark):
+    # 10_000 rows on one hot key + a tail, small lookup side
+    big = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit(1)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim"),
+    )
+    return big, small
+
+
+def test_salted_join_matches_plain_inner(spark):
+    big, small = _skewed_frames(spark)
+    plain = big.join(small, ["k"]).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
+    )
+    salted = salted_join(big, small, ["k"], salt_factor=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_matches_plain_left(spark):
+    big, small = _skewed_frames(spark)
+    # poke holes in the lookup side so left-join nulls appear
+    small = small.where(F.col("k") != 1)
+    plain = big.join(small, ["k"], "left")
+    salted = salted_join(big, small, ["k"], salt_factor=4, how="left")
+    assert plain.count() == salted.count() == 10_000
+    n_null_plain = plain.where(F.col("dim").isNull()).count()
+    n_null_salted = salted.where(F.col("dim").isNull()).count()
+    assert n_null_plain == n_null_salted > 9_000  # hot key + tail k=1 rows
+
+
+def test_salted_join_rejects_right_outer(spark):
+    big, small = _skewed_frames(spark)
+    with pytest.raises(ValueError):
+        salted_join(big, small, ["k"], how="right")
