@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from advanced_etl_pipelines_spark.functions.text import word_ngrams, word_tokens
-from advanced_etl_pipelines_spark.functions.vectors import as_double, cosine
+from advanced_etl_pipelines_spark.functions.vectors import as_double
 
 
 def normalize_text(c: Column | str) -> Column:
@@ -346,26 +346,42 @@ def embedding_near_dups(
     agree) as the blocking key, exact cosine verify within bucket.
 
     ``planes`` must be generated deterministically (seeded) by the caller;
-    they are broadcast as literals inside the expression tree.
+    they are broadcast as literals inside the expression tree.  The vector
+    expression is bound once per row (not once per plane), and L2 norms
+    are per-row columns so the within-bucket pair verify pays only the
+    dot-product fold — same shapes as ``operators/similarity.py``.
     """
-    v = as_double(vec_col)
-    sig = None
-    for p in planes:
-        bit = F.when(
-            F.aggregate(
-                F.zip_with(v, F.lit(p), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        sig = bit if sig is None else sig * 2 + bit
+    from advanced_etl_pipelines_spark.functions.text import bind_once
+    from advanced_etl_pipelines_spark.functions.vectors import dot, l2_norm
+
+    def sig_of(vv: Column) -> Column:
+        sig = None
+        for p in planes:
+            bit = F.when(
+                F.aggregate(
+                    F.zip_with(vv, F.lit(p), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            sig = bit if sig is None else sig * 2 + bit
+        return sig
+
     base = df.select(
-        F.col(id_col).alias("id"), v.alias("v"), sig.alias("bucket")
+        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+    ).withColumns(
+        {
+            "n": l2_norm(F.col("v")),
+            "bucket": bind_once(F.col("v"), sig_of),
+        }
     )
     l, r = base.alias("l"), base.alias("r")
-    cos = cosine(F.col("l.v"), F.col("r.v"))
+    denom = F.col("l.n") * F.col("r.n")
+    cos = F.when(
+        denom > 0, dot(F.col("l.v"), F.col("r.v")) / denom
+    ).otherwise(F.lit(None).cast("double"))
     return (
         l.join(
             r,
