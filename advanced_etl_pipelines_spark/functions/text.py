@@ -49,6 +49,22 @@ def token_count(c: Column | str) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), 0))
 
 
+# GPT-2-style pre-tokenizer shape: optional leading space + (letters |
+# digits | non-space punctuation run).  A real BPE would merge further;
+# this regex gives the stable upper-bound token count LLM-data pipelines
+# budget with, entirely JVM-side.
+BPE_ISH_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe_ish(c: Column | str) -> Column:
+    """BPE-ish token count (GPT-2 pre-tokenizer segments).
+
+    DuckDB: ``len(regexp_extract_all(t, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))``.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_RE), 0))
+
+
 def char_count(c: Column | str) -> Column:
     col = F.col(c) if isinstance(c, str) else c
     return F.length(col)

@@ -59,6 +59,29 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_token_budget",
+    r"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(LEN(regexp_extract_all(text, '\S+'))) AS ws_tokens,
+           SUM(LEN(regexp_extract_all(text,
+               ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS bpe_ish_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q_text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token budgeting per source: whitespace tokens vs GPT-2-style
+    pre-tokenizer segments (the count an LLM-data pipeline plans against).
+    Pure regexp_extract_all — JVM-side, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).alias("ws_tokens"),
+        F.sum(T.token_count_bpe_ish("text")).alias("bpe_ish_tokens"),
+    )
+
+
 def _lang_score_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
     return f"LEN(list_filter(toks, t -> list_contains([{words}], t)))"

