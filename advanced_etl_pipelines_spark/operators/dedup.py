@@ -70,42 +70,40 @@ def minhash_signature_frame(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, sig) frame: num_perm-wide MinHash signature over distinct word
-    shingles.  "Permutation" i is xxhash64(shingle, seed-column i); the
-    signature element is the min over the doc's shingles.
+    shingles.  "Permutation" i is xxhash64(shingle, i); the signature
+    element is the min over the doc's shingles.
 
-    Shape: explode shingles to rows, then ONE groupBy(id) with num_perm
-    min-aggregates reassembled into an array.  Two earlier shapes lose
-    badly and are worth recording:
-
-    * a nested HOF expression (transform over permutations × transform
-      over shingles) — Catalyst's CollapseProject inlines the shingle
-      array into every permutation lambda, so each document is tokenized
-      num_perm times (measured 50× slower);
-    * the same with a staged projection — CollapseProject merges it away.
-
-    The explode shape tokenizes once per doc, hashes each shingle
-    num_perm times in one codegen'd projection, and the partial (map-side)
-    min-aggregation collapses the shuffle to one row of num_perm longs per
-    doc — the same volume a signature table would occupy on disk.  Docs
-    too short to shingle are dropped.
+    Shape: a SHUFFLE-FREE per-row fold — ``aggregate(shingles, [MAX]*p,
+    (acc, s) -> zip_with(acc, hashes(s), least))``.  The signature is
+    computed map-side in one pass over each document; nothing is
+    exploded and nothing shuffles.  (History: a naive nested-HOF version
+    re-tokenized the document once per permutation — Spark re-evaluates
+    expressions referenced inside lambda bodies, see
+    ``functions.text.bind_once`` — and an explode + 64-min-aggregates
+    groupBy fixed that at the cost of a shuffle; the bound fold beats
+    both.)  Docs too short to shingle are dropped.
     """
-    exploded = df.select(
+    from advanced_etl_pipelines_spark.functions.text import bind_once
+
+    max_long = (1 << 63) - 1
+    perm_idx = F.sequence(F.lit(0), F.lit(num_perm - 1))
+
+    def fold(shingles: Column) -> Column:
+        init = F.array_repeat(F.lit(max_long).cast("bigint"), num_perm)
+
+        def step(acc: Column, s: Column) -> Column:
+            hashes = F.transform(perm_idx, lambda i: F.xxhash64(s, i))
+            return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+
+        return F.aggregate(shingles, init, step)
+
+    grams = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(word_ngrams(word_tokens(text_col), shingle_n))
-        ).alias("s"),
-    )
-    mins = [
-        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"_m{i}")
-        for i in range(num_perm)
-    ]
-    return (
-        exploded.groupBy("id")
-        .agg(*mins)
-        .select(
-            "id", F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig")
-        )
-    )
+        F.array_distinct(word_ngrams(word_tokens(text_col), shingle_n)).alias(
+            "g"
+        ),
+    ).where(F.size("g") > 0)
+    return grams.select("id", bind_once(F.col("g"), fold).alias("sig"))
 
 
 def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
@@ -187,30 +185,50 @@ def simhash_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     positive.  Bit 63 (the sign bit) is dropped so ``sh`` stays
     non-negative.
 
-    Same explode-then-aggregate shape as the MinHash signature (see
-    ``minhash_signature_frame`` for why nested HOFs lose): one row per
-    token, each hashed once, 63 conditional-sum aggregates with map-side
-    partial aggregation.  Docs with no tokens get sh = 0 via the left
-    join (matching the all-zero-bit definition).
+    SHUFFLE-FREE per-row fold: ``aggregate(tokens, [0]*63, (acc, t) ->
+    zip_with(acc, signbits(xxhash64(t)), +))`` then reassemble the long
+    from the sign sums.  Each token is hashed exactly once (the hash is
+    bound via ``bind_once`` before the per-bit transform).  Docs with no
+    tokens fold the empty array to all-zero sums → sh = 0 (the all-zero-
+    bit definition), with no join needed.
     """
-    ids = df.select(F.col(id_col).alias("id"))
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(word_tokens(text_col)).alias("t")
-    ).select("id", F.xxhash64("t").alias("h"))
-    sums = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-        ).alias(f"_b{b}")
-        for b in range(63)
-    ]
-    assembled = None
-    for b in range(63):
-        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(
-            F.lit(0).cast("bigint")
+    from advanced_etl_pipelines_spark.functions.text import bind_once
+
+    masks = F.lit([1 << b for b in range(63)])
+    bit_idx = F.sequence(F.lit(1), F.lit(63))  # 1-based for element_at
+
+    def fold(tokens: Column) -> Column:
+        init = F.array_repeat(F.lit(0).cast("bigint"), 63)
+
+        def step(acc: Column, t: Column) -> Column:
+            bits = bind_once(
+                F.xxhash64(t),
+                lambda h: F.transform(
+                    bit_idx,
+                    lambda b: F.when(
+                        h.bitwiseAND(F.element_at(masks, b)) != 0, F.lit(1)
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("bigint"),
+                ),
+            )
+            return F.zip_with(acc, bits, lambda a, x: a + x)
+
+        sums = F.aggregate(tokens, init, step)
+        return F.aggregate(
+            F.zip_with(
+                sums,
+                masks,
+                lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("bigint")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
         )
-        assembled = term if assembled is None else assembled + term
-    sh = exploded.groupBy("id").agg(*sums).select("id", assembled.alias("sh"))
-    return ids.join(sh, "id", "left").na.fill({"sh": 0})
+
+    toks = df.select(
+        F.col(id_col).alias("id"), word_tokens(text_col).alias("t")
+    )
+    return toks.select("id", bind_once(F.col("t"), fold).alias("sh"))
 
 
 def simhash_near_dups(
