@@ -449,3 +449,39 @@ def run_pipeline(
                 )
         step("analysis", _analysis)
     return timings
+
+
+def main() -> None:
+    """CLI twin of ``etl_pipeline.py:108-134``: raw dir → staged parquet →
+    optional warehouse upsert → processed CSVs, with env skip flags
+    (`SKIP_LOAD`/`SKIP_ANALYSIS`, `:121-130`) and per-step timing."""
+    import os
+
+    from advanced_etl_pipelines_spark.session import get_spark
+    from advanced_etl_pipelines_spark.sources.sinks import upsert_parquet
+
+    raw_dir = os.environ.get("AQ_RAW_DIR", "data/raw")
+    out_root = os.environ.get("AQ_OUT_DIR", "data")
+    skip_load = os.environ.get("SKIP_LOAD", "").lower() in ("1", "true", "yes")
+    skip_analysis = os.environ.get("SKIP_ANALYSIS", "").lower() in (
+        "1", "true", "yes",
+    )
+    spark = get_spark("aq-pipeline")
+    wh = f"{out_root}/warehouse/air_quality"
+    timings = run_pipeline(
+        spark,
+        raw_dir,
+        f"{out_root}/staged/air_quality",
+        f"{out_root}/processed",
+        skip_load=skip_load,
+        skip_analysis=skip_analysis,
+        upsert=None
+        if skip_load
+        else (lambda df: upsert_parquet(spark, df, wh, ["city", "time"])),
+    )
+    for step, sec in timings.items():
+        print(f"{step}: {sec:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

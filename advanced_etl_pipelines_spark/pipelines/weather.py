@@ -165,3 +165,33 @@ def run_pipeline(
 
         step("analysis", _analysis)
     return timings
+
+
+def main() -> None:
+    """CLI twin of ``run_pipeline.py:7-20``: latest raw file → staged
+    parquet → append load → analysis CSVs."""
+    import glob
+    import os
+
+    from advanced_etl_pipelines_spark.session import get_spark
+    from advanced_etl_pipelines_spark.sources.sinks import append_parquet
+
+    raw_dir = os.environ.get("WX_RAW_DIR", "data/raw")
+    out_root = os.environ.get("WX_OUT_DIR", "data")
+    raws = sorted(glob.glob(f"{raw_dir}/weather_*.json"))
+    if not raws:
+        raise SystemExit(f"no raw weather JSON in {raw_dir}")
+    spark = get_spark("weather-pipeline")
+    timings = run_pipeline(
+        spark,
+        raws[-1],  # latest-wins, ETL_Weather_API/transform.py:87-92
+        f"{out_root}/staged/weather",
+        f"{out_root}/processed",
+        append=lambda df: append_parquet(df, f"{out_root}/warehouse/weather_data"),
+    )
+    for step, sec in timings.items():
+        print(f"{step}: {sec:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
