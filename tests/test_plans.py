@@ -1,0 +1,79 @@
+"""Physical-plan assertions: the optimizer properties the 100 TB design
+depends on, pinned as tests so refactors can't silently regress them.
+
+- no row-at-a-time Python (BatchEvalPython) anywhere in the registry —
+  Arrow seams (MapInPandas) are the only sanctioned Python entry;
+- filters and column pruning reach the parquet scans;
+- dimension joins broadcast; rank-limit windows use WindowGroupLimit.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_no_rowwise_python_udf_anywhere(spark, queries):
+    """Every Python crossing must be an Arrow batch seam (MapInPandas),
+    never per-row BatchEvalPython/PythonUDF."""
+    offenders = {}
+    for name, fn in queries.items():
+        plan = _plan(fn(spark, SF))
+        if "BatchEvalPython" in plan or "PythonUDF" in plan:
+            offenders[name] = True
+    assert not offenders, f"row-wise Python in: {sorted(offenders)}"
+
+
+def test_filter_and_pruning_reach_scan(spark, queries):
+    plan = _plan(queries["filter_project_limit"](spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(event_type,click)" in plan
+    # column pruning: props (a wide string column) must not be read
+    assert "props" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_q1_predicate_pushdown(spark, queries):
+    plan = _plan(queries["tpch_q1_pricing_summary"](spark, SF))
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_dim_joins_broadcast(spark, queries):
+    for name in ("join_star_dims", "tpch_q3_top_revenue"):
+        plan = _plan(queries[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_window_topk_uses_group_limit(spark, queries):
+    plan = _plan(queries["window_topk_per_group"](spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_semi_anti_join_strategies(spark, queries):
+    assert "LeftSemi" in _plan(queries["join_semi"](spark, SF))
+    assert "LeftAnti" in _plan(queries["join_anti"](spark, SF))
+
+
+def test_signature_queries_shuffle_free_map_side(spark):
+    """The MinHash/SimHash signature frames must contain no Exchange —
+    the whole point of the fold shape."""
+    from advanced_etl_pipelines_spark.operators import dedup as D
+    from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+
+    docs = read_sf_table(spark, SF, "documents")
+    assert "Exchange" not in _plan(
+        D.minhash_signature_frame(docs, "text", "doc_id")
+    )
+    assert "Exchange" not in _plan(D.simhash_frame(docs, "text", "doc_id"))
