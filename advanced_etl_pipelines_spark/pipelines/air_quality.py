@@ -458,7 +458,9 @@ def main() -> None:
     import os
 
     from advanced_etl_pipelines_spark.session import get_spark
-    from advanced_etl_pipelines_spark.sources.sinks import upsert_parquet
+    from advanced_etl_pipelines_spark.sources.sinks import (
+        upsert_parquet_partitioned,
+    )
 
     raw_dir = os.environ.get("AQ_RAW_DIR", "data/raw")
     out_root = os.environ.get("AQ_OUT_DIR", "data")
@@ -477,7 +479,11 @@ def main() -> None:
         skip_analysis=skip_analysis,
         upsert=None
         if skip_load
-        else (lambda df: upsert_parquet(spark, df, wh, ["city", "time"])),
+        else (
+            lambda df: upsert_parquet_partitioned(
+                spark, df, wh, ["city", "time"], "city"
+            )
+        ),
     )
     for step, sec in timings.items():
         print(f"{step}: {sec:.1f}s")

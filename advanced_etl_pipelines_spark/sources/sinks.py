@@ -26,6 +26,7 @@ import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def append_parquet(df: DataFrame, path: str) -> None:
@@ -61,6 +62,54 @@ def upsert_parquet(
     if os.path.exists(path):
         shutil.rmtree(path)
     os.replace(tmp, path)
+
+
+def upsert_parquet_partitioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_col: str,
+) -> None:
+    """S7 at scale: partition-pruned MERGE emulation.
+
+    Only partitions that appear in ``updates`` are read, merged and
+    rewritten — Spark's dynamic partition-overwrite leaves every other
+    partition untouched on disk.  This is the shape a Delta/Iceberg MERGE
+    takes when the match keys include the partition column: a 100 TB
+    table with daily/city partitions upserts one partition's worth of
+    I/O, not the table's.
+
+    ``partition_col`` must be one of ``keys`` (otherwise a key could move
+    between partitions and leave a stale copy behind).
+    """
+    if partition_col not in keys:
+        raise ValueError("partition_col must be part of the upsert keys")
+    updates = updates.dropDuplicates(list(keys))
+    if not os.path.exists(path):
+        updates.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    existing = spark.read.parquet(path).where(
+        F.col(partition_col).isin(parts)  # partition-pruned scan
+    )
+    merged = existing.join(updates, list(keys), "left_anti").unionByName(
+        updates
+    )
+    # Two-phase, partition-scoped swap: materialize ONLY the affected
+    # partitions to a side dir, then replace those partition dirs in
+    # place (Spark can't overwrite a path it is reading; a lakehouse
+    # table format would commit this as one MERGE transaction).
+    tmp = path.rstrip("/") + "__tmp"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    for p in parts:
+        src = os.path.join(tmp, f"{partition_col}={p}")
+        dst = os.path.join(path, f"{partition_col}={p}")
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        if os.path.exists(src):
+            os.replace(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def write_csv_report(df: DataFrame, path: str) -> None:
