@@ -18,6 +18,56 @@ from advanced_etl_pipelines_spark.streaming.windows import windowed_event_stats
 
 
 @query(
+    "sessionize_events",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions,
+           COUNT(*) AS n_events,
+           ROUND(1e-9 + COUNT(*) * 1.0 / COUNT(DISTINCT session_id), 4)
+             AS events_per_session
+    FROM s GROUP BY user_id
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap): LAG marks session
+    starts, a running sum assigns session ids, then per-user stats.  The
+    batch twin of the stateful streaming sessionizer in
+    ``streaming/stateful.py``; both shuffle once on user_id."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy(F.asc("ts")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = ev.withColumn("new_s", new_s).withColumn(
+        "session_id", F.sum("new_s").over(run)
+    )
+    return s.groupBy("user_id").agg(
+        F.count_distinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        r4(
+            F.count(F.lit(1)) * F.lit(1.0) / F.count_distinct("session_id")
+        ).alias("events_per_session"),
+    )
+
+
+@query(
     "stream_windowed_event_stats",
     """
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,

@@ -19,7 +19,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def _await(query, timeout_s: int = 120) -> None:
-    query.awaitTermination(timeout_s * 1000)
+    query.awaitTermination(timeout_s)  # seconds, not ms
     deadline = time.time() + timeout_s
     while query.isActive and time.time() < deadline:
         time.sleep(0.2)
