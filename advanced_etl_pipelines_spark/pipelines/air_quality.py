@@ -64,14 +64,6 @@ def _struct_fields(df: DataFrame, name: str) -> list[str]:
     return []
 
 
-def _first_present(df: DataFrame, struct: str, candidates: list[str]) -> str | None:
-    fields = _struct_fields(df, struct)
-    for c in candidates:
-        if c in fields:
-            return c
-    return None
-
-
 def _filename_hint() -> Column:
     """City from the landing filename, e.g. ``mumbai_raw_2025….json``
     (`ETL_Multi_Lvl_API/transform.py:104-106`)."""
@@ -307,9 +299,13 @@ def transform(parsed: DataFrame) -> DataFrame:
 
 
 def write_staged(df: DataFrame, path: str) -> None:
-    """S5 equivalent: Parquet partitioned by city (timestamped CSV in the
-    reference; partition pruning replaces latest-wins filename sorting)."""
-    df.write.mode("overwrite").partitionBy("city").parquet(path)
+    """S5 equivalent: Parquet partitioned by city, time-sorted within
+    partitions (timestamped CSV in the reference; partition pruning
+    replaces latest-wins filename sorting, and the time sort keeps
+    row-group min/max stats tight for time-range scans)."""
+    df.sortWithinPartitions("time").write.mode("overwrite").partitionBy(
+        "city"
+    ).parquet(path)
 
 
 def _recompute_guard(df: DataFrame) -> DataFrame:
