@@ -301,6 +301,7 @@ def ngram_jaccard_pairs(
     block_col: str,
     n: int = 3,
     threshold: float = 0.1,
+    hashed_postings: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-grams via an inverted-index
     (posting-list) self-join.  Returns (id_a, id_b, jaccard).
@@ -318,15 +319,26 @@ def ngram_jaccard_pairs(
     shingles (they carry no signal); here the block column (language)
     plus 3-gram sparsity bounds it.  For open-domain corpora, cap posting
     lengths or use minhash_near_dups as the blocking stage instead.
+
+    ``hashed_postings=True`` is the 100 TB shuffle diet: postings carry
+    ``xxhash64(gram)`` (8 bytes) instead of the gram string (~25 bytes),
+    cutting posting shuffle volume ~3×.  Hash collisions can only MERGE
+    grams (overcounting the intersection → false-positive candidates,
+    never false negatives), so candidates are re-verified with an exact
+    ``array_intersect`` over the few surviving pairs — output identical
+    to the string-join path (pinned by test).
     """
     grams = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         F.array_distinct(word_ngrams(word_tokens(text_col), n)).alias("g"),
     ).where(F.size("g") > 0)
+    gram_key = (
+        F.xxhash64("gram").alias("gram") if hashed_postings else F.col("gram")
+    )
     posting = grams.select(
         "id", "blk", F.size("g").alias("sz"), F.explode("g").alias("gram")
-    )
+    ).select("id", "blk", "sz", gram_key)
     l, r = posting.alias("l"), posting.alias("r")
     pairs = (
         l.join(
@@ -344,8 +356,24 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    cand = pairs.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+    if not hashed_postings:
+        return cand
+    # Exact re-verify of the (few) candidates: join their gram arrays
+    # back and recompute Jaccard without hashing.
+    ga = grams.select(F.col("id").alias("id_a"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.size(F.array_union(F.col("ga"), F.col("gb")))
     return (
-        pairs.select("id_a", "id_b", jac.alias("jaccard"))
+        cand.drop("jaccard")
+        .join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a", "id_b", (inter * F.lit(1.0) / union).alias("jaccard")
+        )
         .where(F.col("jaccard") >= threshold)
     )
 

@@ -216,6 +216,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key bounds the pair space; production would block by MinHash
     band instead (see dedup_minhash_pairs)."""
     docs = _t(spark, sf_dir, "documents")
+    # hashed_postings=True is the wide-corpus shuffle diet (8-byte
+    # posting keys + exact re-verify; identical output, pinned by test);
+    # at sf0.1 the short grams make the plain string join faster.
     out = D.ngram_jaccard_pairs(
         docs, "text", "doc_id", "lang", n=3, threshold=0.15
     )

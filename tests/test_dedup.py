@@ -76,6 +76,21 @@ def test_ngram_jaccard_exact_and_threshold(spark):
     assert (1, 5) not in out
 
 
+def test_ngram_jaccard_hashed_postings_identical(spark):
+    """The 8-byte hashed-posting path must produce exactly the same pairs
+    and values as the string-posting path (collisions are verified away)."""
+    from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+
+    docs = read_sf_table(spark, "/root/testdata/sf0.001", "documents")
+    plain = D.ngram_jaccard_pairs(docs, "text", "doc_id", "lang", threshold=0.1)
+    hashed = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang", threshold=0.1, hashed_postings=True
+    )
+    a = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in plain.collect()}
+    b = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in hashed.collect()}
+    assert a == b and len(a) > 0
+
+
 def test_embedding_near_dups(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),
