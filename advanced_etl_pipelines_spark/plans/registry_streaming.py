@@ -18,6 +18,36 @@ from advanced_etl_pipelines_spark.streaming.windows import windowed_event_stats
 
 
 @query(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           CAST(props->>'$.k' AS INT) % 10 AS k_bucket,
+           COUNT(*) AS cnt,
+           ROUND(1e-9 + AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: get_json_object over the ``props`` JSON
+    string column (schema-on-read, no parse stage), bucketed aggregate.
+    At scale, promote hot JSON fields to columns at ingest; this is the
+    exploratory form."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(
+            "event_type", (k % 10).alias("k_bucket"), "value"
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            r4(F.avg("value")).alias("avg_value"),
+        )
+    )
+
+
+@query(
     "sessionize_events",
     """
     WITH g AS (

@@ -280,6 +280,29 @@ def test_upsert_parquet_idempotent(spark, tmp_path, wx_staged_latest):
     assert after.agg(F.min("temperature_c")).first()[0] > 50.0
 
 
+def test_wx_run_pipeline_end_to_end(spark, tmp_path):
+    from advanced_etl_pipelines_spark.sources.sinks import append_parquet
+
+    staged = str(tmp_path / "staged")
+    processed = str(tmp_path / "processed")
+    wh = str(tmp_path / "warehouse")
+    timings = wx.run_pipeline(
+        spark,
+        f"{WX_DIR}/raw/weather_20251211_101400.json",
+        staged,
+        processed,
+        append=lambda df: append_parquet(df, wh),
+    )
+    assert set(timings) == {"transform", "load", "analysis"}
+    assert spark.read.parquet(wh).count() == 24
+    summary = (
+        spark.read.option("header", True)
+        .csv(f"{processed}/analysis_summary")
+        .toPandas()
+    )
+    assert int(summary.iloc[0]["rows"]) == 24
+
+
 def test_aq_run_pipeline_end_to_end(spark, tmp_path):
     from advanced_etl_pipelines_spark.sources.sinks import upsert_parquet
 
