@@ -913,3 +913,33 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_qty",
         "cnt",
     )
+
+
+@query(
+    "distribution_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(1e-9 + quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(1e-9 + quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           ROUND(1e-9 + quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           ROUND(1e-9 + STDDEV(l_extendedprice), 4) AS sd,
+           ROUND(1e-9 + MIN(l_extendedprice), 4) AS lo,
+           ROUND(1e-9 + MAX(l_extendedprice), 4) AS hi
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + spread per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, verified bit-equal).  At
+    100 TB swap in ``approx_percentile`` (t-digest sketch, one pass,
+    mergeable across partitions) — the exact form needs a per-group sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = "percentile(l_extendedprice, {})"
+    return li.groupBy("l_returnflag").agg(
+        r4(F.expr(p.format(0.5))).alias("p50"),
+        r4(F.expr(p.format(0.95))).alias("p95"),
+        r4(F.expr(p.format(0.99))).alias("p99"),
+        r4(F.stddev("l_extendedprice")).alias("sd"),
+        r4(F.min("l_extendedprice")).alias("lo"),
+        r4(F.max("l_extendedprice")).alias("hi"),
+    )
