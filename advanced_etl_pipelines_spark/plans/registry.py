@@ -943,3 +943,48 @@ def q_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.min("l_extendedprice")).alias("lo"),
         r4(F.max("l_extendedprice")).alias("hi"),
     )
+
+
+@query(
+    "unpivot_melt",
+    """
+    SELECT p_brand, metric,
+           ROUND(1e-9 + AVG(v), 4) AS avg_v
+    FROM (
+      SELECT p_brand, 'retail_price' AS metric, p_retailprice AS v FROM part
+      UNION ALL
+      SELECT p_brand, 'size' AS metric, CAST(p_size AS DOUBLE) AS v FROM part
+    ) GROUP BY p_brand, metric
+    """,
+)
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (the inverse of A2's pivot) via ``stack`` —
+    a zero-shuffle Expand projection feeding one aggregate."""
+    part = _t(spark, sf_dir, "part")
+    long = part.select(
+        "p_brand",
+        F.expr(
+            "stack(2, 'retail_price', p_retailprice,"
+            " 'size', CAST(p_size AS DOUBLE)) AS (metric, v)"
+        ),
+    )
+    return long.groupBy("p_brand", "metric").agg(r4(F.avg("v")).alias("avg_v"))
+
+
+@query(
+    "corr_price_quantity",
+    """
+    SELECT l_returnflag,
+           ROUND(1e-9 + corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+           ROUND(1e-9 + covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_cov
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate stats per group: Pearson corr + sample covariance —
+    single-pass co-moment aggregates, partial+final like any hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.corr("l_extendedprice", "l_quantity")).alias("price_qty_corr"),
+        r4(F.covar_samp("l_extendedprice", "l_quantity")).alias("price_qty_cov"),
+    )
