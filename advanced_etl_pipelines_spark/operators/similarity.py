@@ -250,6 +250,7 @@ def lsh_topk(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one LSH band bucket with
     the query (multi-band OR), reranked by exact cosine.
@@ -259,7 +260,8 @@ def lsh_topk(
     chances — a reasonable default for 64-dim data.  Compare against
     ``brute_force_topk`` in tests to measure recall.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])  # one driver probe
     planes = random_hyperplanes(dim, n_planes, seed)
     c = (
         corpus.select(

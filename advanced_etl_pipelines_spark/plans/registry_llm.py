@@ -24,6 +24,16 @@ from advanced_etl_pipelines_spark.operators import multimodal as M
 from advanced_etl_pipelines_spark.operators import similarity as S
 from advanced_etl_pipelines_spark.plans.registry import _t, query, r4
 
+_EMB_DIM: dict[str, int] = {}
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding width for a testdata dir, probed once per process."""
+    if sf_dir not in _EMB_DIM:
+        emb = _t(spark, sf_dir, "embeddings")
+        _EMB_DIM[sf_dir] = len(emb.select("embedding").first()[0])
+    return _EMB_DIM[sf_dir]
+
 _TOKENS_SQL = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 )
@@ -294,7 +304,9 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB path — candidates from bucket collisions, cosine rerank."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
-    return S.lsh_topk(emb, queries, "embedding", "vec_id", k=5)
+    return S.lsh_topk(
+        emb, queries, "embedding", "vec_id", k=5, dim=_emb_dim(spark, sf_dir)
+    )
 
 
 @query("knn_ivf_topk")  # approximate — recall vs brute force pinned in tests
@@ -316,8 +328,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-label pair counts plus a total row so the result is non-empty
     even when no near-dups exist."""
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    planes = S.random_hyperplanes(dim, 8, seed=7)
+    planes = S.random_hyperplanes(_emb_dim(spark, sf_dir), 8, seed=7)
     pairs = D.embedding_near_dups(
         emb, "embedding", "vec_id", planes, threshold=0.99
     )
