@@ -220,22 +220,28 @@ def parse_measurement_list(raw: DataFrame) -> DataFrame:
 
     param = pcol(["parameter", "param", "name"])
     value = pcol(["lastValue", "value", "avg"])
-    ts = pcol(["lastUpdated", "lastUpdatedAt", "date", "time"])
-    # {"utc": …} dict shape (transform.py:154-155)
+    # ts: first present of lastUpdated/lastUpdatedAt/date/time, with the
+    # {"utc": …} dict shape (transform.py:154-155) unpacked IN PLACE in
+    # the chain — a corpus may mix struct-shaped and string-shaped
+    # timestamp fields across files, so each candidate contributes its
+    # own variant rather than a struct hijacking the whole chain.
+    sub_types = {}
     for f in long.schema.fields:
         if f.name == "p" and hasattr(f.dataType, "fields"):
-            for sub in f.dataType.fields:
-                if sub.name in ("lastUpdated", "date", "time") and hasattr(
-                    sub.dataType, "fields"
-                ):
-                    inner = [s.name for s in sub.dataType.fields]
-                    parts = [
-                        F.col(f"p.`{sub.name}`.`{k}`")
-                        for k in ("utc", "local")
-                        if k in inner
-                    ]
-                    if parts:
-                        ts = F.coalesce(*parts)
+            sub_types = {s.name: s.dataType for s in f.dataType.fields}
+    ts_parts: list[Column] = []
+    for name in ("lastUpdated", "lastUpdatedAt", "date", "time"):
+        t = sub_types.get(name)
+        if t is None:
+            continue
+        if hasattr(t, "fields"):
+            inner = [s.name for s in t.fields]
+            ts_parts.extend(
+                F.col(f"p.`{name}`.`{k}`") for k in ("utc", "local") if k in inner
+            )
+        else:
+            ts_parts.append(F.col(f"p.`{name}`"))
+    ts = F.coalesce(*ts_parts) if ts_parts else F.lit(None)
 
     rows = long.select(
         "city",

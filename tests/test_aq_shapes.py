@@ -103,6 +103,47 @@ def test_mixed_shapes_union(spark, tmp_path):
     assert rows["pune"]["sulphur_dioxide"] == 7.0
 
 
+def test_mixed_struct_and_string_timestamps(spark, tmp_path):
+    """One file uses {"utc": ...} dict timestamps, another a plain string
+    `time` — BOTH must parse (a struct field must not hijack the whole
+    coalesce chain for string-shaped rows)."""
+    _land(
+        tmp_path,
+        "pune",
+        {
+            "results": [
+                {
+                    "city": "pune",
+                    "parameters": [
+                        {"parameter": "pm25", "value": 11.0,
+                         "lastUpdated": {"utc": "2025-12-11T05:00:00+00:00"}},
+                    ],
+                }
+            ]
+        },
+    )
+    _land(
+        tmp_path,
+        "agra",
+        {
+            "results": [
+                {
+                    "city": "agra",
+                    "parameters": [
+                        {"parameter": "pm10", "value": 22.0,
+                         "time": "2025-12-11T06:00:00+00:00"},
+                    ],
+                }
+            ]
+        },
+    )
+    parsed = aq.parse_raw(aq.read_raw(spark, str(tmp_path)))
+    rows = {r["city"]: r for r in parsed.collect()}
+    assert rows["pune"]["time"].hour == 5 and rows["pune"]["pm2_5"] == 11.0
+    assert rows["agra"]["time"] is not None and rows["agra"]["time"].hour == 6
+    assert rows["agra"]["pm10"] == 22.0
+
+
 def test_corrupt_file_skipped(spark, tmp_path):
     (tmp_path / "bad_raw_20251211T000000Z.json").write_text("{not json")
     _land(
