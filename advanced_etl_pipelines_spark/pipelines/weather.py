@@ -53,18 +53,33 @@ def read_raw(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     return spark.read.option("multiLine", "true").json(paths)
 
 
+METRIC_FIELDS = ["temperature_2m", "relativehumidity_2m", "windspeed_10m"]
+
+
 def flatten(raw: DataFrame) -> DataFrame:
     """P1 (weather variant): index-safe zip of ``hourly.time`` with each
     metric array (`ETL_Weather_API/transform.py:15-40`) — ``arrays_zip``
-    pads short arrays with NULL exactly like the reference's bounds check.
-    One row per (document, hour)."""
-    z = F.arrays_zip(
-        F.col("hourly.time").alias("time"),
-        F.col("hourly.temperature_2m").alias("temperature_2m"),
-        F.col("hourly.relativehumidity_2m").alias("relativehumidity_2m"),
-        F.col("hourly.windspeed_10m").alias("windspeed_10m"),
+    pads short arrays with NULL exactly like the reference's bounds
+    check, and metrics absent from the payload become NULL columns (the
+    reference's ``hourly.get(key, [])`` default).  One row per
+    (document, hour)."""
+    fields: list[str] = []
+    for f in raw.schema.fields:
+        if f.name == "hourly" and hasattr(f.dataType, "fields"):
+            fields = [s.name for s in f.dataType.fields]
+    zip_cols = [F.col("hourly.time").alias("time")]
+    missing = []
+    for m in METRIC_FIELDS:
+        if m in fields:
+            zip_cols.append(F.col(f"hourly.`{m}`").alias(m))
+        else:
+            missing.append(m)
+    out = raw.select(F.explode(F.arrays_zip(*zip_cols)).alias("z")).select(
+        "z.*"
     )
-    return raw.select(F.explode(z).alias("z")).select("z.*")
+    for m in missing:
+        out = out.withColumn(m, F.lit(None).cast("double"))
+    return out.select("time", *METRIC_FIELDS)
 
 
 def transform(flat: DataFrame) -> DataFrame:
