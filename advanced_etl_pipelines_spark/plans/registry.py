@@ -41,6 +41,13 @@ ORACLE_SQL: dict[str, str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table loader for registry queries.  Applies the runtime-settable
+    session config first: the driver invokes ``queries()[name]`` with its
+    OWN (unconfigured) session, and a non-UTC session timezone would
+    shift every hour()/window() result relative to the DuckDB oracle."""
+    from advanced_etl_pipelines_spark.session import configure_existing
+
+    configure_existing(spark)
     return read_sf_table(spark, sf_dir, name)
 
 
