@@ -995,3 +995,72 @@ def q_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.corr("l_extendedprice", "l_quantity")).alias("price_qty_corr"),
         r4(F.covar_samp("l_extendedprice", "l_quantity")).alias("price_qty_cov"),
     )
+
+
+@query(
+    "set_ops_segments",
+    """
+    WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders
+                    WHERE o_orderstatus = 'F'),
+         open_o  AS (SELECT DISTINCT o_custkey AS k FROM orders
+                    WHERE o_orderstatus = 'O')
+    SELECT 'both' AS segment, COUNT(*) AS cnt
+    FROM (SELECT k FROM buyers INTERSECT SELECT k FROM open_o)
+    UNION ALL
+    SELECT 'finished_only', COUNT(*)
+    FROM (SELECT k FROM buyers EXCEPT SELECT k FROM open_o)
+    UNION ALL
+    SELECT 'open_only', COUNT(*)
+    FROM (SELECT k FROM open_o EXCEPT SELECT k FROM buyers)
+    """,
+)
+def q_set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set algebra over customer key sets (Spark plans
+    them as left-semi/left-anti aggregates — no full materialization)."""
+    orders = _t(spark, sf_dir, "orders")
+    buyers = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    open_o = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+
+    def seg(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.lit(name).alias("segment"), F.col("cnt")
+        )
+
+    return (
+        seg("both", buyers.intersect(open_o))
+        .unionAll(seg("finished_only", buyers.exceptAll(open_o)))
+        .unionAll(seg("open_only", open_o.exceptAll(buyers)))
+    )
+
+
+@query(
+    "equi_depth_histogram",
+    """
+    WITH t AS (SELECT l_extendedprice AS v,
+                      NTILE(10) OVER (ORDER BY l_extendedprice) AS bucket
+               FROM lineitem)
+    SELECT bucket, COUNT(*) AS cnt,
+           ROUND(1e-9 + MIN(v), 4) AS lo, ROUND(1e-9 + MAX(v), 4) AS hi
+    FROM t GROUP BY bucket
+    """,
+)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (NTILE) histogram — the complement of A14's
+    equal-width binning.  Note the global NTILE needs a total order
+    (single-partition window): fine for histogramming a column, but at
+    100 TB use distribution_stats' percentile cut points + width_bucket
+    assignment instead (two scans, fully parallel)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy(F.asc("l_extendedprice"))
+    t = li.select(
+        F.col("l_extendedprice").alias("v"), F.ntile(10).over(w).alias("bucket")
+    )
+    return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        r4(F.min("v")).alias("lo"),
+        r4(F.max("v")).alias("hi"),
+    )
