@@ -1064,3 +1064,506 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.min("v")).alias("lo"),
         r4(F.max("v")).alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [extension] TPC-H-style analytical suite, widened (SURVEY.md §2.3 note:
+# joins/set-ops are extension surface; the testdata star schema exercises
+# them).  Adapted to the driver schema — no partsupp/shipmode/commitdate
+# columns, so Q2/Q11/Q12/Q20/Q21 are re-expressed on available columns
+# where the *plan shape* (the thing that matters at 100 TB) is preserved.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           ROUND(1e-9 + SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: six-way star join, revenue by supplier nation where the
+    supplier is "local" (same nation as the customer).
+
+    Scale shape: lineitem is the only big table — orders is filtered by
+    the date predicate (pushed to its scan) before joining; customer,
+    supplier, nation, region are dims and broadcast.  The c_nationkey =
+    s_nationkey equality rides along as a post-join filter, so the one
+    shuffle is lineitem⋈orders on orderkey (AQE may convert even that to
+    broadcast at small sf)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT ROUND(1e-9 + SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate.  Every predicate is a parquet
+    pushed filter (min/max row-group pruning does the heavy lifting on
+    time-sorted data); no shuffle at all beyond the final single-row
+    reduce.  The canonical "is pushdown working" probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS INT) AS l_year,
+           ROUND(1e-9 + SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY sn.n_name, cn.n_name, YEAR(l_shipdate)
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by year.
+    Two aliases of the same dim (nation) join different keys — both
+    broadcast; the nation-name predicates semi-reduce customer and
+    supplier BEFORE they hit the fact join (Catalyst pushes the filter
+    through the join), so the big-side shuffle carries only qualifying
+    rows."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q9_nation_year_profit",
+    """
+    SELECT n_name, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+           ROUND(1e-9 + SUM(l_extendedprice * (1 - l_discount)), 2) AS amount
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+    GROUP BY n_name, YEAR(o_orderdate)
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (minus ps_supplycost, which the schema lacks):
+    revenue by supplier nation × order year for one product type.  The
+    p_type filter reduces part to ~1/6 before broadcasting; lineitem
+    never shuffles for the three dim joins — only for orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(
+            r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("amount")
+        )
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           ROUND(1e-9 + SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(1e-9 + c_acctbal, 2) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by lost revenue on returned items.
+    Date predicate prunes orders at scan; returnflag prunes lineitem at
+    scan; the group-by key includes the (functionally dependent) customer
+    attributes so no second join-back is needed.  TakeOrderedAndProject
+    caps the sort at k=20 per partition."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev_raw")
+        )
+        .orderBy(F.desc("rev_raw"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            r2(F.col("rev_raw")).alias("revenue"),
+            r2(F.col("c_acctbal")).alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+@query(
+    "tpch_q13_order_count_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders-per-customer, left outer join so
+    zero-order customers count with c_count=0.  Two cascaded hash aggs;
+    the second one is tiny (distinct counts).  The join-side predicate
+    must live in the JOIN CONDITION, not a WHERE (a WHERE would turn the
+    outer join inner and drop the zero bucket)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q14_promo_effect",
+    """
+    SELECT ROUND(1e-9 + 100.0 *
+             SUM(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+             SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month — conditional
+    aggregation over a broadcast dim join; the month predicate prunes
+    row groups on time-sorted lineitem."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            r4(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           ROUND(1e-9 + total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the maximum quarterly revenue.
+    The scalar-subquery MAX is a rank-style window over the aggregated
+    (small) revenue view — NOT over lineitem — so the extra pass is
+    cheap; ties all surface, matching the SQL semantics."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue_raw"
+        )
+    )
+    w = Window.orderBy(F.desc("total_revenue_raw"))
+    top = revenue.withColumn("rnk", F.rank().over(w)).where(F.col("rnk") == 1)
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(top), supp.s_suppkey == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            r2(F.col("total_revenue_raw")).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    """
+    WITH pa AS (SELECT l_partkey AS pk, 0.5 * AVG(l_quantity) AS half_avg
+                FROM lineitem GROUP BY l_partkey)
+    SELECT ROUND(1e-9 + SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    JOIN pa ON l_partkey = pk
+    WHERE p_brand = 'Brand#13' AND l_quantity < half_avg
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: small-quantity-order revenue — the correlated AVG
+    subquery decorrelates into a per-part aggregate joined back to the
+    fact.  At 100 TB the brand filter should semi-reduce the aggregate
+    input too; Spark does that via the broadcast part join on both
+    branches of the self-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pa, li.l_partkey == pa.pk)
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(r2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_predicates",
+    """
+    SELECT ROUND(1e-9 + SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+             AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
+             AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs mixing build-side (part) and probe-side
+    (lineitem) predicates.  Catalyst extracts the common p_brand IN (...)
+    / l_quantity range implied by the disjunction and pushes those to the
+    scans; the residual disjunction evaluates post-join in codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    arm = lambda brand, szhi, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1) & (F.col("p_size") <= szhi)
+        & (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi)
+    )
+    return j.where(
+        arm("Brand#1", 15, 1, 11)
+        | arm("Brand#13", 25, 10, 20)
+        | arm("Brand#23", 35, 20, 30)
+    ).agg(
+        r2(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "tpch_q22_idle_customers",
+    """
+    WITH avg_bal AS (SELECT AVG(c_acctbal) AS a FROM customer
+                     WHERE c_acctbal > 0.0)
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           ROUND(1e-9 + SUM(c_acctbal), 2) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich customers with no urgent orders
+    (scalar-subquery threshold + anti join), grouped by market segment
+    (the schema has no phone country codes; the priority predicate keeps
+    the anti join selective on synthetic data where every customer
+    orders).  The threshold is a 1-row broadcast cross join; the anti
+    join probes a filtered distinct-custkey build side."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            r2(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "argmin_cheapest_part_per_type",
+    """
+    WITH ranked AS (
+      SELECT p_partkey, p_name, p_brand, p_type,
+             ROUND(1e-9 + p_retailprice, 2) AS p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_type
+                                ORDER BY p_retailprice ASC, p_partkey ASC) AS rn
+      FROM part)
+    SELECT p_partkey, p_name, p_brand, p_type, p_retailprice
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_argmin_cheapest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's argmin-join-back pattern on available columns: the
+    cheapest part per type with full row recovery, as a single
+    partitioned ROW_NUMBER window (one shuffle on p_type) instead of a
+    min-aggregate + self-join (two shuffles + a join)."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type").orderBy(
+        F.asc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "p_type",
+            r2(F.col("p_retailprice")).alias("p_retailprice"),
+        )
+    )
