@@ -1,0 +1,215 @@
+"""Corpus-curation queries [extension]: deterministic sampling, per-source
+corpus health, Gopher-style quality gating, multi-distinct profiling.
+
+These are the operators a training-data pipeline runs between ingestion
+and dedup: decide the language/source mix (stratified sampling), audit
+each source (stats), gate on document quality (rule filter), and profile
+cardinalities.  All decisions are pure per-row arithmetic or standard
+aggregates — no RNG state, no Python — so every query here is
+DuckDB-oracle-checked exactly, sampling included (see
+``operators/sampling.py`` for why the hash is engine-portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from advanced_etl_pipelines_spark.functions import text as T
+from advanced_etl_pipelines_spark.operators import sampling as SA
+from advanced_etl_pipelines_spark.plans.registry import _t, query, r4
+
+# DuckDB twin of operators/sampling.py::unit_hash
+_UNIT_HASH_SQL = (
+    "(((doc_id % 2147483648) * 2654435761) % 4294967296) / 4294967296.0"
+)
+
+_TOKENS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+@query(
+    "corpus_source_stats",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(1e-9 + AVG(n_chars), 4) AS avg_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS dup_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus audit: volume, average size, language spread,
+    and exact-duplicate pressure.  COUNT(DISTINCT text) at 100 TB should
+    hash the text first (digest-shuffle, operators/dedup.py) so the
+    exchange carries 8-byte keys, not documents — same trick as
+    dedup_exact_stats; cardinalities are identical."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        r4(F.avg("n_chars")).alias("avg_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("text"))
+        .cast("bigint")
+        .alias("dup_docs"),
+    )
+
+
+@query(
+    "sample_stratified_hash",
+    f"""
+    WITH kept AS (
+      SELECT lang FROM documents
+      WHERE {_UNIT_HASH_SQL} <
+            CASE WHEN lang = 'en' THEN 0.1 ELSE 0.5 END)
+    SELECT d.lang, COUNT(*) AS total_docs,
+           (SELECT COUNT(*) FROM kept k WHERE k.lang = d.lang) AS kept_docs
+    FROM documents d GROUP BY d.lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: deterministically downsample the dominant
+    language (en → 10%) while keeping half of everything else.  The keep
+    decision is per-row arithmetic on doc_id — zero shuffle, rerun-stable,
+    engine-portable (hence oracle-checkable despite being 'random')."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = SA.stratified_sample(
+        docs, "lang", {"en": 0.1}, default_rate=0.5, key="doc_id"
+    )
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("total_docs"))
+    kept_counts = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("kept_docs"))
+    return (
+        totals.join(kept_counts, "lang", "left_outer")
+        .select(
+            "lang",
+            "total_docs",
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+        )
+    )
+
+
+@query(
+    "sample_per_lang_topk",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {_UNIT_HASH_SQL} ASC, doc_id ASC)
+               AS sample_rank
+      FROM documents)
+    SELECT doc_id, lang, sample_rank FROM ranked WHERE sample_rank <= 5
+    """,
+)
+def q_sample_per_lang_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample (5 docs per language) — the eval-set /
+    spot-check draw.  One shuffle on lang; rank-limit truncates
+    per-partition before the sort completes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return SA.sample_per_group(docs, "lang", 5, "doc_id")
+
+
+@query(
+    "corpus_quality_filter",
+    f"""
+    WITH tk AS (
+      SELECT lang, {_TOKENS_SQL} AS toks FROM documents),
+    scored AS (
+      SELECT lang, LEN(toks) AS n_words,
+             list_sum(list_transform(toks, t -> LENGTH(t))) * 1.0
+               / GREATEST(LEN(toks), 1) AS mwl,
+             LEN(list_distinct(toks)) * 1.0 / GREATEST(LEN(toks), 1) AS uniq
+      FROM tk)
+    SELECT lang,
+           CASE WHEN n_words < 25 OR n_words > 90 THEN 'bad_length'
+                WHEN uniq < 0.4 THEN 'low_diversity'
+                WHEN mwl < 4.0 OR mwl > 5.0 THEN 'word_shape'
+                ELSE 'pass' END AS verdict,
+           COUNT(*) AS n_docs
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gate (Rae et al. 2021 §A1.1, simplified to the
+    signals computable from this corpus): document length band, lexical
+    diversity floor, mean-word-length band.  First failing rule wins, so
+    the output doubles as a rejection-reason report.  All higher-order
+    functions on a bind-once token array — one pass, no Python, no
+    shuffle before the final tiny aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.bind_once(
+        T.word_tokens("text"),
+        lambda t: F.struct(
+            F.size(t).alias("n"),
+            (
+                F.aggregate(
+                    t, F.lit(0), lambda acc, x: acc + F.length(x)
+                ).cast("double")
+                / F.greatest(F.size(t), F.lit(1))
+            ).alias("mwl"),
+            (
+                F.size(F.array_distinct(t)).cast("double")
+                / F.greatest(F.size(t), F.lit(1))
+            ).alias("uniq"),
+        ),
+    )
+    scored = docs.select("lang", toks.alias("s"))
+    verdict = (
+        F.when(
+            (F.col("s.n") < 25) | (F.col("s.n") > 90), F.lit("bad_length")
+        )
+        .when(F.col("s.uniq") < 0.4, F.lit("low_diversity"))
+        .when(
+            (F.col("s.mwl") < 4.0) | (F.col("s.mwl") > 5.0),
+            F.lit("word_shape"),
+        )
+        .otherwise(F.lit("pass"))
+    )
+    return (
+        scored.select("lang", verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "multi_count_distinct",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+    FROM events GROUP BY event_type
+    """,
+)
+def q_multi_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality profile with two COUNT(DISTINCT) in one statement —
+    Spark plans this as an Expand (row replicated per distinct clause)
+    feeding one aggregation, not N scans.  At 100 TB prefer
+    approx_distinct_events (HLL sketch, no Expand blowup) when ±2% is
+    acceptable."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).cast("bigint").alias("n_days"),
+    )
+
+
+@query("approx_distinct_events")  # HLL sketch — rows-only; tolerance-tested
+def q_approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts per event_type — the scale path for
+    multi_count_distinct: constant memory per group, no Expand, sketches
+    merge associatively across 1000 executors.  rsd=0.02; accuracy vs the
+    exact counts is pinned in tests/test_sampling.py."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct(F.to_date("ts"), rsd=0.02).alias(
+            "approx_days"
+        ),
+    )

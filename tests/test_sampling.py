@@ -1,0 +1,89 @@
+"""Deterministic-sampling tests: rerun stability, rate accuracy,
+fixed-size-per-group exactness, HLL accuracy vs exact counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_etl_pipelines_spark.operators.sampling import (
+    sample_per_group,
+    stratified_sample,
+    unit_hash,
+)
+from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_sf_table(spark, SF, "documents").cache()
+
+
+def test_unit_hash_in_range_and_deterministic(spark):
+    df = spark.range(0, 10_000).select(unit_hash("id").alias("u"))
+    row = df.agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi"), F.avg("u").alias("m")
+    ).first()
+    assert 0.0 <= row.lo and row.hi < 1.0
+    # uniform-ish: mean of U(0,1) within a loose band
+    assert 0.45 < row.m < 0.55
+    a = df.collect()
+    b = spark.range(0, 10_000).select(unit_hash("id").alias("u")).collect()
+    assert a == b
+
+
+def test_stratified_sample_rerun_identical(docs):
+    kept1 = stratified_sample(docs, "lang", {"en": 0.1}, 0.5, "doc_id")
+    kept2 = stratified_sample(docs, "lang", {"en": 0.1}, 0.5, "doc_id")
+    ids1 = sorted(r.doc_id for r in kept1.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in kept2.select("doc_id").collect())
+    assert ids1 == ids2
+    assert len(ids1) > 0
+
+
+def test_stratified_sample_respects_rates(spark):
+    # Large uniform population so the empirical rate concentrates.
+    pop = spark.range(0, 50_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "big").otherwise("small").alias("s"),
+    )
+    kept = stratified_sample(pop, "s", {"big": 0.1}, 0.6, "id")
+    rates = {
+        r.s: r.kept / 25_000
+        for r in kept.groupBy("s").agg(F.count("*").alias("kept")).collect()
+    }
+    assert abs(rates["big"] - 0.1) < 0.02
+    assert abs(rates["small"] - 0.6) < 0.02
+
+
+def test_sample_per_group_exact_k_and_stable(docs):
+    s = sample_per_group(docs.select("doc_id", "lang"), "lang", 3, "doc_id")
+    counts = {r.lang: r.c for r in s.groupBy("lang").agg(
+        F.count("*").alias("c")).collect()}
+    n_langs = docs.select("lang").distinct().count()
+    assert len(counts) == n_langs
+    assert all(c == 3 for c in counts.values())
+    again = sample_per_group(
+        docs.select("doc_id", "lang"), "lang", 3, "doc_id"
+    )
+    assert sorted(map(tuple, s.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_approx_distinct_within_tolerance(spark):
+    ev = read_sf_table(spark, SF, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.05 * n), (k, n, approx[k])
