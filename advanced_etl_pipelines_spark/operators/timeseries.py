@@ -1,0 +1,144 @@
+"""Time-series operators Spark lacks as built-ins, re-expressed Spark-first.
+
+[extension] — the reference's only time-series work is hourly resampling
+(`ETL_Multi_Lvl_API/etl_analysis.py:308-320`) and hour/date bucketing;
+these are the general forms a time-series warehouse needs: as-of join,
+gap-filled resample, and trailing time-range windows.
+
+Design for 100 TB:
+
+* **As-of join** is NOT implemented as a range join (which explodes to
+  pairs before filtering) nor per-key ``collect_list`` (driver-size
+  bound).  It is the union-tag trick: tag right rows 0 / left rows 1,
+  union, one window ``last_value(payload, ignorenulls) over (partition
+  by key order by ts, tag)``, keep left rows.  Exactly ONE shuffle on
+  the join key — the same exchange a plain groupBy would pay — and the
+  sort is per-partition.  This is how kdb/QuestDB-style `aj` maps onto
+  a shuffle engine.
+* **Gap-fill resample** materializes the bucket spine with
+  ``sequence()`` per group (array of timestamps, exploded) — the spine
+  is tiny relative to the fact (buckets × groups), and the fill join is
+  a broadcast-able left join.
+* **Trailing windows** use ``rangeBetween`` on epoch seconds — Spark
+  evaluates RANGE frames with a sliding two-pointer over the sorted
+  partition, O(n) amortized, no self-join blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` within the same ``key`` (inclusive, matching
+    DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``).  Left rows with no prior
+    right row keep NULL payload (left-outer as-of).
+
+    ``right`` must be unique per (key, right_ts) — pre-dedupe if not,
+    or the match at a tied timestamp is undefined.
+    """
+    pay = F.struct(*[F.col(c) for c in payload])
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        pay.alias("__pay"),
+    )
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__pay"].dataType).alias("__pay"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+    )
+    u = r.select(
+        "__k", "__ts", "__tag", "__pay", F.lit(None).cast(
+            l.schema["__row"].dataType
+        ).alias("__row")
+    ).unionByName(l)
+    # tag 0 < 1 puts a right row at ts==left_ts BEFORE the left row, so
+    # last_value sees it (inclusive as-of); within ties the right side
+    # must already be unique per (key, ts).
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.asc("__ts"), F.asc("__tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn(
+        "__m", F.last("__pay", ignorenulls=True).over(w)
+    ).where(F.col("__tag") == 1)
+    out = matched.select("__row.*", *[
+        F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in payload
+    ])
+    return out
+
+
+def band_join(
+    fact: DataFrame, bands: DataFrame, value: str, lo: str, hi: str
+) -> DataFrame:
+    """Non-equi join of a fact value into [lo, hi) bands.  The bands side
+    is assumed dim-sized and is broadcast — Spark then evaluates this as
+    BroadcastNestedLoopJoin, which is fine for dozens-to-thousands of
+    bands.  For band tables too large to broadcast, pre-bucket both
+    sides on a coarsened key (floor(value / step)) and equi-join on the
+    bucket before the range filter."""
+    cond = (F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi))
+    return fact.join(F.broadcast(bands), cond, "inner")
+
+
+def resample_gapfill(
+    df: DataFrame,
+    group: str,
+    ts: str,
+    step: str,
+    agg: dict[str, Column],
+) -> DataFrame:
+    """Fixed-step resample per group INCLUDING empty buckets (the part
+    `groupBy(window(...))` can't do — pandas ``resample`` emits them as
+    NaN, `etl_analysis.py:320`).  Spine = per-group min/max bucket range
+    expanded with ``sequence()``; actual aggregates left-join onto it.
+    Empty buckets surface with NULL aggregate values."""
+    bucket = F.date_trunc(step, F.col(ts))
+    actual = df.groupBy(
+        F.col(group).alias("g"), bucket.alias("bucket")
+    ).agg(*[v.alias(k) for k, v in agg.items()])
+    spine = (
+        df.groupBy(F.col(group).alias("g"))
+        .agg(
+            F.min(bucket).alias("lo"),
+            F.max(bucket).alias("hi"),
+        )
+        .select(
+            "g",
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"INTERVAL 1 {step}"))
+            ).alias("bucket"),
+        )
+    )
+    return spine.join(actual, ["g", "bucket"], "left_outer").select(
+        F.col("g").alias(group), "bucket", *agg.keys()
+    )
+
+
+def trailing_window(
+    df: DataFrame, key: str, ts: str, seconds: int
+) -> Window:
+    """RANGE frame spanning the trailing ``seconds`` (inclusive of the
+    current row's instant), keyed per partition — order by epoch seconds
+    so rangeBetween is numeric."""
+    return (
+        Window.partitionBy(key)
+        .orderBy(F.unix_timestamp(F.col(ts)))
+        .rangeBetween(-seconds, 0)
+    )

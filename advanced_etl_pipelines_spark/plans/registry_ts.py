@@ -1,0 +1,275 @@
+"""Time-series + behavioral-analytics queries [extension]: as-of join,
+band (range) join, gap-filled resample, trailing time windows, funnel,
+cohort retention — the event-warehouse surface, all DuckDB-oracle-checked
+(DuckDB has native ASOF JOIN, making it a real oracle for ours).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from advanced_etl_pipelines_spark.operators import timeseries as TS
+from advanced_etl_pipelines_spark.plans.registry import _t, query, r4
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _purchases_deduped(ev: DataFrame) -> DataFrame:
+    """One purchase row per (user_id, ts): keep max event_id — as-of
+    matches at tied timestamps must be deterministic on both engines."""
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+
+
+@query(
+    "asof_join_last_purchase",
+    """
+    WITH purch AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'),
+    p AS (SELECT user_id, ts, event_id, value FROM purch WHERE rn = 1),
+    clicks AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS asof_purchase_ts,
+           ROUND(1e-9 + p.value, 4) AS asof_purchase_value
+    FROM clicks c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click annotated with the user's most recent
+    purchase at-or-before it (kdb ``aj`` / DuckDB ``ASOF JOIN``).  Spark
+    has no built-in; ours is the union-tag + last_value(ignorenulls)
+    window — one shuffle on user_id, no pair explosion
+    (operators/timeseries.py::asof_join)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    p = _purchases_deduped(ev).select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    joined = TS.asof_join(
+        clicks, p, key="user_id", left_ts="ts", right_ts="p_ts",
+        payload=["p_ts", "p_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _FMT).alias("ts"),
+        F.date_format("asof_p_ts", _FMT).alias("asof_purchase_ts"),
+        r4(F.col("asof_p_value")).alias("asof_purchase_value"),
+    )
+
+
+@query(
+    "range_join_price_bands",
+    """
+    WITH bands AS (
+      SELECT band, lo, hi FROM (VALUES
+        ('b0', 0.0, 20000.0), ('b1', 20000.0, 40000.0),
+        ('b2', 40000.0, 60000.0), ('b3', 60000.0, 80000.0),
+        ('b4', 80000.0, 1e9)) AS t(band, lo, hi))
+    SELECT band, COUNT(*) AS cnt,
+           ROUND(1e-9 + SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem JOIN bands
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band
+    """,
+)
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: fact values classified into [lo, hi) intervals
+    from a band dim.  Broadcast nested-loop with 5 bands — see
+    operators/timeseries.py::band_join for the bucketed-equi-join scale
+    path when the band table itself is large."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = li.sparkSession.createDataFrame(
+        [
+            ("b0", 0.0, 20000.0),
+            ("b1", 20000.0, 40000.0),
+            ("b2", 40000.0, 60000.0),
+            ("b3", 60000.0, 80000.0),
+            ("b4", 80000.0, 1e9),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        TS.band_join(li, bands, "l_extendedprice", "lo", "hi")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_extendedprice") + F.lit(1e-9), 2).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+@query(
+    "resample_gapfill_hourly",
+    """
+    WITH actual AS (
+      SELECT event_type AS g, DATE_TRUNC('hour', ts) AS bucket,
+             COUNT(*) AS cnt, AVG(value) AS avg_value
+      FROM events GROUP BY 1, 2),
+    spine AS (
+      SELECT event_type AS g,
+             UNNEST(generate_series(DATE_TRUNC('hour', MIN(ts)),
+                                    DATE_TRUNC('hour', MAX(ts)),
+                                    INTERVAL 1 HOUR)) AS bucket
+      FROM events GROUP BY event_type)
+    SELECT s.g AS event_type,
+           STRFTIME(s.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           COALESCE(a.cnt, 0) AS cnt,
+           ROUND(1e-9 + a.avg_value, 4) AS avg_value
+    FROM spine s LEFT JOIN actual a ON s.g = a.g AND s.bucket = a.bucket
+    """,
+)
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample: empty buckets appear with cnt=0 /
+    NULL avg — what pandas ``resample`` gives and ``groupBy(window())``
+    does not.  The spine is sequence()-generated per group (buckets ×
+    groups rows, trivially small next to the fact)."""
+    ev = _t(spark, sf_dir, "events")
+    out = TS.resample_gapfill(
+        ev,
+        group="event_type",
+        ts="ts",
+        step="hour",
+        agg={
+            "cnt": F.count(F.lit(1)),
+            "avg_value": F.avg("value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", _FMT).alias("bucket"),
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        r4(F.col("avg_value")).alias("avg_value"),
+    )
+
+
+@query(
+    "rolling_avg_24h",
+    """
+    SELECT event_id, user_id,
+           ROUND(1e-9 + AVG(value) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW),
+           4) AS avg_24h,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+           AS n_24h
+    FROM events
+    """,
+)
+def q_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour per-user average — a RANGE window over epoch
+    seconds (two-pointer evaluation, O(n) per partition; no self-join).
+    Peers at an identical timestamp aggregate together on both engines
+    by RANGE-frame semantics."""
+    ev = _t(spark, sf_dir, "events")
+    w = TS.trailing_window(ev, "user_id", "ts", 24 * 3600)
+    return ev.select(
+        "event_id",
+        "user_id",
+        r4(F.avg("value").over(w)).alias("avg_24h"),
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+    )
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel: users who viewed, then clicked after
+    the first view, then purchased after that first click.  Cascaded
+    per-user MIN aggregates with broadcast join-backs — each stage's
+    frontier is one row per surviving user, so the fact table is scanned
+    exactly three times and everything else is dim-sized."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+        )
+    )
+
+
+@query(
+    "cohort_retention_daily",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY user_id)
+    SELECT STRFTIME(f.cohort_date, '%Y-%m-%d') AS cohort_date,
+           DATEDIFF('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    WHERE DATEDIFF('day', f.cohort_date, CAST(e.ts AS DATE)) BETWEEN 0 AND 6
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention (first-seen date × day offset 0-6):
+    first-seen is a per-user aggregate broadcast back onto the fact;
+    the distinct-user count shuffles on the small (cohort, offset) key."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    offset = F.datediff(F.to_date("ts"), F.col("cohort_date"))
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .where((offset >= 0) & (offset <= 6))
+        .groupBy(
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+            offset.alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
+    )

@@ -1,0 +1,89 @@
+"""Time-series operator units: as-of join edge semantics (inclusive
+match, no-prior-row NULL, tie handling), gap-fill bucket completeness,
+band-join boundary closure."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from advanced_etl_pipelines_spark.operators.timeseries import (
+    asof_join,
+    band_join,
+    resample_gapfill,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 10:00:00")),  # before any right -> NULL
+            (2, "u1", _ts("2024-01-01 12:00:00")),  # exact tie -> inclusive
+            (3, "u1", _ts("2024-01-01 15:00:00")),  # picks latest prior
+            (4, "u2", _ts("2024-01-01 09:00:00")),  # other key isolated
+        ],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 12:00:00"), 100.0),
+            ("u1", _ts("2024-01-01 14:00:00"), 200.0),
+            ("u2", _ts("2024-01-01 23:00:00"), 999.0),
+        ],
+        "k string, rts timestamp, v double",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="rts", payload=["v"]
+    )
+    got = {r.id: r.asof_v for r in out.collect()}
+    assert got == {1: None, 2: 100.0, 3: 200.0, 4: None}
+
+
+def test_asof_join_keeps_all_left_rows(spark):
+    left = spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 60).alias("ts"),
+    )
+    right = spark.createDataFrame(
+        [(0, _ts("2023-11-14 00:00:00"), 1.0)], "k long, rts timestamp, v double"
+    )
+    out = asof_join(left, right, "k", "ts", "rts", ["v"])
+    assert out.count() == 100
+
+
+def test_resample_gapfill_emits_empty_buckets(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:10:00"), 1.0),
+            ("a", _ts("2024-01-01 03:20:00"), 3.0),  # hours 1,2 are gaps
+            ("b", _ts("2024-01-01 05:00:00"), 5.0),
+        ],
+        "g string, ts timestamp, v double",
+    )
+    out = resample_gapfill(
+        df, "g", "ts", "hour", {"cnt": F.count(F.lit(1)), "s": F.sum("v")}
+    ).collect()
+    a = {r.bucket.hour: (r.cnt, r.s) for r in out if r.g == "a"}
+    assert set(a) == {0, 1, 2, 3}
+    assert a[1] == (None, None) and a[2] == (None, None)
+    assert a[0] == (1, 1.0) and a[3] == (1, 3.0)
+    assert len([r for r in out if r.g == "b"]) == 1
+
+
+def test_band_join_half_open_boundaries(spark):
+    fact = spark.createDataFrame(
+        [(0.0,), (9.999,), (10.0,), (19.999,), (20.0,)], "v double"
+    )
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 10.0), ("hi", 10.0, 20.0)], "band string, lo double, hi double"
+    )
+    out = band_join(fact, bands, "v", "lo", "hi")
+    got = sorted((r.v, r.band) for r in out.collect())
+    # 20.0 falls in no band (exclusive hi) -> dropped by inner join
+    assert got == [(0.0, "lo"), (9.999, "lo"), (10.0, "hi"), (19.999, "hi")]
