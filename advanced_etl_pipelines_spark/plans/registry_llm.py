@@ -445,3 +445,93 @@ def q_multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", r4(F.col("cos_sim")).alias("cos_sim"), "rank"
     )
+
+
+@query(
+    "dedup_cluster_components",
+    f"""
+    WITH RECURSIVE tk AS (
+      SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, lang,
+                 list_distinct(list_transform(range(1, LEN(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+          FROM tk WHERE LEN(toks) >= 3),
+    pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE LEN(list_distinct(list_intersect(a.grams, b.grams))) * 1.0
+                    / LEN(list_distinct(list_concat(a.grams, b.grams))) >= 0.15),
+    edges AS (SELECT ia AS a, ib AS b FROM pairs
+              UNION SELECT ib, ia FROM pairs),
+    reach(node, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node),
+    labels AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+    SELECT component, COUNT(*) AS n_docs FROM labels GROUP BY component
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    exact n-gram-Jaccard dup graph (operators/graph.py — iterative
+    min-label propagation, one join+agg per round, O(log diameter)
+    rounds).  The oracle computes the same transitive closure with a
+    recursive CTE.  Downstream keep-policy: keep component id == doc_id
+    (the canonical min), drop the rest."""
+    docs = _t(spark, sf_dir, "documents")
+    from advanced_etl_pipelines_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang", n=3, threshold=0.15
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+_BM25_TERMS = ["spark", "table", "join"]
+
+
+@query(
+    "bm25_search_topk",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    d AS (SELECT doc_id, LEN(toks) AS dl,
+                 LEN(list_filter(toks, x -> x = 'spark')) AS tf_0,
+                 LEN(list_filter(toks, x -> x = 'table')) AS tf_1,
+                 LEN(list_filter(toks, x -> x = 'join')) AS tf_2
+          FROM tk),
+    s AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+                 SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+                 SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+                 SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+          FROM d)
+    SELECT doc_id, dl,
+           ROUND(1e-9 +
+             LN(1 + (n_docs - df_0 + 0.5)/(df_0 + 0.5)) * (tf_0 * 2.2)
+               / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+             LN(1 + (n_docs - df_1 + 0.5)/(df_1 + 0.5)) * (tf_1 * 2.2)
+               / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+             LN(1 + (n_docs - df_2 + 0.5)/(df_2 + 0.5)) * (tf_2 * 2.2)
+               / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS score
+    FROM d, s
+    ORDER BY score DESC, doc_id ASC LIMIT 15
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-15 for a fixed term set (functions/ranking.py):
+    corpus stats are ONE one-row aggregate broadcast back; scoring is
+    per-row arithmetic on a bind-once token array; top-k is
+    TakeOrderedAndProject.  Rounded-score ordering with doc_id
+    tie-break keeps the cutoff engine-stable."""
+    from advanced_etl_pipelines_spark.functions.ranking import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, "text", "doc_id", _BM25_TERMS)
+    return (
+        scored.select("doc_id", "dl", r4(F.col("score")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(15)
+    )

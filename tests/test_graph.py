@@ -1,0 +1,62 @@
+"""Connected-components units: chains (transitivity), stars, disjoint
+components, canonical min labeling, and single-pair graphs."""
+
+from __future__ import annotations
+
+import math
+
+from advanced_etl_pipelines_spark.operators.graph import connected_components
+from advanced_etl_pipelines_spark.functions.ranking import bm25_scores
+
+
+def _components(spark, edges):
+    df = spark.createDataFrame(edges, "s long, d long")
+    out = connected_components(df, "s", "d")
+    return {r.node: r.component for r in out.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4-5 chain: diameter 4, needs >1 propagation round
+    got = _components(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_star_and_disjoint_components(spark):
+    got = _components(
+        spark, [(10, 11), (10, 12), (10, 13), (20, 21), (30, 31), (31, 30)]
+    )
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_edge_direction_irrelevant(spark):
+    a = _components(spark, [(5, 1), (2, 5)])
+    b = _components(spark, [(1, 5), (5, 2)])
+    assert a == b == {1: 1, 2: 1, 5: 1}
+
+
+def test_bm25_ranks_matching_doc_higher(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join table spark"),
+            (2, "spark banana"),
+            (3, "banana apple cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.score
+        for r in bm25_scores(docs, "text", "doc_id", ["spark", "join"]).collect()
+    }
+    assert out[1] > out[2] > out[3]
+    assert out[3] == 0.0
+
+
+def test_bm25_matches_closed_form(spark):
+    # One doc, one term appearing once: score = idf * (1*(k1+1)) /
+    # (1 + k1*(1-b+b*dl/avgdl)); dl == avgdl so norm = 1 + k1.
+    docs = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    out = bm25_scores(docs, "text", "doc_id", ["alpha"]).first()
+    idf = math.log(1 + (1 - 1 + 0.5) / (1 + 0.5))
+    expect = idf * (1 * 2.2) / (1 + 1.2)
+    assert abs(out.score - expect) < 1e-9
