@@ -104,3 +104,52 @@ def file_event_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(source_dir)
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: drop rows whose ``keys``
+    were already seen within the watermark horizon — the streaming twin
+    of exact dedup (operators/dedup.py) and the idempotency guard an
+    at-least-once upstream (Kafka, retried HTTP landings) needs before
+    the upsert sink.
+
+    State = one entry per distinct key inside the horizon, evicted by
+    the watermark — bounded, unlike a naive ``dropDuplicates`` on a
+    stream (which keeps ALL keys forever and OOMs at 100 TB/day)."""
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join within a time interval:
+    ``right_ts ∈ [left_ts - upper, left_ts - lower]`` per key — e.g.
+    "click attributed to a purchase within the preceding hour".
+
+    Both sides are watermarked; the interval condition lets Spark bound
+    the join state (each side holds only rows inside watermark +
+    interval).  An unbounded-condition stream-stream join would keep
+    both streams' full history in state — never do that at scale."""
+    l = left.withWatermark(left_ts, delay).alias("l")
+    r = right.withWatermark(right_ts, delay).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts - F.expr(f"INTERVAL {upper_s} SECONDS"))
+        & (rts <= lts - F.expr(f"INTERVAL {lower_s} SECONDS"))
+    )
+    return l.join(r, cond, "inner")

@@ -77,3 +77,61 @@ def test_signature_queries_shuffle_free_map_side(spark):
         D.minhash_signature_frame(docs, "text", "doc_id")
     )
     assert "Exchange" not in _plan(D.simhash_frame(docs, "text", "doc_id"))
+
+
+def test_q6_all_predicates_pushed(spark, queries):
+    # the default 100-char metadata cap truncates the PushedFilters list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _plan(queries["tpch_q6_forecast_revenue"](spark, SF))
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in plan, frag
+    # pure scan-agg: no exchange other than the final single-row reduce
+    assert "Join" not in plan
+
+
+def test_tpch_star_joins_broadcast_no_cartesian(spark, queries):
+    for name in (
+        "tpch_q5_local_supplier_volume",
+        "tpch_q7_volume_shipping",
+        "tpch_q9_nation_year_profit",
+        "tpch_q10_returned_items",
+    ):
+        plan = _plan(queries[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_asof_join_single_shuffle_on_key(spark, queries):
+    plan = _plan(queries["asof_join_last_purchase"](spark, SF))
+    # union-tag form: no join node at all, one hash exchange for the window
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # dedupe + asof window
+
+
+def test_band_join_is_broadcast_nested_loop(spark, queries):
+    plan = _plan(queries["range_join_price_bands"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_stats_broadcast_and_topk(spark, queries):
+    plan = _plan(queries["bm25_search_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sampling_filter_is_scan_side(spark, queries):
+    # the stratified keep decision must not shuffle: no exchange before
+    # the counting aggregate's own exchange pair
+    plan = _plan(queries["sample_stratified_hash"](spark, SF))
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan

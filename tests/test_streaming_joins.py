@@ -1,0 +1,100 @@
+"""Streaming dedup + stream-stream interval join: parity with batch
+semantics under availableNow processing."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+from pyspark.sql import functions as F
+
+from advanced_etl_pipelines_spark.streaming.windows import (
+    dedup_stream,
+    file_event_stream,
+    interval_join_streams,
+)
+
+
+def _await(query, timeout_s: int = 120) -> None:
+    query.awaitTermination(timeout_s)
+    deadline = time.time() + timeout_s
+    while query.isActive and time.time() < deadline:
+        time.sleep(0.2)
+    assert not query.isActive
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute, 0)
+
+
+def test_stream_dedup_drops_watermark_window_dups(spark, tmp_path):
+    rows = [
+        (1, "a", _ts(0), 1.0),
+        (1, "a", _ts(1), 2.0),   # dup key inside horizon -> dropped
+        (2, "b", _ts(1), 3.0),
+        (2, "b", _ts(2), 4.0),   # dup key -> dropped
+        (3, "c", _ts(3), 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, name string, ts timestamp, v double"
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = file_event_stream(spark, src, df.schema)
+    out = str(tmp_path / "out")
+    q = (
+        dedup_stream(stream, ["k"], "ts", "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert sorted(r.k for r in got.select("k").collect()) == [1, 2, 3]
+
+
+def test_interval_join_matches_batch_join(spark, tmp_path):
+    clicks = [(1, "u1", _ts(10)), (2, "u1", _ts(30)), (3, "u2", _ts(20))]
+    purchases = [
+        ("u1", _ts(5), 100.0),   # 5 min before click 1 -> match
+        ("u1", _ts(29), 200.0),  # 1 min before click 2 -> match
+        ("u2", _ts(50), 300.0),  # AFTER u2's click -> no match
+    ]
+    cdf = spark.createDataFrame(clicks, "click_id long, user string, cts timestamp")
+    pdf = spark.createDataFrame(purchases, "user string, pts timestamp, amount double")
+    csrc, psrc = str(tmp_path / "c"), str(tmp_path / "p")
+    cdf.coalesce(1).write.parquet(csrc)
+    pdf.coalesce(1).write.parquet(psrc)
+
+    cs = file_event_stream(spark, csrc, cdf.schema)
+    ps = file_event_stream(spark, psrc, pdf.schema)
+    # purchase within [cts - 15min, cts]
+    joined = interval_join_streams(
+        cs, ps, "user", "cts", "pts", lower_s=0, upper_s=900
+    ).select("click_id", "amount")
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = sorted(
+        (r.click_id, r.amount) for r in spark.read.parquet(out).collect()
+    )
+    batch = sorted(
+        (r.click_id, r.amount)
+        for r in cdf.join(
+            pdf,
+            (cdf.user == pdf.user)
+            & (pdf.pts >= cdf.cts - F.expr("INTERVAL 900 SECONDS"))
+            & (pdf.pts <= cdf.cts),
+        ).select("click_id", "amount").collect()
+    )
+    assert got == batch == [(1, 100.0), (2, 200.0)]
