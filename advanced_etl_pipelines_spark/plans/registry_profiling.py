@@ -1,0 +1,196 @@
+"""Profiling / statistics queries [extension]: ANALYZE-style column
+profiles, distribution ranking windows, anomaly flags, multi-agg pivot.
+
+The warehouse-introspection surface: what an engine's ANALYZE / data-
+quality layer computes, expressed as plain aggregates so it runs at any
+scale and stays oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from advanced_etl_pipelines_spark.plans.registry import _t, query, r2, r4
+
+
+@query(
+    "profile_lineitem_columns",
+    """
+    SELECT 'l_quantity' AS col,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           ROUND(1e-9 + MIN(l_quantity), 4) AS min_v,
+           ROUND(1e-9 + MAX(l_quantity), 4) AS max_v,
+           ROUND(1e-9 + AVG(l_quantity), 4) AS mean_v,
+           ROUND(1e-9 + STDDEV_SAMP(l_quantity), 4) AS std_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*),
+           CAST(COUNT(l_discount) AS BIGINT),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           ROUND(1e-9 + MIN(l_discount), 4), ROUND(1e-9 + MAX(l_discount), 4),
+           ROUND(1e-9 + AVG(l_discount), 4),
+           ROUND(1e-9 + STDDEV_SAMP(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*),
+           CAST(COUNT(l_extendedprice) AS BIGINT),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           ROUND(1e-9 + MIN(l_extendedprice), 4),
+           ROUND(1e-9 + MAX(l_extendedprice), 4),
+           ROUND(1e-9 + AVG(l_extendedprice), 4),
+           ROUND(1e-9 + STDDEV_SAMP(l_extendedprice), 4)
+    FROM lineitem
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style numeric column profile (null count, NDV, range,
+    moments) for three lineitem columns in ONE scan — the per-column
+    aggregates compute side by side; only the distinct counts expand.
+    At 100 TB swap COUNT(DISTINCT) for approx_count_distinct (HLL) —
+    same plan minus the Expand."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def prof(c: str) -> DataFrame:
+        return li.agg(
+            F.lit(c).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(c).cast("bigint").alias("n_nonnull"),
+            F.countDistinct(c).cast("bigint").alias("n_distinct"),
+            r4(F.min(c)).alias("min_v"),
+            r4(F.max(c)).alias("max_v"),
+            r4(F.avg(c)).alias("mean_v"),
+            r4(F.stddev_samp(c)).alias("std_v"),
+        ).select(
+            "col", "n_rows", "n_nonnull", "n_distinct",
+            "min_v", "max_v", "mean_v", "std_v",
+        )
+
+    return (
+        prof("l_quantity")
+        .unionByName(prof("l_discount"))
+        .unionByName(prof("l_extendedprice"))
+    )
+
+
+@query(
+    "window_rank_family",
+    """
+    WITH agg AS (
+      SELECT o_custkey, ROUND(1e-9 + SUM(o_totalprice), 2) AS spend
+      FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, spend,
+           RANK() OVER (ORDER BY spend DESC) AS rnk,
+           DENSE_RANK() OVER (ORDER BY spend DESC) AS drnk,
+           ROUND(1e-9 + PERCENT_RANK() OVER (ORDER BY spend DESC), 4)
+             AS pct_rank,
+           ROUND(1e-9 + CUME_DIST() OVER (ORDER BY spend DESC), 4)
+             AS cume
+    FROM agg
+    ORDER BY spend DESC, o_custkey ASC LIMIT 25
+    """,
+)
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-window family (rank / dense_rank / percent_rank /
+    cume_dist) over per-customer spend.  The global window runs on the
+    AGGREGATED frame (one row per customer), not the fact — at scale
+    pre-aggregate first, exactly as here, or the total order becomes
+    the bottleneck."""
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(
+        r2(F.sum("o_totalprice")).alias("spend")
+    )
+    w = Window.orderBy(F.desc("spend"))
+    return (
+        agg.select(
+            "o_custkey",
+            "spend",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            r4(F.percent_rank().over(w)).alias("pct_rank"),
+            r4(F.cume_dist().over(w)).alias("cume"),
+        )
+        .orderBy(F.desc("spend"), F.asc("o_custkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "anomaly_zscore_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, AVG(cnt) AS mu, STDDEV_SAMP(cnt) AS sigma
+      FROM daily GROUP BY event_type)
+    SELECT d.event_type, STRFTIME(d.d, '%Y-%m-%d') AS day, d.cnt,
+           ROUND(1e-9 + (d.cnt - s.mu) / s.sigma, 4) AS zscore
+    FROM daily d JOIN stats s ON d.event_type = s.event_type
+    WHERE ABS((d.cnt - s.mu) / s.sigma) > 1.5
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: days whose event count deviates >1.5σ
+    from that type's mean.  Two cascaded aggregates (daily counts →
+    per-type moments) + a broadcast join-back; the fact is scanned
+    once."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("cnt").alias("mu"), F.stddev_samp("cnt").alias("sigma")
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 1.5)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "cnt",
+            r4(z).alias("zscore"),
+        )
+    )
+
+
+@query(
+    "pivot_multi_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS f_cnt,
+           ROUND(1e-9 + SUM(CASE WHEN l_linestatus = 'F'
+                 THEN l_extendedprice ELSE 0 END), 2) AS f_rev,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+             AS o_cnt,
+           ROUND(1e-9 + SUM(CASE WHEN l_linestatus = 'O'
+                 THEN l_extendedprice ELSE 0 END), 2) AS o_rev
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value (count + revenue
+    per linestatus) — A2/A3 generalized.  Explicit pivot values keep
+    the schema static (no distinct-scan job) exactly like the
+    reference-core pivots."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.round(F.sum("l_extendedprice") + F.lit(1e-9), 2).alias("rev"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F_cnt").alias("f_cnt"),
+        F.col("F_rev").alias("f_rev"),
+        F.col("O_cnt").alias("o_cnt"),
+        F.col("O_rev").alias("o_rev"),
+    )
