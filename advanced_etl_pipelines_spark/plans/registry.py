@@ -1177,8 +1177,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation sn ON s_nationkey = sn.n_nationkey
     JOIN nation cn ON c_nationkey = cn.n_nationkey
-    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
-      AND cn.n_name IN ('NATION_1', 'NATION_2')
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      AND cn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
       AND sn.n_name <> cn.n_name
       AND l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -1186,7 +1186,9 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7: bilateral trade volume between two nations by year.
+    """TPC-H Q7: bilateral trade volume between nation pairs by year
+    (four nations rather than TPC-H's two so sf0.001 smoke data still
+    produces matches).
     Two aliases of the same dim (nation) join different keys — both
     broadcast; the nation-name predicates semi-reduce customer and
     supplier BEFORE they hit the fact join (Catalyst pushes the filter
@@ -1202,10 +1204,10 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation")
     sn = nat.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
-    ).where(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    ).where(F.col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4"))
     cn = nat.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
-    ).where(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    ).where(F.col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
