@@ -27,6 +27,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def append_parquet(df: DataFrame, path: str) -> None:
@@ -117,3 +118,69 @@ def write_csv_report(df: DataFrame, path: str) -> None:
     (`ETL_Multi_Lvl_API/etl_analysis.py:377-392`).  coalesce(1) is only
     safe because report frames are aggregate-sized by construction."""
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def compact_cdc_batch(
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    version_col: str = "version",
+) -> DataFrame:
+    """Collapse a CDC change batch to its final state per key: the
+    highest-(version, op) change wins; earlier changes for the same key
+    are superseded.  ``op_col`` values: 'I'/'U' carry payload, 'D'
+    deletes.  Returns one row per surviving key, op column retained so
+    ``apply_cdc`` can route deletes.
+
+    The tie-break at equal version prefers 'D' (delete wins over an
+    update in the same version — the conservative choice)."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(version_col),
+        F.desc(F.col(op_col) == F.lit("D")),
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_cdc(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    op_col: str = "op",
+    version_col: str = "version",
+) -> None:
+    """CDC MERGE: apply an insert/update/delete change batch to a
+    parquet table (Debezium-style feed → lakehouse table).
+
+    Semantics match ``MERGE WHEN MATCHED AND op='D' THEN DELETE / WHEN
+    MATCHED THEN UPDATE / WHEN NOT MATCHED AND op<>'D' THEN INSERT``
+    after first compacting the batch to latest-version-per-key (without
+    the compaction a batch holding I then D for one key would be
+    order-dependent).  Idempotent: re-applying the same batch is a
+    no-op.
+
+    Scale shape: one window over the batch (small), one anti join
+    against the table keyed on the merge keys; at 100 TB use the
+    partitioned twin of this exactly like ``upsert_parquet_partitioned``.
+    """
+    final = compact_cdc_batch(changes, keys, op_col, version_col)
+    upserts = final.where(F.col(op_col) != "D").drop(op_col, version_col)
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        # every touched key leaves the table; non-deletes re-enter with
+        # their new payload — deletes are simply never re-added
+        touched = final.select(*keys)
+        merged = existing.join(touched, list(keys), "left_anti").unionByName(
+            upserts
+        )
+    else:
+        merged = upserts
+    tmp = path.rstrip("/") + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
