@@ -184,3 +184,72 @@ def apply_cdc(
     if os.path.exists(path):
         shutil.rmtree(path)
     os.replace(tmp, path)
+
+
+def write_snapshot(
+    df: DataFrame, table_root: str, keep: int | None = None
+) -> str:
+    """Versioned snapshot write: each call lands a complete table state
+    under ``table_root/v=N`` (N = max existing + 1) and becomes the new
+    "latest".  The lakehouse form of the reference's timestamped-filename
+    latest-wins convention (`ETL_Weather_API/load.py:106-107`) — but
+    atomic at the table level: readers pick a version directory and see
+    one consistent snapshot, never a half-written mix (poor-man's
+    snapshot isolation; Delta/Iceberg replace this with a manifest log).
+
+    ``keep`` prunes to the newest N snapshots after a successful write
+    (time-travel horizon).  Returns the new snapshot path."""
+    os.makedirs(table_root, exist_ok=True)
+    versions = _snapshot_versions(table_root)
+    n = (versions[-1] + 1) if versions else 0
+    tmp = os.path.join(table_root, f".v={n}__tmp")
+    df.write.mode("overwrite").parquet(tmp)
+    final = os.path.join(table_root, f"v={n}")
+    os.replace(tmp, final)  # atomic publish
+    if keep is not None:
+        for old in _snapshot_versions(table_root)[:-keep]:
+            shutil.rmtree(os.path.join(table_root, f"v={old}"))
+    return final
+
+
+def read_snapshot(
+    spark: SparkSession, table_root: str, version: int | None = None
+) -> DataFrame:
+    """Read the latest snapshot (default) or time-travel to ``version``."""
+    versions = _snapshot_versions(table_root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots under {table_root}")
+    n = versions[-1] if version is None else version
+    if n not in versions:
+        raise FileNotFoundError(f"snapshot v={n} not in {versions}")
+    return spark.read.parquet(os.path.join(table_root, f"v={n}"))
+
+
+def _snapshot_versions(table_root: str) -> list[int]:
+    out = []
+    if os.path.isdir(table_root):
+        for name in os.listdir(table_root):
+            if name.startswith("v=") and not name.startswith(".") and (
+                os.path.isdir(os.path.join(table_root, name))
+            ):
+                out.append(int(name[2:]))
+    return sorted(out)
+
+
+def compact_small_files(
+    spark: SparkSession, path: str, target_rows_per_file: int
+) -> int:
+    """Small-file compaction: rewrite a parquet table into
+    ``ceil(rows / target)`` files.  Streaming/CDC sinks accrete tiny
+    files (one+ per micro-batch/merge); at scale the scan's task-per-file
+    scheduling and footer overhead dominate long before data does.
+    Row-count-based sizing is the portable proxy for target byte size.
+    Two-phase swap like the other sinks.  Returns the new file count."""
+    df = spark.read.parquet(path)
+    rows = df.count()
+    n_files = max(1, -(-rows // target_rows_per_file))
+    tmp = path.rstrip("/") + "__tmp"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    return n_files
