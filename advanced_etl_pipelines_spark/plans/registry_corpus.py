@@ -213,3 +213,120 @@ def q_approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_days"
         ),
     )
+
+
+@query(
+    "vocab_top_terms",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    term AS (SELECT UNNEST(toks) AS term, doc_id FROM tk)
+    SELECT term, COUNT(*) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM term GROUP BY term
+    ORDER BY tf DESC, term ASC LIMIT 30
+    """,
+)
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary extraction: corpus-wide term and document frequencies,
+    top 30.  Explode → two-level hash aggregate; partial (map-side)
+    aggregation collapses each partition's token stream before the
+    single shuffle on the term, so the exchange carries the vocabulary,
+    not the corpus — the property that keeps this viable at 100 TB."""
+    from advanced_etl_pipelines_spark.functions.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    term = docs.select(
+        "doc_id", F.explode(word_tokens("text")).alias("term")
+    )
+    return (
+        term.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(30)
+    )
+
+
+@query(
+    "bigram_pmi_top",
+    f"""
+    WITH tk AS (SELECT {_TOKENS_SQL} AS toks FROM documents),
+    uni AS (SELECT UNNEST(toks) AS w FROM tk),
+    u AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    n_uni AS (SELECT SUM(c) AS n FROM u),
+    bg AS (SELECT UNNEST(list_transform(range(1, LEN(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])) AS b FROM tk),
+    bc AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b HAVING COUNT(*) >= 10),
+    n_bg AS (SELECT SUM(cb) AS m FROM (SELECT UNNEST(list_transform(
+               range(1, LEN(toks)), i -> toks[i] || ' ' || toks[i+1])) AS b
+               FROM tk) t JOIN bc USING (b) JOIN bc x ON bc.b = x.b
+               WHERE bc.b = t.b),
+    total_bg AS (SELECT COUNT(*) AS m FROM bg)
+    SELECT bc.b AS bigram, bc.cb AS cnt,
+           ROUND(1e-9 + LN((bc.cb * 1.0 / total_bg.m) /
+                 ((u1.c * 1.0 / n_uni.n) * (u2.c * 1.0 / n_uni.n))), 4)
+             AS pmi
+    FROM bc, total_bg, n_uni,
+         u u1, u u2
+    WHERE u1.w = SPLIT_PART(bc.b, ' ', 1)
+      AND u2.w = SPLIT_PART(bc.b, ' ', 2)
+    ORDER BY pmi DESC, bigram ASC LIMIT 20
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of bigrams seen
+    >=10 times — ln(p(ab) / (p(a)p(b))).  Three aggregates (unigrams,
+    bigrams, totals); the per-word probabilities join back onto the
+    bigram list via two broadcast joins on the word keys.  Used to find
+    multi-word expressions worth treating as single tokens."""
+    from advanced_etl_pipelines_spark.functions.text import (
+        bind_once,
+        word_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(word_tokens("text").alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    u = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = u.agg(F.sum("c").alias("n"))
+
+    bigrams = toks.select(
+        F.explode(
+            bind_once(
+                F.col("t"),
+                lambda t: F.transform(
+                    F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                    lambda x, i: F.concat_ws(" ", x, F.element_at(t, i + 2)),
+                ),
+            )
+        ).alias("b")
+    )
+    total_bg = bigrams.agg(F.count(F.lit(1)).alias("m"))
+    bc = bigrams.groupBy("b").agg(F.count(F.lit(1)).alias("cb")).where(
+        F.col("cb") >= 10
+    )
+    u1 = u.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = u.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    j = (
+        bc.withColumn("w1", F.split_part(F.col("b"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("b"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(total_bg))
+        .crossJoin(F.broadcast(n_uni))
+    )
+    pmi = F.log(
+        (F.col("cb") / F.col("m"))
+        / ((F.col("c1") / F.col("n")) * (F.col("c2") / F.col("n")))
+    )
+    return (
+        j.select(
+            F.col("b").alias("bigram"),
+            F.col("cb").alias("cnt"),
+            r4(pmi).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -194,3 +194,21 @@ def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O_cnt").alias("o_cnt"),
         F.col("O_rev").alias("o_rev"),
     )
+
+
+@query("approx_distribution_stats")  # t-digest sketch — rows-only;
+# accuracy vs the exact percentiles pinned in tests/test_sampling.py
+def q_approx_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of distribution_stats: approx_percentile
+    (t-digest, accuracy 10000) computes all three quantiles in one
+    mergeable sketch pass — no per-group sort, constant memory, scales
+    to any group size.  Exact-vs-approx deviation is tolerance-tested."""
+    li = _t(spark, sf_dir, "lineitem")
+    pcts = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+    )
+    return li.groupBy("l_returnflag").agg(
+        r4(F.element_at(pcts, 1)).alias("p50"),
+        r4(F.element_at(pcts, 2)).alias("p95"),
+        r4(F.element_at(pcts, 3)).alias("p99"),
+    )

@@ -87,3 +87,20 @@ def test_approx_distinct_within_tolerance(spark):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 0.05 * n), (k, n, approx[k])
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    li = read_sf_table(spark, SF, "lineitem")
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+        ).alias("a")
+    )
+    j = {r.l_returnflag: r for r in exact.join(approx, "l_returnflag").collect()}
+    for flag, r in j.items():
+        assert abs(r.a[0] - r.p50) / r.p50 < 0.01, (flag, "p50")
+        assert abs(r.a[1] - r.p95) / r.p95 < 0.01, (flag, "p95")
