@@ -1569,3 +1569,153 @@ def q_argmin_cheapest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.col("p_retailprice")).alias("p_retailprice"),
         )
     )
+
+
+@query(
+    "tpch_q8_market_share",
+    """
+    WITH trade AS (
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'EUROPE')
+    SELECT o_year,
+           ROUND(1e-9 + SUM(CASE WHEN supp_nation = 'NATION_7'
+                 THEN volume ELSE 0 END) / SUM(volume), 4) AS mkt_share
+    FROM trade GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of supplier revenue into a region,
+    by year — conditional-sum ratio over the star join.  The share
+    nation is NOT a filter (both arms of the ratio need all suppliers);
+    only the customer-region predicate cuts the fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    trade = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(reg), F.col("cn_region") == reg.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return trade.groupBy("o_year").agg(
+        r4(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == "NATION_7", F.col("volume")
+                ).otherwise(0.0)
+            )
+            / F.sum("volume")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q16_supplier_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp → lineitem supplier pairs): distinct
+    supplier variety per part attribute with a NOT-IN exclusion list.
+    NOT IN compiles to a broadcast null-aware anti join — safe here
+    because s_suppkey is non-null; the distinct count shuffles hashed
+    (part-attrs, suppkey) pairs, already pre-shrunk by the dim filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+    )
+
+
+@query(
+    "tpch_q20_volume_suppliers",
+    """
+    WITH pp AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+    vol AS (
+      SELECT l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem JOIN pp ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey HAVING SUM(l_quantity) > 100)
+    SELECT s_suppkey, s_name, ROUND(1e-9 + s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM vol)
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (minus partsupp availability): suppliers who
+    moved significant volume of a part class in a year — IN-subquery →
+    left-semi join against a HAVING-filtered aggregate.  The part
+    filter broadcasts into the fact scan; the qualifying supplier set
+    is tiny and broadcasts into the dim."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pp = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    vol = (
+        li.join(F.broadcast(pp), li.l_partkey == pp.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(
+            F.broadcast(vol), supp.s_suppkey == vol.l_suppkey, "left_semi"
+        )
+        .select("s_suppkey", "s_name", r2(F.col("s_acctbal")).alias("s_acctbal"))
+    )
