@@ -1719,3 +1719,107 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", r2(F.col("s_acctbal")).alias("s_acctbal"))
     )
+
+
+@query(
+    "tpch_q21_sole_late_supplier",
+    """
+    WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+    late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM l JOIN orders ON l_orderkey = o_orderkey
+      WHERE l.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    SELECT l1.l_suppkey, s_name,
+           CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY l1.l_suppkey, s_name
+    ORDER BY numwait DESC, l1.l_suppkey ASC LIMIT 25
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape ("late" = shipped >60 days after order, since the
+    schema has no commit/receipt dates): suppliers who were the SOLE
+    late supplier on multi-supplier orders.  The double correlated
+    EXISTS decorrelates to a left-semi (another supplier exists on the
+    order) + left-anti (no OTHER late supplier) against per-order
+    aggregates — both build sides are per-order supplier stats, far
+    smaller than the fact, and broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    # EXISTS other-supplier: orders with >1 distinct supplier
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .where(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    # NOT EXISTS other-late-supplier: orders with exactly one late supplier
+    solo_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("nl"))
+        .where(F.col("nl") == 1)
+        .select("l_orderkey")
+    )
+    return (
+        late.join(F.broadcast(multi), "l_orderkey", "left_semi")
+        .join(F.broadcast(solo_late), "l_orderkey", "left_semi")
+        .join(F.broadcast(supp), late.l_suppkey == supp.s_suppkey)
+        .groupBy("l_suppkey", "s_name")
+        .agg(
+            F.countDistinct("l_orderkey").cast("bigint").alias("numwait")
+        )
+        .orderBy(F.desc("numwait"), F.asc("l_suppkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "tpch_q11_value_concentration",
+    """
+    WITH pr AS (
+      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, ROUND(1e-9 + value, 2) AS value
+    FROM pr
+    WHERE value > (SELECT SUM(value) * 0.0007 FROM pr)
+    ORDER BY value DESC, l_partkey ASC
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (revenue standing in for ps_supplycost*availqty):
+    parts holding an outsized share of total value — a per-key aggregate
+    filtered by a scalar subquery over ITS OWN total.  One fact
+    aggregate, reused for both the rows and the threshold (Spark plans
+    the reuse as a shuffle-stage reuse; the threshold side collapses to
+    one row and broadcasts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "value_raw"
+        )
+    )
+    thr = pr.agg((F.sum("value_raw") * 0.0007).alias("thr"))
+    return (
+        pr.join(F.broadcast(thr))
+        .where(F.col("value_raw") > F.col("thr"))
+        .select("l_partkey", r2(F.col("value_raw")).alias("value"))
+        .orderBy(F.desc("value"), F.asc("l_partkey"))
+    )
