@@ -391,37 +391,25 @@ def embedding_near_dups(
     """Near-duplicate vectors: random-hyperplane sign bucket (all planes
     agree) as the blocking key, exact cosine verify within bucket.
 
-    ``planes`` must be generated deterministically (seeded) by the caller;
-    they are broadcast as literals inside the expression tree.  The vector
-    expression is bound once per row (not once per plane), and L2 norms
-    are per-row columns so the within-bucket pair verify pays only the
-    dot-product fold — same shapes as ``operators/similarity.py``.
+    ``planes`` must be generated deterministically (seeded) by the caller.
+    Projections come from the Arrow matmul seam
+    (``similarity.with_projections`` — one BLAS call per batch instead of
+    a per-plane expression fold), and L2 norms are per-row columns so the
+    within-bucket pair verify pays only the dot-product fold.
     """
-    from advanced_etl_pipelines_spark.functions.text import bind_once
-    from advanced_etl_pipelines_spark.functions.vectors import dot, l2_norm
+    from advanced_etl_pipelines_spark.functions.vectors import dot
+    from advanced_etl_pipelines_spark.operators.similarity import (
+        band_buckets,
+        with_projections,
+    )
 
-    def sig_of(vv: Column) -> Column:
-        sig = None
-        for p in planes:
-            bit = F.when(
-                F.aggregate(
-                    F.zip_with(vv, F.lit(p), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                >= 0,
-                F.lit(1),
-            ).otherwise(F.lit(0))
-            sig = bit if sig is None else sig * 2 + bit
-        return sig
-
-    base = df.select(
-        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
-    ).withColumns(
-        {
-            "n": l2_norm(F.col("v")),
-            "bucket": bind_once(F.col("v"), sig_of),
-        }
+    base = with_projections(
+        df, vec_col, id_col, planes, "id", "v", "n", "proj"
+    ).select(
+        "id",
+        "v",
+        "n",
+        F.element_at(band_buckets("proj", len(planes), 1), 1).alias("bucket"),
     )
     l, r = base.alias("l"), base.alias("r")
     denom = F.col("l.n") * F.col("r.n")

