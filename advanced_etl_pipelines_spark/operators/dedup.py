@@ -302,6 +302,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.1,
     hashed_postings: bool = False,
+    materialize_grams: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-grams via an inverted-index
     (posting-list) self-join.  Returns (id_a, id_b, jaccard).
@@ -333,6 +334,15 @@ def ngram_jaccard_pairs(
         F.col(block_col).alias("blk"),
         F.array_distinct(word_ngrams(word_tokens(text_col), n)).alias("g"),
     ).where(F.size("g") > 0)
+    if materialize_grams:
+        # Both self-join sides (and the hashed-postings re-verify) read
+        # the gram frame; without materialization tokenize+ngram runs
+        # once PER CONSUMER (AQE broadcasts one posting side, so
+        # exchange reuse does not save it — measured 2× gram-gen at
+        # sf0.1).  At 100 TB this is the standard build-the-inverted-
+        # index-once pattern; flip off only for single-consumer plans
+        # where recompute beats the materialization write.
+        grams = grams.localCheckpoint(eager=False)
     gram_key = (
         F.xxhash64("gram").alias("gram") if hashed_postings else F.col("gram")
     )

@@ -941,14 +941,26 @@ def q_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB swap in ``approx_percentile`` (t-digest sketch, one pass,
     mergeable across partitions) — the exact form needs a per-group sort."""
     li = _t(spark, sf_dir, "lineitem")
-    p = "percentile(l_extendedprice, {})"
-    return li.groupBy("l_returnflag").agg(
-        r4(F.expr(p.format(0.5))).alias("p50"),
-        r4(F.expr(p.format(0.95))).alias("p95"),
-        r4(F.expr(p.format(0.99))).alias("p99"),
-        r4(F.stddev("l_extendedprice")).alias("sd"),
-        r4(F.min("l_extendedprice")).alias("lo"),
-        r4(F.max("l_extendedprice")).alias("hi"),
+    # one percentile buffer for all three cut points (array form), not
+    # three independent value-count maps over the same column
+    pcts = F.expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pcts.alias("pcts"),
+            r4(F.stddev("l_extendedprice")).alias("sd"),
+            r4(F.min("l_extendedprice")).alias("lo"),
+            r4(F.max("l_extendedprice")).alias("hi"),
+        )
+        .select(
+            "l_returnflag",
+            r4(F.element_at("pcts", 1)).alias("p50"),
+            r4(F.element_at("pcts", 2)).alias("p95"),
+            r4(F.element_at("pcts", 3)).alias("p99"),
+            "sd",
+            "lo",
+            "hi",
+        )
     )
 
 
