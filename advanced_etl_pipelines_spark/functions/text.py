@@ -218,3 +218,56 @@ def doc_fingerprint(tokens: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, t: F.xxhash64(acc, t),
     )
+
+
+def repetition_ratio(tokens: Column, n: int = 2) -> Column:
+    """Within-document repetition: fraction of word n-grams that are
+    duplicates, ``1 - |distinct grams| / |grams|`` (0.0 for docs too
+    short to produce a gram).  The Gopher repetition rules (Rae et al.
+    2021, A1.1) gate on exactly this family of signals; high values mean
+    boilerplate/looped text that poisons LM training.
+
+    DuckDB: ``1 - len(list_distinct(g)) * 1.0 / len(g)``.
+
+    The gram array is bound once (``bind_once``) — referenced three
+    times below, so without binding the tokenizer+gram build would run
+    three times per row.
+    """
+
+    def ratio(g: Column) -> Column:
+        return F.when(
+            F.size(g) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g),
+        ).otherwise(F.lit(0.0))
+
+    return bind_once(word_ngrams(tokens, n), ratio)
+
+
+# PII patterns shared verbatim with the DuckDB oracle: plain character
+# classes + \d + {m,n} quantifiers only, so Java regex (Spark) and RE2
+# (DuckDB) match the identical spans.  Applied to lowercased text.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}", "<PHONE>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def pii_count(c: Column | str, kind: str) -> Column:
+    """Number of matches of one PII pattern (``email``/``phone``/``ipv4``)
+    in the lowercased text.  DuckDB: ``len(regexp_extract_all(lower(text),
+    pattern))``."""
+    col = F.col(c) if isinstance(c, str) else c
+    pat = {k: p for k, p, _ in PII_PATTERNS}[kind]
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+def redact_pii(c: Column | str) -> Column:
+    """Replace every PII span with its typed token (``<EMAIL>`` etc.) —
+    chained native ``regexp_replace``, no Python.  Order matters: emails
+    before phones so the digits in a mailbox name are not re-matched."""
+    col = F.col(c) if isinstance(c, str) else c
+    out = F.lower(col)
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

@@ -330,3 +330,48 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@query(
+    "decontaminate_benchmark",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 3),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          || ' ' || toks[i+3] || ' ' || toks[i+4])) AS grams
+          FROM tk WHERE len(toks) >= 5),
+    bg AS (SELECT DISTINCT gram
+           FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id % 101 = 0)),
+    pg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    hit AS (SELECT DISTINCT doc_id FROM pg JOIN bg USING (gram))
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(h.doc_id) AS BIGINT) AS contaminated,
+           CAST(COUNT(*) - COUNT(h.doc_id) AS BIGINT) AS clean
+    FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+    GROUP BY d.source
+    """,
+)
+def q_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit (operators/decontamination.py):
+    a synthetic eval set (every 101st doc — deterministic, so the oracle
+    can rebuild it) contaminates any doc sharing a 5-gram with it.
+    The benchmark gram set broadcasts; the corpus side never shuffles —
+    at 100 TB the contamination check rides the scan.  Benchmark docs
+    contaminate themselves, so `contaminated` >= the eval-set size."""
+    from advanced_etl_pipelines_spark.operators import decontamination as DC
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where((F.col("doc_id") % 101) == 0)
+    hits = DC.contaminated_ids(docs, "text", "doc_id", bench, "text", n=5)
+    flagged = docs.join(
+        hits.withColumnRenamed("id", "doc_id").withColumn("hit", F.lit(1)),
+        "doc_id",
+        "left_outer",
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("hit").cast("bigint").alias("contaminated"),
+        (F.count(F.lit(1)) - F.count("hit")).cast("bigint").alias("clean"),
+    )

@@ -535,3 +535,77 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(15)
     )
+
+
+def _ngram_sql(n: int, toks: str = "toks") -> str:
+    """DuckDB word-n-gram fragment matching ``functions.text.word_ngrams``:
+    ``range(1, len(t) - (n-2))`` is empty for docs shorter than n tokens."""
+    concat = " || ' ' || ".join(f"{toks}[i+{j}]" if j else f"{toks}[i]" for j in range(n))
+    return f"list_transform(range(1, len({toks}) - {n - 2}), i -> {concat})"
+
+
+@query(
+    "text_repetition_ratio",
+    f"""
+    WITH tk AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, lang, {_ngram_sql(2)} AS g2 FROM tk),
+    r AS (SELECT lang,
+                 CASE WHEN len(g2) > 0
+                      THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2)
+                      ELSE 0.0 END AS rep
+          FROM g)
+    SELECT lang,
+           ROUND(1e-9 + AVG(rep), 4) AS avg_rep,
+           ROUND(1e-9 + MAX(rep), 4) AS max_rep,
+           CAST(SUM(CASE WHEN rep >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+    FROM r GROUP BY lang
+    """,
+)
+def q_text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signal: duplicate-bigram
+    fraction per doc, aggregated per language with a >= 0.2 gate count.
+    Pure per-row HOF arithmetic riding the scan — no shuffle beyond the
+    final tiny per-lang aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    rep = T.repetition_ratio(T.word_tokens("text"), 2)
+    return (
+        docs.select("lang", rep.alias("rep"))
+        .groupBy("lang")
+        .agg(
+            r4(F.avg("rep")).alias("avg_rep"),
+            r4(F.max("rep")).alias("max_rep"),
+            F.sum(F.when(F.col("rep") >= 0.2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_repetitive"),
+        )
+    )
+
+
+def _pii_sql(kind: str) -> str:
+    pat = {k: p for k, p, _ in T.PII_PATTERNS}[kind]
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+@query(
+    "pii_scan_stats",
+    f"""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM({_pii_sql('email')}) AS BIGINT) AS email_hits,
+           CAST(SUM({_pii_sql('phone')}) AS BIGINT) AS phone_hits,
+           CAST(SUM({_pii_sql('ipv4')}) AS BIGINT) AS ipv4_hits
+    FROM documents GROUP BY source
+    """,
+)
+def q_pii_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pre-redaction audit: per-source match counts for the shared
+    email/phone/IPv4 patterns (``functions.text.PII_PATTERNS`` — the
+    same literal regexes run on both engines).  The redaction itself
+    (``redact_pii``) is a chained native regexp_replace projection;
+    its semantics are pinned by unit tests on synthetic PII."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.pii_count("text", "email")).cast("bigint").alias("email_hits"),
+        F.sum(T.pii_count("text", "phone")).cast("bigint").alias("phone_hits"),
+        F.sum(T.pii_count("text", "ipv4")).cast("bigint").alias("ipv4_hits"),
+    )
