@@ -1835,3 +1835,44 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", r2(F.col("value_raw")).alias("value"))
         .orderBy(F.desc("value"), F.asc("l_partkey"))
     )
+
+
+@query(
+    "tpch_q12_shipmode_priority",
+    """
+    SELECT l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('R', 'A')
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_returnflag standing in for l_shipmode, which the
+    testdata lacks): per ship class, how many lines came from high- vs
+    low-priority orders in one year.  The IN filter and the date range
+    both push to the lineitem scan; orders is projected to
+    (o_orderkey, o_orderpriority) before the join so the shuffle carries
+    16 bytes + a small string per row.  At 100 TB both sides are large
+    -> sort-merge join on orderkey; the conditional SUMs fold into one
+    hash aggregate with map-side partials over only 2 group keys."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )

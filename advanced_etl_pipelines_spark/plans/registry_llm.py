@@ -609,3 +609,78 @@ def q_pii_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(T.pii_count("text", "phone")).cast("bigint").alias("phone_hits"),
         F.sum(T.pii_count("text", "ipv4")).cast("bigint").alias("ipv4_hits"),
     )
+
+
+@query(
+    "pack_concat_chunk_stats",
+    """
+    WITH ordered AS (
+      SELECT lang, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM documents WHERE n_chars > 0),
+    packed AS (
+      SELECT lang, n_chars,
+             CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS chunk_id,
+             CAST(FLOOR((cum_before + n_chars - 1) / 2048.0) AS BIGINT)
+               AS chunk_end_id
+      FROM ordered)
+    SELECT lang,
+           CAST(MAX(chunk_end_id) + 1 AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN chunk_end_id > chunk_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS split_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM packed GROUP BY lang
+    """,
+)
+def q_pack_concat_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing audit, concatenate-and-chunk semantics (GPT-style
+    pretraining batches): per language, how many 2048-char contexts the
+    corpus fills and how many documents straddle a context boundary.
+    ``operators/packing.py::pack_concat_chunks`` is pure window
+    arithmetic — one shuffle on the shard key, then codegen.  Per-lang
+    windows skew at 100 TB: salt the shard key with hash(doc_id)%K
+    (packs never cross shards, so chunk numbering stays valid per
+    shard)."""
+    from advanced_etl_pipelines_spark.operators.packing import (
+        pack_concat_chunks,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_concat_chunks(
+        docs, "n_chars", 2048, ["lang"], "doc_id"
+    )
+    return packed.groupBy("lang").agg(
+        (F.max("chunk_end_id") + 1).alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("chunk_end_id") > F.col("chunk_id"), 1).otherwise(0)
+        ).alias("split_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query("pack_next_fit_stats")
+def q_pack_next_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-budget next-fit packing (no document split): per language,
+    pack count and mean fill ratio of the 2048-char budget.  The
+    running-reset recurrence runs in ``applyInPandas`` per shard
+    (operators/packing.py) — rows-only check; tests/test_packing.py pins
+    budget respect, contiguity, and determinism."""
+    from advanced_etl_pipelines_spark.operators.packing import pack_next_fit
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    packed = pack_next_fit(docs, "n_chars", 2048, ["lang"], "doc_id")
+    per_pack = packed.groupBy("lang", "pack_id").agg(
+        F.sum("n_chars").alias("pack_chars")
+    )
+    return per_pack.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        r4(F.avg(F.col("pack_chars") / F.lit(2048.0))).alias("avg_fill"),
+        F.max("pack_chars").alias("max_pack_chars"),
+    )

@@ -212,3 +212,35 @@ def q_approx_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.element_at(pcts, 2)).alias("p95"),
         r4(F.element_at(pcts, 3)).alias("p99"),
     )
+
+
+@query(
+    "skew_key_profile",
+    """
+    WITH per_key AS (
+      SELECT l_orderkey, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+           ROUND(1e-9 + AVG(cnt), 4) AS avg_cnt,
+           ROUND(1e-9 + MAX(cnt) / AVG(cnt), 4) AS skew_factor
+    FROM per_key
+    """,
+)
+def q_skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the distribution of rows-per-key for
+    lineitem.l_orderkey — the number you check BEFORE choosing a join
+    strategy at 100 TB (skew_factor >> 1 -> salt the key or rely on AQE
+    skew-join splitting).  Two cascaded hash aggregates; the second input
+    is one row per key, so the heavy shuffle carries (key, count) pairs
+    only."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+        r4(F.avg("cnt")).alias("avg_cnt"),
+        r4(F.max("cnt") / F.avg("cnt")).alias("skew_factor"),
+    )
