@@ -244,3 +244,126 @@ def q_skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.avg("cnt")).alias("avg_cnt"),
         r4(F.max("cnt") / F.avg("cnt")).alias("skew_factor"),
     )
+
+
+@query(
+    "dq_constraint_report",
+    """
+    SELECT 'orders_dup_orderkey' AS check_name,
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+                AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_quantity_out_of_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_nonpositive_total',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+                AS BIGINT)
+    """,
+)
+def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite (Deequ-style): uniqueness,
+    referential integrity, completeness, and range checks emitted as one
+    violations report.  The three row-local checks (null / range /
+    nonpositive) fold into ONE scan via conditional aggregation;
+    uniqueness is a distinct-count; referential integrity is a left-anti
+    join on the key — the only shuffle, and at 100 TB it degenerates to
+    a broadcast of the orders KEY column if that fits, else a shared
+    sort-merge."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    o_checks = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("nullck"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("nonpos"),
+    )
+    li_range = li.agg(
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast(
+                "long"
+            )
+        ).alias("rng")
+    )
+    orphans = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("orphans"))
+
+    # unpivot the one-row aggregates lazily (no driver actions, one job)
+    o_rows = o_checks.select(
+        F.expr(
+            "stack(3,"
+            " 'orders_dup_orderkey', dup,"
+            " 'orders_null_custkey', nullck,"
+            " 'orders_nonpositive_total', nonpos)"
+            " as (check_name, violations)"
+        )
+    )
+    rng_rows = li_range.select(
+        F.lit("lineitem_quantity_out_of_range").alias("check_name"),
+        F.col("rng").alias("violations"),
+    )
+    orphan_rows = orphans.select(
+        F.lit("lineitem_orphan_orderkey").alias("check_name"),
+        F.col("orphans").alias("violations"),
+    )
+    return (
+        o_rows.unionByName(rng_rows)
+        .unionByName(orphan_rows)
+        .select("check_name", F.col("violations").cast("long").alias("violations"))
+    )
+
+
+@query(
+    "reconcile_full_outer",
+    """
+    WITH agg AS (SELECT o_custkey, COUNT(*) AS n_orders
+                 FROM orders GROUP BY o_custkey)
+    SELECT
+      CAST(SUM(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+      CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS dim_only,
+      CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS fact_only,
+      CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders
+    FROM customer FULL OUTER JOIN agg ON c_custkey = o_custkey
+    """,
+)
+def q_reconcile_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-target reconciliation via FULL OUTER join: customers with
+    no orders (dim_only), order keys with no customer row (fact_only),
+    and the matched overlap — the report every migration/backfill runs
+    before cutover.  The fact side is pre-aggregated to one row per key
+    BEFORE the join, so the full-outer shuffle carries key+count, not
+    raw orders."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = cust.join(agg, cust.c_custkey == agg.o_custkey, "full_outer")
+    return j.agg(
+        F.sum(
+            (
+                F.col("c_custkey").isNotNull()
+                & F.col("o_custkey").isNotNull()
+            ).cast("long")
+        ).alias("matched"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("dim_only"),
+        F.sum(F.col("c_custkey").isNull().cast("long")).alias("fact_only"),
+        F.sum(F.coalesce(F.col("n_orders"), F.lit(0))).alias("total_orders"),
+    )

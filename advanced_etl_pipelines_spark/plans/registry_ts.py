@@ -273,3 +273,53 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
     )
+
+
+@query(
+    "temporal_validity_intervals",
+    """
+    WITH iv AS (
+      SELECT user_id, value,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             EPOCH(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - EPOCH(ts) AS validity_s
+      FROM events WHERE event_type = 'purchase')
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS open_versions,
+           ROUND(1e-9 + AVG(validity_s), 4) AS avg_validity_s,
+           ROUND(1e-9 + SUM(value * COALESCE(validity_s, 0)), 4)
+             AS value_seconds
+    FROM iv GROUP BY user_id
+    """,
+)
+def q_temporal_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-to-interval conversion (the SCD2 / temporal-table primitive):
+    each purchase opens a validity interval that the user's NEXT purchase
+    closes — LEAD over (user, time) — then per-user interval stats,
+    including a time-weighted value integral (the "average balance" shape
+    billing systems compute).  One shuffle: the window partitioning is
+    reused by the groupBy (same key), so Catalyst plans a single
+    exchange."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    ts_s = F.col("ts").cast("double")
+    validity = F.lead(ts_s).over(w) - ts_s
+    iv = ev.select(
+        "user_id",
+        "value",
+        F.lead("ts").over(w).alias("valid_to"),
+        validity.alias("validity_s"),
+    )
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(
+            F.when(F.col("valid_to").isNull(), 1).otherwise(0)
+        ).alias("open_versions"),
+        r4(F.avg("validity_s")).alias("avg_validity_s"),
+        r4(
+            F.sum(F.col("value") * F.coalesce(F.col("validity_s"), F.lit(0.0)))
+        ).alias("value_seconds"),
+    )
