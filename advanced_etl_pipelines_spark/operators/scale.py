@@ -86,3 +86,27 @@ def salted_join(
     )
     out = big_s.join(small_s, keys + ["_salt"], how)
     return out.drop("_salt")
+
+
+def write_range_layout(
+    df,
+    path: str,
+    range_cols: list[str],
+    sort_cols: list[str],
+    n_files: int,
+) -> None:
+    """Data-skipping layout: range-partition on ``range_cols`` so each
+    output file owns a disjoint key range, then sort rows inside each
+    file on ``sort_cols`` so parquet row-group min/max stats are tight.
+    A later scan with a predicate on the layout key reads the one file
+    (and inside it the few row groups) that can contain matches — the
+    single-column form of Z-ordering, and the right layout when one
+    column dominates the filter workload.  ``repartitionByRange`` samples
+    key quantiles, so files are balanced even under skew (equal-width
+    ranges would not be)."""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in range_cols])
+        .sortWithinPartitions(*[F.col(c) for c in sort_cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1876,3 +1876,30 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@query(
+    "cube_volume",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(1e-9 + SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping combinations
+    in one pass — completes the multi-grouping trio next to
+    rollup_pricing and grouping_sets_volume.  Spark plans CUBE as one
+    Expand (4x the rows into the partial aggregate) — at 100 TB prefer
+    explicit GROUPING SETS limited to the combinations a dashboard
+    actually reads; the shape and the exchange are identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+        )
+    )

@@ -117,3 +117,40 @@ def test_salted_join_rejects_right_outer(spark):
     big, small = _skewed_frames(spark)
     with pytest.raises(ValueError):
         salted_join(big, small, ["k"], how="right")
+
+
+def test_range_layout_files_own_disjoint_key_ranges(spark, tmp_path):
+    from advanced_etl_pipelines_spark.operators.scale import write_range_layout
+
+    li = read_sf_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    out = str(tmp_path / "layout")
+    write_range_layout(
+        li, out, range_cols=["l_shipdate"], sort_cols=["l_shipdate"], n_files=8
+    )
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i
+            for i in range(md.schema.to_arrow_schema().get_field_index("l_shipdate") + 1)
+            if md.schema.column(i).name == "l_shipdate"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) > 1
+    # each file's key range ends before the next file's begins -> a
+    # predicate on l_shipdate prunes to one file via footer stats
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
