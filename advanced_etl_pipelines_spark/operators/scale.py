@@ -110,3 +110,66 @@ def write_range_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_value(
+    cols: list,
+    mins: list,
+    maxs: list,
+    bits_per_col: int = 16,
+):
+    """Morton (Z-order) curve value for N numeric columns: scale each to
+    a ``bits_per_col``-bit integer over its [min, max] range, then
+    interleave the bits.  Files range-partitioned on this value are
+    clustered in EVERY participating column at once, so footer min/max
+    stats prune scans filtered on any of them — multi-column data
+    skipping, where a plain sort only helps its leading column.
+
+    Linear min/max scaling assumes roughly uniform keys; for skewed
+    columns substitute quantile-bucket ranks (approxQuantile
+    boundaries + width_bucket) before interleaving — the interleave
+    stays identical.  Pure Column bit arithmetic: no UDF, no shuffle."""
+    scaled = []
+    top = (1 << bits_per_col) - 1
+    for c, lo, hi in zip(cols, mins, maxs):
+        c = F.col(c) if isinstance(c, str) else c
+        span = float(hi - lo) if hi > lo else 1.0
+        s = F.floor(
+            (c.cast("double") - F.lit(float(lo))) / F.lit(span) * top
+        ).cast("long")
+        scaled.append(F.greatest(F.lit(0), F.least(F.lit(top), s)))
+    n = len(scaled)
+    z = F.lit(0).cast("long")
+    for i in range(bits_per_col):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def write_zorder_layout(
+    df,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits_per_col: int = 16,
+) -> None:
+    """Z-order layout write: one stats pass for column ranges (a layout
+    job already rewrites the data, so the extra scan is marginal), then
+    range-partition + sort on the Morton value.  The z column itself is
+    dropped before writing — it is a layout key, not data."""
+    row = df.agg(
+        *[F.min(c).alias(f"lo{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"hi{i}") for i, c in enumerate(cols)],
+    ).first()
+    mins = [row[f"lo{i}"] for i in range(len(cols))]
+    maxs = [row[f"hi{i}"] for i in range(len(cols))]
+    z = zorder_value(cols, mins, maxs, bits_per_col)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -153,3 +153,21 @@ def interval_join_streams(
         & (rts <= lts - F.expr(f"INTERVAL {lower_s} SECONDS"))
     )
     return l.join(r, cond, "inner")
+
+
+def enrich_with_static(
+    stream_df: DataFrame,
+    static_df: DataFrame,
+    on: Sequence[str],
+    how: str = "left_outer",
+) -> DataFrame:
+    """Stream-static enrichment join (the feature-store lookup pattern):
+    each micro-batch joins against the CURRENT state of the static
+    DataFrame — no streaming state is kept for the join itself, so it
+    composes freely before watermarked aggregation.  Spark broadcasts
+    the static side when it fits (it re-resolves per micro-batch, so a
+    slowly-refreshed dimension table is picked up on re-read at the
+    source level).  At 100 TB the static side is the small one by
+    construction — a dimension or per-key feature table; if it outgrows
+    broadcast, pre-bucket both sides on the join key."""
+    return stream_df.join(F.broadcast(static_df), list(on), how)

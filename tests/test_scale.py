@@ -154,3 +154,57 @@ def test_range_layout_files_own_disjoint_key_ranges(spark, tmp_path):
     # predicate on l_shipdate prunes to one file via footer stats
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2
+
+
+def test_zorder_layout_clusters_both_columns(spark, tmp_path):
+    from advanced_etl_pipelines_spark.operators.scale import (
+        write_range_layout,
+        write_zorder_layout,
+    )
+
+    # independent columns: orderkey (time-ish) and partkey (entity)
+    li = read_sf_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zorder_layout(li, zdir, ["l_orderkey", "l_partkey"], n_files=8)
+    # baseline: plain sort layout on the FIRST column only
+    write_range_layout(
+        li, sdir, range_cols=["l_orderkey"], sort_cols=["l_orderkey"],
+        n_files=8,
+    )
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    def file_spans(d, col):
+        """Per-file normalized (min,max) span of `col` from footer stats."""
+        boxes, lo, hi = [], None, None
+        for f in glob.glob(d + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            i = next(
+                i for i in range(md.num_columns)
+                if md.schema.column(i).name == col
+            )
+            st = [
+                md.row_group(rg).column(i).statistics
+                for rg in range(md.num_row_groups)
+            ]
+            mn, mx = min(s.min for s in st), max(s.max for s in st)
+            boxes.append((mn, mx))
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        return [(mx - mn) / max(1, hi - lo) for mn, mx in boxes]
+
+    z_spans = file_spans(zdir, "l_partkey")
+    s_spans = file_spans(sdir, "l_partkey")
+    z_avg = sum(z_spans) / len(z_spans)
+    s_avg = sum(s_spans) / len(s_spans)
+    # sorting on orderkey leaves partkey unclustered: every file spans
+    # ~the full partkey range, so a partkey-only predicate prunes
+    # nothing.  z-order bounds BOTH dimensions: each file owns a strict
+    # partkey sub-range and footer stats can prune on either column.
+    assert s_avg > 0.9
+    assert z_avg < 0.75
+    assert z_avg < s_avg * 0.8

@@ -122,3 +122,51 @@ def test_rate_source_smoke(spark, tmp_path):
         assert n > 0
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    from advanced_etl_pipelines_spark.streaming.windows import (
+        enrich_with_static,
+        file_event_stream,
+    )
+
+    ev = read_sf_table(spark, SF, "events")
+    # static per-user feature table derived from history
+    feats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("u_avg"), F.count(F.lit(1)).alias("u_n")
+    )
+
+    src = str(tmp_path / "src")
+    ev.limit(500).write.parquet(src)
+    stream = file_event_stream(spark, src, ev.schema)
+    enriched = enrich_with_static(stream, feats, ["user_id"])
+    agg = enriched.groupBy("event_type").agg(
+        F.round(F.sum(F.col("value") * F.col("u_avg")), 4).alias("wsum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("enrich_t")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.event_type: (r.wsum, r.n)
+            for r in spark.sql("select * from enrich_t").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = (
+        spark.read.schema(ev.schema).parquet(src)
+        .join(feats, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("u_avg")), 4).alias("wsum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    want = {r.event_type: (r.wsum, r.n) for r in batch.collect()}
+    assert got == want
