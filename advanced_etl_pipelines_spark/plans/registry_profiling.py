@@ -417,3 +417,74 @@ def q_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("d") <= 2).cast("long")).alias("n_matches"),
         r4(F.avg("d")).alias("avg_distance"),
     )
+
+
+@query(
+    "reaggregate_daily_to_monthly",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             COUNT(*) AS cnt, SUM(value) AS sv,
+             MIN(value) AS mn, MAX(value) AS mx
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, STRFTIME(DATE_TRUNC('month', d), '%Y-%m') AS month,
+           CAST(SUM(cnt) AS BIGINT) AS cnt,
+           ROUND(1e-9 + SUM(sv) / SUM(cnt), 4) AS avg_value,
+           ROUND(1e-9 + MIN(mn), 4) AS min_value,
+           ROUND(1e-9 + MAX(mx), 4) AS max_value
+    FROM daily GROUP BY 1, 2
+    """,
+)
+def q_reaggregate_daily_to_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: monthly stats derived from DAILY
+    PARTIAL aggregates, never from raw events — count and sum re-add,
+    min/max re-min/max, and avg is reconstructed as merged-sum over
+    merged-count (avg itself is NOT re-aggregable; the partial must
+    carry (sum, count)).  This is how a 100 TB warehouse serves rollups:
+    the fact is aggregated once into the finest grain, every coarser
+    grain folds the one below it."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("value").alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        daily.groupBy(
+            "event_type", F.date_format("d", "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            r4(F.sum("sv") / F.sum("cnt")).alias("avg_value"),
+            r4(F.min("mn")).alias("min_value"),
+            r4(F.max("mx")).alias("max_value"),
+        )
+    )
+
+
+@query("hll_sketch_rollup")  # sketch estimates — rows-only; accuracy vs
+# exact distinct counts pinned in tests/test_sampling.py
+def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: one HyperLogLog sketch of user_id per
+    (event_type, day), then per-type distinct-user estimates from
+    UNIONING the daily sketches — no rescan of the fact.  This is the
+    sketch twin of reaggregate_daily_to_monthly: approx_count_distinct
+    alone cannot be re-aggregated (estimates don't add), but the BINARY
+    SKETCH can, which is what lets a 100 TB warehouse keep per-partition
+    sketches and answer any coarser distinct-count from them."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_users"
+            ),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

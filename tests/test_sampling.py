@@ -104,3 +104,23 @@ def test_approx_percentiles_close_to_exact(spark):
     for flag, r in j.items():
         assert abs(r.a[0] - r.p50) / r.p50 < 0.01, (flag, "p50")
         assert abs(r.a[1] - r.p95) / r.p95 < 0.01, (flag, "p95")
+
+
+def test_hll_sketch_rollup_close_to_exact(spark):
+    from advanced_etl_pipelines_spark.plans.registry import QUERIES
+
+    got = {
+        r.event_type: r.approx_users
+        for r in QUERIES["hll_sketch_rollup"](spark, SF).collect()
+    }
+    ev = read_sf_table(spark, SF, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, est in got.items():
+        # HLL_4 default lgK=12 -> ~1.6% rse; allow 5%
+        assert abs(est - exact[et]) / exact[et] < 0.05
