@@ -684,3 +684,54 @@ def q_pack_next_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.avg(F.col("pack_chars") / F.lit(2048.0))).alias("avg_fill"),
         F.max("pack_chars").alias("max_pack_chars"),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS token
+      FROM documents),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS n FROM vocab),
+    per_doc AS (
+      SELECT t.doc_id, t.lang,
+             AVG(-LN(v.cnt / tot.n)) AS doc_nll
+      FROM tok t JOIN vocab v USING (token) CROSS JOIN tot
+      GROUP BY t.doc_id, t.lang)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(1e-9 + AVG(doc_nll), 4) AS avg_doc_nll,
+           ROUND(1e-9 + MAX(doc_nll), 4) AS max_doc_nll
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring (the CCNet/Gopher LM-quality-filter
+    shape with a self-trained unigram model): token probability from
+    corpus frequencies, per-doc mean negative log-likelihood, rolled up
+    per language.  One token explode feeds BOTH the vocab build and the
+    scoring join (Spark reuses the shuffle); the vocab at 100 TB is
+    pruned to top-V with an OOV floor probability and broadcast — the
+    fact-side join never shuffles the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(T.word_tokens("text")).alias("token"),
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n"))
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(-F.log(F.col("cnt") / F.col("n"))).alias("doc_nll"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r4(F.avg("doc_nll")).alias("avg_doc_nll"),
+        r4(F.max("doc_nll")).alias("max_doc_nll"),
+    )

@@ -77,3 +77,29 @@ def latest_path(dir_path: str, pattern: str) -> str | None:
     in the lakehouse layout this becomes "read newest partition"."""
     matches = sorted(glob.glob(os.path.join(dir_path, pattern)))
     return matches[-1] if matches else None
+
+
+SF_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_sf_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so the engine is
+    usable through plain ``spark.sql(...)`` — the SQL front door next to
+    the DataFrame registry.  Views are lazy (no scan happens here) and
+    carry the same nanos-safe reader as ``read_sf_table``, so SQL users
+    inherit the TIMESTAMP(NANOS) handling for free."""
+    for name in SF_TABLES:
+        read_sf_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run ANSI SQL against the testdata tables (registers views first).
+    Catalyst plans SQL and DataFrame code identically — same optimizer,
+    same physical operators — so everything in the registry could be
+    phrased this way; the registry prefers the DataFrame API for
+    composability, this entry point exists for ad-hoc users."""
+    register_sf_views(spark, sf_dir)
+    return spark.sql(query)

@@ -150,3 +150,38 @@ def test_jdbc_reader_option_validation(spark):
     assert jdbc_reader(
         spark, "jdbc:postgresql://h/db", table="weather_data", limit=10
     ) is not None
+
+
+def test_sql_front_door_matches_dataframe_plan(spark):
+    from pyspark.sql import functions as F
+
+    from advanced_etl_pipelines_spark.sources import readers as RD
+
+    SF = "/root/testdata/sf0.001"
+
+    out = RD.sql(
+        spark,
+        SF,
+        """
+        SELECT l_returnflag, COUNT(*) AS cnt,
+               ROUND(SUM(l_extendedprice), 2) AS rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+        """,
+    )
+    df = (
+        RD.read_sf_table(spark, SF, "lineitem")
+        .where(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    # events view must inherit the nanos-safe reader
+    got = RD.sql(spark, SF, "SELECT COUNT(*) AS n FROM events").first().n
+    assert got == RD.read_sf_table(spark, SF, "events").count()
