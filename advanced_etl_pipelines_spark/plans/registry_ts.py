@@ -323,3 +323,139 @@ def q_temporal_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.col("value") * F.coalesce(F.col("validity_s"), F.lit(0.0)))
         ).alias("value_seconds"),
     )
+
+
+@query(
+    "locf_forward_fill",
+    """
+    WITH actual AS (
+      SELECT event_type AS g, DATE_TRUNC('hour', ts) AS bucket,
+             AVG(value) AS avg_value
+      FROM events GROUP BY 1, 2),
+    spine AS (
+      SELECT event_type AS g,
+             UNNEST(generate_series(DATE_TRUNC('hour', MIN(ts)),
+                                    DATE_TRUNC('hour', MAX(ts)),
+                                    INTERVAL 1 HOUR)) AS bucket
+      FROM events GROUP BY event_type),
+    grid AS (
+      SELECT s.g, s.bucket, a.avg_value
+      FROM spine s LEFT JOIN actual a ON s.g = a.g AND s.bucket = a.bucket),
+    filled AS (
+      SELECT g, avg_value,
+             last_value(avg_value IGNORE NULLS) OVER (
+               PARTITION BY g ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM grid)
+    SELECT g AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN avg_value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gaps,
+           ROUND(1e-9 + AVG(v), 4) AS avg_filled
+    FROM filled GROUP BY g
+    """,
+)
+def q_locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over a gap-filled series: the
+    sensor/market-data staple.  Reuses the resample spine (empty buckets
+    surface as NULL), then `last(..., ignorenulls=True)` over an
+    unbounded-preceding ROWS frame fills each gap with the latest real
+    value.  The window partition key is the series key — the same
+    shuffle the resample already did, so the fill adds no exchange."""
+    ev = _t(spark, sf_dir, "events")
+    grid = TS.resample_gapfill(
+        ev,
+        group="event_type",
+        ts="ts",
+        step="hour",
+        agg={"avg_value": F.avg("value")},
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = grid.select(
+        "event_type",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("v"),
+    )
+    return filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.col("avg_value").isNull().cast("long")).alias("n_gaps"),
+        r4(F.avg("v")).alias("avg_filled"),
+    )
+
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1e-9 + COUNT(*) * 1.0 / SUM(COUNT(*)) OVER
+                 (PARTITION BY prev_type), 4) AS p_next
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    LAG pairs each event with its predecessor, then (prev, next) counts
+    normalize into transition probabilities via a window over the
+    grouped counts.  Two shuffles total — the per-user window and the
+    pair groupBy; the probability window runs on the tiny aggregated
+    frame."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        r4(F.col("n") / F.sum("n").over(wp)).alias("p_next"),
+    )
+
+
+@query(
+    "user_event_sequences",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS types
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(types) AS BIGINT) AS n_events,
+           array_to_string(types[1:5], ',') AS first5
+    FROM seq
+    """,
+)
+def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event sequences — the construction step for
+    next-event-prediction / session-model training data.  Spark's
+    collect_list has no intra-group order guarantee, so the canonical
+    trick: collect (ts, event_id, payload) STRUCTS, array_sort (struct
+    ordering is field-lexicographic), then project the payload out —
+    one shuffle, deterministic on ties via event_id."""
+    ev = _t(spark, sf_dir, "events")
+    packed = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("s")
+    )
+    types = F.expr("transform(s, x -> x.event_type)")
+    return packed.select(
+        "user_id",
+        F.size(types).cast("long").alias("n_events"),
+        F.array_join(F.slice(types, 1, 5), ",").alias("first5"),
+    )
