@@ -135,3 +135,31 @@ def test_sampling_filter_is_scan_side(spark, queries):
     # the counting aggregate's own exchange pair
     plan = _plan(queries["sample_stratified_hash"](spark, SF))
     assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_match_is_equi_join_not_cartesian(spark, queries):
+    """Blocking must turn the pairwise match into an equi-join on the
+    block key — never a cartesian/nested-loop pair explosion."""
+    plan = _plan(queries["fuzzy_match_blocked"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_concat_single_exchange(spark, queries):
+    """The chunk window partitions by lang; the stats groupBy reuses the
+    same key, so the whole packing audit needs ONE shuffle."""
+    plan = _plan(queries["pack_concat_chunk_stats"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, queries):
+    """The scoring joins (vocab, total) must broadcast — the corpus-side
+    token stream never shuffles for the join."""
+    plan = _plan(queries["text_unigram_logprob"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dq_report_uses_left_anti_for_integrity(spark, queries):
+    plan = _plan(queries["dq_constraint_report"](spark, SF))
+    assert "LeftAnti" in plan
