@@ -87,3 +87,36 @@ def sample_per_group(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    group: str,
+    key: str,
+    weight: Column | str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement per group —
+    Efraimidis–Spirakis A-Res with the engine-portable ``unit_hash`` as
+    the uniform draw: priority = ln(u) / w (the log form of u^(1/w)),
+    keep the k highest priorities.  Heavier rows win proportionally more
+    often, re-runs are identical, and the keep decision is pure per-row
+    arithmetic + one per-group top-k window — the same zero-RNG-state
+    discipline as ``stratified_sample``, so it stays oracle-checkable
+    and engine-portable.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    # (h + 0.5)/MOD keeps u strictly inside (0,1): ln stays finite
+    col = F.col(key) if isinstance(key, str) else key
+    h = (col % F.lit(2**31)) * F.lit(KNUTH) % F.lit(MOD)
+    u = (h + F.lit(0.5)) / F.lit(float(MOD))
+    pri = F.log(u) / w.cast("double")
+    win = Window.partitionBy(group).orderBy(
+        F.desc_nulls_last(pri), F.asc(key)
+    )
+    return (
+        df.withColumn("_pri", pri)
+        .withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= k)
+        .drop("_pri", "_rn")
+    )

@@ -375,3 +375,37 @@ def q_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").cast("bigint").alias("contaminated"),
         (F.count(F.lit(1)) - F.count("hit")).cast("bigint").alias("clean"),
     )
+
+
+@query(
+    "sample_weighted_topk",
+    """
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars,
+             LN((((doc_id % 2147483648) * 2654435761) % 4294967296 + 0.5)
+                / 4294967296.0) / n_chars AS p
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY p DESC, doc_id ASC) AS rn
+      FROM pri)
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def q_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res),
+    length-weighted: longer documents win proportionally more slots in
+    the per-language sample of 20.  The priority ln(u)/w is pure per-row
+    arithmetic on the portable Knuth hash — deterministic, re-runnable,
+    cross-engine — and the only shuffle is the per-group top-k window.
+    At 100 TB replace ROW_NUMBER with a size-k per-partition heap
+    (mapPartitions) + final merge if group cardinality is tiny."""
+    from advanced_etl_pipelines_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = weighted_sample_topk(docs, "lang", "doc_id", "n_chars", 20)
+    return out.select("lang", "doc_id", F.col("n_chars").cast("long"))

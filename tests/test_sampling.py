@@ -124,3 +124,25 @@ def test_hll_sketch_rollup_close_to_exact(spark):
     for et, est in got.items():
         # HLL_4 default lgK=12 -> ~1.6% rse; allow 5%
         assert abs(est - exact[et]) / exact[et] < 0.05
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    from advanced_etl_pipelines_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    docs = read_sf_table(spark, SF, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = weighted_sample_topk(docs, "lang", "doc_id", "n_chars", 20)
+    # deterministic across re-runs and partitionings
+    again = weighted_sample_topk(
+        docs.repartition(13), "lang", "doc_id", "n_chars", 20
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    # length-weighted: sampled docs are longer than the corpus average
+    s = out.agg(F.avg("n_chars")).first()[0]
+    pop = docs.agg(F.avg("n_chars")).first()[0]
+    assert s > pop
