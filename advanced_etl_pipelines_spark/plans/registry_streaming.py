@@ -121,3 +121,36 @@ def q_stream_windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         r4(F.col("sum_value")).alias("sum_value"),
         r4(F.col("avg_value")).alias("avg_value"),
     )
+
+
+@query(
+    "variant_props_extract",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1e-9 + AVG(CAST(json_extract(props, '$.k') AS DOUBLE)), 4)
+             AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT type (Spark 4): parse
+    once into the binary variant encoding, then typed path access with
+    ``variant_get`` — the engine-native successor to per-query JSON
+    string re-parsing (compare json_props_extract, which is the
+    schema-on-read form of the same query).  At 100 TB the parse
+    happens once at ingest and lands in a variant COLUMN; every later
+    query pays only the typed path read."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(v, "$.k", "double").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r4(F.avg("k")).alias("avg_k"),
+        )
+    )

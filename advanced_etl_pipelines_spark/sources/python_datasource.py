@@ -1,0 +1,76 @@
+"""Custom connector via the Python Data Source API (Spark 4).
+
+The reference's only "connector" is a driver-side HTTP loop feeding a
+local file (SURVEY.md S1/S2).  The Spark-4-native way to bring a new
+source into the engine is a ``DataSource`` subclass: the reader
+declares its PARTITIONS, Spark schedules one task per partition, and
+each executor pulls only its slice — the fan-out the reference did
+sequentially becomes parallel and restartable for free.
+
+``SyntheticEventsDataSource`` is the reference implementation: a
+deterministic, partition-parallel event generator (the same shape as
+the testdata ``events`` table).  It doubles as a load generator for
+streaming/ingest tests — every row is a pure function of its global
+index, so any slice can be re-read idempotently at any parallelism.
+
+A real HTTP source follows the identical skeleton: partitions = the
+URL/city list, ``read(partition)`` = fetch + parse one URL (with the
+retry/backoff policy of ``sources/http.py``), schema = the landed
+JSON's schema.  Arrow note: ``read`` may also yield pyarrow
+RecordBatches for wide rows; tuples are fine at this row width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+KNUTH = 2654435761
+MOD = 2**32
+
+EVENT_TYPES = ("view", "click", "cart", "purchase", "refund")
+
+SCHEMA = (
+    "event_id bigint, user_id bigint, event_type string, value double"
+)
+
+
+def _row(i: int) -> tuple:
+    h = (i * KNUTH) % MOD
+    user = h % 1000
+    etype = EVENT_TYPES[(h >> 10) % len(EVENT_TYPES)]
+    value = round(((h >> 16) % 10_000) / 100.0, 2)
+    return (i, user, etype, value)
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.rows = int(options.get("rows", 1000))
+        self.parts = int(options.get("partitions", 4))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.parts)]
+
+    def read(self, partition):
+        per = -(-self.rows // self.parts)  # ceil
+        start = partition.value * per
+        end = min(start + per, self.rows)
+        for i in range(start, end):
+            yield _row(i)
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> SyntheticEventsReader:
+        return SyntheticEventsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration: after this,
+    ``spark.read.format("synthetic_events")`` works session-wide."""
+    spark.dataSource.register(SyntheticEventsDataSource)

@@ -185,3 +185,34 @@ def test_sql_front_door_matches_dataframe_plan(spark):
     # events view must inherit the nanos-safe reader
     got = RD.sql(spark, SF, "SELECT COUNT(*) AS n FROM events").first().n
     assert got == RD.read_sf_table(spark, SF, "events").count()
+
+
+def test_python_datasource_partition_parallel_and_deterministic(spark):
+    from advanced_etl_pipelines_spark.sources import python_datasource as PDS
+
+    PDS.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 1000)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.count() == 1000
+    assert df.rdd.getNumPartitions() == 8
+    # pure function of the index: different parallelism, same rows
+    again = (
+        spark.read.format("synthetic_events")
+        .option("rows", 1000)
+        .option("partitions", 3)
+        .load()
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    # schema contract
+    assert df.columns == ["event_id", "user_id", "event_type", "value"]
+    # generated slice joins cleanly against engine ops (smoke)
+    from pyspark.sql import functions as F
+
+    agg = df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    assert agg.count() == 5
