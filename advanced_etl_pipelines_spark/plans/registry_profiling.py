@@ -488,3 +488,39 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+@query(
+    "trend_regression_daily",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             EPOCH(DATE_TRUNC('day', ts)) / 86400.0 AS day_x,
+             AVG(value) AS day_avg
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(1e-9 + REGR_SLOPE(day_avg, day_x), 4) AS slope_per_day,
+           ROUND(1e-9 + REGR_INTERCEPT(day_avg, day_x), 4) AS intercept,
+           ROUND(1e-9 + REGR_R2(day_avg, day_x), 4) AS r2
+    FROM daily GROUP BY event_type
+    """,
+)
+def q_trend_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend per series: daily averages first (so the
+    regression runs on one point per day, not the raw fact), then the
+    regr_* aggregate family — slope/intercept/R² are single-pass
+    co-moment aggregates, the same partial+final shape as avg, so they
+    scale exactly like any other hash aggregate.  The metric every
+    monitoring pipeline wants: is this series drifting, and how fast."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.avg("value").alias("day_avg"))
+    day_x = F.col("d").cast("double") / 86400.0
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        r4(F.regr_slope(F.col("day_avg"), day_x)).alias("slope_per_day"),
+        r4(F.regr_intercept(F.col("day_avg"), day_x)).alias("intercept"),
+        r4(F.regr_r2(F.col("day_avg"), day_x)).alias("r2"),
+    )

@@ -22,7 +22,12 @@ RecordBatches for wide rows; tuples are fine at this row width.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 KNUTH = 2654435761
 MOD = 2**32
@@ -69,8 +74,39 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration: after this,
     ``spark.read.format("synthetic_events")`` works session-wide."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming twin: the offset is the global row
+    index, so recovery from a
+    checkpoint resumes EXACTLY where the last committed batch ended —
+    the replayable-source half of exactly-once (the other half is an
+    idempotent sink, sources/sinks.py upsert).  readBetweenOffsets
+    replays any committed range verbatim on failure recovery."""
+
+    def __init__(self, options) -> None:
+        self.batch = int(options.get("rowsPerBatch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        i = int(start["index"])
+        end = i + self.batch
+        return iter([_row(j) for j in range(i, end)]), {"index": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [_row(j) for j in range(int(start["index"]), int(end["index"]))]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up — rows are a pure function of index

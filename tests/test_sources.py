@@ -216,3 +216,38 @@ def test_python_datasource_partition_parallel_and_deterministic(spark):
 
     agg = df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     assert agg.count() == 5
+
+
+def test_python_datasource_stream_resumes_from_checkpoint(spark, tmp_path):
+    from advanced_etl_pipelines_spark.sources import python_datasource as PDS
+
+    PDS.register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def one_batch():
+        q = (
+            spark.readStream.format("synthetic_events")
+            .option("rowsPerBatch", 50)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    one_batch()
+    got1 = spark.read.parquet(out).collect()
+    assert sorted(r.event_id for r in got1) == list(range(50))
+
+    # restart from the same checkpoint: offsets resume, no replay
+    one_batch()
+    got2 = spark.read.parquet(out).collect()
+    ids = sorted(r.event_id for r in got2)
+    assert ids == list(range(100)), "second run must continue at offset 50"
+    # rows are the same pure function the batch reader uses
+    want = {PDS._row(i) for i in range(100)}
+    assert {tuple(r) for r in got2} == want
