@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from advanced_etl_pipelines_spark.functions import text as T
 from advanced_etl_pipelines_spark.functions import vectors as V
@@ -734,4 +735,111 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         r4(F.avg("doc_nll")).alias("avg_doc_nll"),
         r4(F.max("doc_nll")).alias("max_doc_nll"),
+    )
+
+
+@query(
+    "chunk_documents_overlap",
+    """
+    WITH chunks AS (
+      SELECT doc_id, lang, text,
+             UNNEST(range(0, CAST(CEIL(
+               CASE WHEN n_chars <= 500 THEN 1
+                    ELSE (n_chars - 100) / 400.0 END) AS BIGINT))) AS ci
+      FROM documents WHERE n_chars > 0),
+    cut AS (
+      SELECT doc_id, lang, ci,
+             length(substring(text, CAST(ci * 400 + 1 AS BIGINT), 500))
+               AS chunk_len
+      FROM chunks)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           ROUND(1e-9 + AVG(chunk_len), 4) AS avg_chunk_len
+    FROM cut GROUP BY lang
+    """,
+)
+def q_chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: fixed 500-char windows with 100-char
+    overlap (stride 400), expressed as sequence() + substring — chunk
+    boundaries are pure arithmetic, so the explode is the only row
+    expansion and the text column is never shuffled before it.  Audit
+    output per language (chunk counts, mean chunk length); the chunk
+    TABLE itself is the same select minus the final groupBy."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    n_chunks = F.when(F.col("n_chars") <= 500, F.lit(1)).otherwise(
+        F.ceil((F.col("n_chars") - 100) / 400.0)
+    )
+    chunks = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("long") - 1)).alias(
+            "ci"
+        ),
+    )
+    cut = chunks.select(
+        "doc_id",
+        "lang",
+        F.length(
+            F.col("text").substr(
+                (F.col("ci") * 400 + 1).cast("int"), F.lit(500)
+            )
+        ).alias("chunk_len"),
+    )
+    return cut.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        r4(F.avg("chunk_len")).alias("avg_chunk_len"),
+    )
+
+
+@query(
+    "oov_rate_topv",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS token
+      FROM documents),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rnk
+        FROM tok GROUP BY token) WHERE rnk <= 1000)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           ROUND(1e-9 + AVG(CASE WHEN v.token IS NULL THEN 1.0 ELSE 0.0 END),
+                 4) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY lang
+    """,
+)
+def q_oov_rate_topv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab coverage: build a top-1000 vocabulary by corpus
+    frequency (deterministic tie-break on the token), then measure the
+    out-of-vocabulary token rate per language — the diagnostic that
+    sizes a vocab before training.  The vocab is top-k over the term
+    aggregate (tiny) and broadcasts; the token stream is scanned once
+    for counting and once for scoring — at 100 TB materialize the
+    tokenized frame if the double explode dominates."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(T.word_tokens("text")).alias("token")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 1000)
+        .select("token", F.lit(True).alias("in_v"))
+    )
+    scored = tok.join(F.broadcast(vocab), "token", "left_outer")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("in_v").isNull().cast("long")).alias("oov_tokens"),
+        r4(F.avg(F.col("in_v").isNull().cast("double"))).alias("oov_rate"),
     )
