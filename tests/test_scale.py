@@ -208,3 +208,39 @@ def test_zorder_layout_clusters_both_columns(spark, tmp_path):
     assert s_avg > 0.9
     assert z_avg < 0.75
     assert z_avg < s_avg * 0.8
+
+
+def test_bloom_runtime_filter_prunes_probe_side(spark):
+    """AQE runtime Bloom filter: the selective dim side injects a
+    might_contain() predicate into the fact scan, pruning probe rows
+    BEFORE the shuffle.  Spark gates it on scan-size thresholds meant
+    for clusters (10 GB application side), so local testdata needs them
+    lowered — at 100 TB the same plan appears with stock settings."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "1GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_sf_table(spark, SF, "lineitem")
+        orders = read_sf_table(spark, SF, "orders").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" in _plan(j)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
