@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -51,6 +52,24 @@ class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options) -> None:
         self.rows = int(options.get("rows", 1000))
         self.parts = int(options.get("partitions", 4))
+        self.eq: dict[str, object] = {}
+
+    def pushFilters(self, filters):
+        """Filter pushdown (gated on
+        ``spark.sql.python.filterPushdown.enabled``): accept EqualTo on
+        the generated attributes and drop matching rows AT THE SOURCE —
+        the Python-data-source analogue of parquet PushedFilters.  Spark
+        removes accepted predicates from the residual plan Filter, so
+        correctness rides on the source honoring them (pinned in
+        tests).  Everything else is yielded back as residual."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute[0] in (
+                "user_id",
+                "event_type",
+            ):
+                self.eq[f.attribute[0]] = f.value
+            else:
+                yield f
 
     def partitions(self):
         return [InputPartition(i) for i in range(self.parts)]
@@ -59,8 +78,15 @@ class SyntheticEventsReader(DataSourceReader):
         per = -(-self.rows // self.parts)  # ceil
         start = partition.value * per
         end = min(start + per, self.rows)
+        want_user = self.eq.get("user_id")
+        want_type = self.eq.get("event_type")
         for i in range(start, end):
-            yield _row(i)
+            row = _row(i)
+            if want_user is not None and row[1] != want_user:
+                continue
+            if want_type is not None and row[2] != want_type:
+                continue
+            yield row
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -80,7 +106,10 @@ class SyntheticEventsDataSource(DataSource):
 
 def register(spark) -> None:
     """Idempotent registration: after this,
-    ``spark.read.format("synthetic_events")`` works session-wide."""
+    ``spark.read.format("synthetic_events")`` works session-wide.
+    A reader that implements ``pushFilters`` requires the pushdown
+    feature flag, so registration enables it (runtime-settable)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
 
 

@@ -251,3 +251,23 @@ def test_python_datasource_stream_resumes_from_checkpoint(spark, tmp_path):
     # rows are the same pure function the batch reader uses
     want = {PDS._row(i) for i in range(100)}
     assert {tuple(r) for r in got2} == want
+
+
+def test_python_datasource_filter_pushdown(spark):
+    from pyspark.sql import functions as F
+
+    from advanced_etl_pipelines_spark.sources import python_datasource as PDS
+
+    PDS.register(spark)  # enables python filter pushdown session-wide
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 2000)
+        .load()
+        .where(F.col("event_type") == "purchase")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the pushed predicate must be GONE from the residual filter
+    assert "purchase" not in plan
+    got = sorted(r.event_id for r in df.collect())
+    want = sorted(i for i in range(2000) if PDS._row(i)[2] == "purchase")
+    assert got == want and len(want) > 0
