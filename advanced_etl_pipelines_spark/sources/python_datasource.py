@@ -22,12 +22,19 @@ RecordBatches for wide rows; tuples are fine at this row width.
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     EqualTo,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 KNUTH = 2654435761
@@ -111,6 +118,7 @@ def register(spark) -> None:
     feature flag, so registration enables it (runtime-settable)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(ManifestJsonSink)
 
 
 class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
@@ -139,3 +147,100 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up — rows are a pure function of index
+
+
+# ---------------------------------------------------------------------------
+# Streaming SINK half of the connector story: a DataSourceStreamWriter
+# with two-phase manifest commit.
+
+
+@dataclass
+class FileCommitMessage(WriterCommitMessage):
+    path: str
+    count: int
+
+
+class ManifestJsonStreamWriter(DataSourceStreamWriter):
+    """Per-batch two-phase commit: executors write uniquely-named
+    JSON-lines data files and report them in commit messages; the
+    DRIVER then publishes ``_manifest_<batchId>.json`` naming exactly
+    those files.  Readers trust only manifest-listed files, so
+
+    * a task that crashed mid-file leaves an orphan that is never read;
+    * ``abort`` deletes the batch's files eagerly (best effort — the
+      manifest gate is what guarantees invisibility);
+    * a REPLAYED batch (restart between sink commit and offset commit)
+      overwrites its own manifest, superseding the first attempt's
+      files — commit is idempotent per batchId, which is the sink half
+      of exactly-once (the source half is ``readBetweenOffsets``).
+
+    This is the miniature of every real lakehouse sink protocol
+    (Delta/Iceberg commit logs); at scale the manifest write is one
+    driver-side rename per batch, never a data-volume operation.
+    """
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_json sink requires .option('path', ...)")
+
+    def write(self, iterator) -> FileCommitMessage:
+        # runs on EXECUTORS — one uniquely-named file per task attempt
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        full = os.path.join(self.path, name)
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        with open(full, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return FileCommitMessage(path=name, count=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        # runs on the DRIVER once all tasks succeeded
+        manifest = {
+            "batch_id": batchId,
+            "files": [
+                {"path": m.path, "count": m.count} for m in messages if m
+            ],
+        }
+        tmp = os.path.join(self.path, f"._manifest_{batchId}.tmp")
+        final = os.path.join(self.path, f"_manifest_{batchId}.json")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, final)  # atomic publish; replay overwrites
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.path))
+                except OSError:
+                    pass
+
+
+class ManifestJsonSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_json"
+
+    def streamWriter(self, schema, overwrite: bool) -> ManifestJsonStreamWriter:
+        return ManifestJsonStreamWriter(self.options)
+
+
+def read_committed(spark, path: str):
+    """Read back ONLY manifest-committed files (later manifests for the
+    same batch id supersede earlier ones — replay safety)."""
+    import glob as _glob
+
+    by_batch: dict[int, list[str]] = {}
+    for mf in sorted(_glob.glob(os.path.join(path, "_manifest_*.json"))):
+        with open(mf, encoding="utf-8") as fh:
+            m = json.load(fh)
+        by_batch[m["batch_id"]] = [
+            os.path.join(path, f["path"]) for f in m["files"]
+        ]
+    files = [f for fs in by_batch.values() for f in fs if os.path.exists(f)]
+    if not files:
+        return spark.createDataFrame([], SCHEMA)
+    return spark.read.schema(SCHEMA).json(files)

@@ -271,3 +271,69 @@ def test_python_datasource_filter_pushdown(spark):
     got = sorted(r.event_id for r in df.collect())
     want = sorted(i for i in range(2000) if PDS._row(i)[2] == "purchase")
     assert got == want and len(want) > 0
+
+
+def test_manifest_json_stream_writer_commits_and_reads_back(spark, tmp_path):
+    """The custom sink's two-phase commit: data lands as uniquely-named
+    files, the manifest names them, read_committed sees exactly the
+    streamed rows — and IGNORES orphan files no manifest claims."""
+    import os
+
+    from advanced_etl_pipelines_spark.sources import python_datasource as PDS
+
+    PDS.register(spark)
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("rowsPerBatch", 40)
+        .load()
+        .writeStream.format("manifest_json")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = PDS.read_committed(spark, out)
+    assert sorted(r.event_id for r in got.collect()) == list(range(40))
+    assert [f.name for f in got.schema.fields] == [
+        "event_id", "user_id", "event_type", "value",
+    ]
+
+    # crash-simulation: an orphan data file with NO manifest entry must
+    # stay invisible (a task that died mid-write leaves exactly this)
+    with open(os.path.join(out, "part-orphan.jsonl"), "w") as fh:
+        fh.write('{"event_id": 99999, "user_id": 1, '
+                 '"event_type": "view", "value": 1.0}\n')
+    assert PDS.read_committed(spark, out).count() == 40
+
+
+def test_manifest_json_stream_writer_restart_no_duplicates(spark, tmp_path):
+    """Checkpoint restart: batch 1 resumes at the committed offset and
+    lands under a NEW manifest — union of manifests has no dups."""
+    from advanced_etl_pipelines_spark.sources import python_datasource as PDS
+
+    PDS.register(spark)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def one_batch():
+        q = (
+            spark.readStream.format("synthetic_events")
+            .option("rowsPerBatch", 30)
+            .load()
+            .writeStream.format("manifest_json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    one_batch()
+    one_batch()
+    ids = sorted(
+        r.event_id for r in PDS.read_committed(spark, out).collect()
+    )
+    assert ids == list(range(60)), "restart must continue, not replay"

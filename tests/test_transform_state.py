@@ -1,0 +1,138 @@
+"""transformWithStateInPandas operators (Spark 4 StatefulProcessor API):
+cross-batch state, timers, and parity with the classic GroupState twins."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_etl_pipelines_spark.streaming import transform_state
+
+pytestmark = pytest.mark.skipif(
+    not transform_state.TWS_AVAILABLE,
+    reason="transformWithState needs the protobuf package (pyspark[connect])",
+)
+
+from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+from advanced_etl_pipelines_spark.streaming.transform_state import (
+    ensure_state_store,
+    running_user_stats_tws,
+    sessionize_tws,
+)
+from advanced_etl_pipelines_spark.streaming.windows import file_event_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_available_now(stream_df, name, timeout_s: int = 40):
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        deadline = time.time() + 30
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.2)
+    assert not q.isActive
+    return q
+
+
+def test_tws_running_stats_accumulates_across_batches(spark, tmp_path):
+    """4 micro-batches; last update per user == plain batch aggregate."""
+    ensure_state_store(spark)
+    events = read_sf_table(spark, SF, "events").select("user_id", "value", "ts")
+    src = str(tmp_path / "landing")
+    events.repartition(4).write.parquet(src)
+
+    stream = file_event_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    _run_available_now(running_user_stats_tws(stream), "tws_running")
+
+    got = (
+        spark.sql("SELECT * FROM tws_running")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("sum_value").alias("s"))
+        .collect()
+    )
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("s"),
+        )
+        .collect()
+    }
+    assert {r["user_id"]: (r["n"], round(r["s"], 6)) for r in got} == {
+        u: (n, round(s, 6)) for u, (n, s) in want.items()
+    }
+
+
+def test_tws_sessionize_matches_classic_twin(spark, tmp_path):
+    """Distinct sessions per user == the batch LAG sessionization."""
+    ensure_state_store(spark)
+    events = read_sf_table(spark, SF, "events").select("user_id", "ts")
+    src = str(tmp_path / "landing")
+    events.coalesce(1).write.parquet(src)
+
+    stream = file_event_stream(spark, src, spark.read.parquet(src).schema)
+    _run_available_now(
+        sessionize_tws(stream, gap_seconds=1800, timeout_ms=3000), "tws_sessions"
+    )
+
+    got = spark.sql(
+        "SELECT user_id, COUNT(DISTINCT session_start) AS n "
+        "FROM tws_sessions GROUP BY user_id"
+    ).collect()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    want = {
+        r["user_id"]: r["n"]
+        for r in events.withColumn(
+            "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n"))
+        .collect()
+    }
+    assert {r["user_id"]: r["n"] for r in got} == want
+
+
+def test_tws_sessionize_gap_splits_and_timer_closes(spark, tmp_path):
+    ensure_state_store(spark)
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),  # same session
+        (1, "2024-01-01 02:00:00"),  # > 30 min gap -> new session
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t string").select(
+        "user_id", F.to_timestamp("t").alias("ts")
+    )
+    src = str(tmp_path / "landing")
+    df.coalesce(1).write.parquet(src)
+    stream = file_event_stream(spark, src, spark.read.parquet(src).schema)
+    _run_available_now(
+        sessionize_tws(stream, gap_seconds=1800, timeout_ms=2000), "tws_gap"
+    )
+    out = spark.sql("SELECT * FROM tws_gap").collect()
+    # timer expiry may re-emit the open session as closed; group by start
+    u1 = {}
+    for r in out:
+        if r["user_id"] == 1:
+            u1.setdefault(r["session_start"], []).append(r)
+    assert len(u1) == 2
+    first, second = (u1[k] for k in sorted(u1))
+    assert any(r["closed"] and r["n_events"] == 2 for r in first)
+    assert all(r["n_events"] == 1 for r in second)
+    assert len({r["session_start"] for r in out if r["user_id"] == 2}) == 1
