@@ -524,3 +524,70 @@ def q_trend_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.regr_intercept(F.col("day_avg"), day_x)).alias("intercept"),
         r4(F.regr_r2(F.col("day_avg"), day_x)).alias("r2"),
     )
+
+
+@query("kll_quantile_rollup")  # sketch estimates — rows-only; accuracy
+# vs exact percentiles pinned in tests/test_sampling.py
+def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-QUANTILE rollup (DataSketches KLL): one KLL sketch of
+    value per (event_type, day), then per-type p50/p95/p99 by MERGING
+    the daily sketches — the quantile member of the mergeable-summary
+    trio (reaggregate_daily_to_monthly = algebraic partials,
+    hll_sketch_rollup = distinct counts).  Exact percentiles are
+    holistic (need all values co-located), so they cannot be folded
+    from daily partials at all; the KLL sketch is the scale path — a
+    100 TB warehouse keeps one ~KB sketch per partition and answers any
+    coarser quantile from merges, never rescanning the fact.  Bound:
+    KLL k=400 gives ~1.33% rank error at 99% confidence regardless of
+    input size."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.kll_sketch_agg_double("value", 400).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.kll_merge_agg_double("sk").alias("sk"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    q = F.kll_sketch_get_quantile_double
+    return merged.select(
+        "event_type",
+        "n_days",
+        q("sk", F.lit(0.5)).alias("p50"),
+        q("sk", F.lit(0.95)).alias("p95"),
+        q("sk", F.lit(0.99)).alias("p99"),
+    )
+
+
+@query("theta_audience_overlap")  # sketch estimates — rows-only;
+# accuracy vs exact intersection counts pinned in tests/test_sampling.py
+def q_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix via Theta sketches: one user_id sketch
+    per event type, then DISTINCT-SET ALGEBRA on the sketches — the
+    intersection/difference HLL fundamentally cannot do (HLL unions
+    only).  |A∩B| per behavior pair is the funnel-overlap question
+    ("how many viewers also purchased") answered WITHOUT a self-join of
+    the fact: the exact form is a groupBy(user_id) + pairwise
+    co-occurrence explosion; here the fact is scanned once into 5
+    sketches and the 5×5 pair matrix is sketch math on the driver-sized
+    result.  Jaccard falls out as inter/union."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    a, b = per.alias("a"), per.alias("b")
+    inter = F.theta_intersection(F.col("a.sk"), F.col("b.sk"))
+    union = F.theta_union(F.col("a.sk"), F.col("b.sk"))
+    est = F.theta_sketch_estimate
+    return (
+        a.crossJoin(b)
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            est(F.col("a.sk")).alias("n_a"),
+            est(F.col("b.sk")).alias("n_b"),
+            est(inter).alias("n_both"),
+            est(union).alias("n_any"),
+            r4(est(inter) / est(union)).alias("jaccard"),
+        )
+    )

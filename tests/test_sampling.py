@@ -146,3 +146,66 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     s = out.agg(F.avg("n_chars")).first()[0]
     pop = docs.agg(F.avg("n_chars")).first()[0]
     assert s > pop
+
+
+def test_kll_quantile_rollup_close_to_exact(spark):
+    from advanced_etl_pipelines_spark.plans.registry import QUERIES
+
+    got = {
+        r.event_type: (r.p50, r.p95, r.p99)
+        for r in QUERIES["kll_quantile_rollup"](spark, SF).collect()
+    }
+    ev = read_sf_table(spark, SF, "events")
+    exact = {
+        r.event_type: (r.p50, r.p95, r.p99)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    # the KLL guarantee is on RANK (~1.33% at k=400), not value — a
+    # heavy tail amplifies value error arbitrarily — so assert the
+    # exact rank of each estimated value is near its target quantile
+    by_type = {
+        et: sorted(
+            r.value
+            for r in ev.where(F.col("event_type") == et)
+            .select("value")
+            .collect()
+        )
+        for et in got
+    }
+    import bisect
+
+    for et, estimates in got.items():
+        vals = by_type[et]
+        for target, est in zip((0.5, 0.95, 0.99), estimates):
+            rank = bisect.bisect_right(vals, est) / len(vals)
+            assert abs(rank - target) < 0.03, (et, target, est, rank)
+
+
+def test_theta_audience_overlap_close_to_exact(spark):
+    from advanced_etl_pipelines_spark.plans.registry import QUERIES
+
+    got = {
+        (r.type_a, r.type_b): (r.n_a, r.n_both, r.n_any)
+        for r in QUERIES["theta_audience_overlap"](spark, SF).collect()
+    }
+    ev = read_sf_table(spark, SF, "events")
+    users = {
+        et: {r.user_id for r in ev.where(F.col("event_type") == et)
+             .select("user_id").distinct().collect()}
+        for et in {k for pair in got for k in pair}
+    }
+    assert len(got) == 10  # C(5,2) behavior pairs
+    for (ta, tb), (n_a, n_both, n_any) in got.items():
+        sa, sb = users[ta], users[tb]
+        # sf0.001 cardinalities sit below the sketch's nominal entries,
+        # so estimates are EXACT here; tolerance covers bigger SFs
+        assert abs(n_a - len(sa)) / len(sa) < 0.05
+        assert abs(n_both - len(sa & sb)) / max(len(sa & sb), 1) < 0.08
+        assert abs(n_any - len(sa | sb)) / len(sa | sb) < 0.05
