@@ -47,6 +47,16 @@ def _dbl(c: Column | str) -> Column:
     return _col(c).try_cast("double")
 
 
+def epoch_seconds(c: Column | str) -> Column:
+    """Epoch seconds (fractional micros kept) for TIMESTAMP *or*
+    TIMESTAMP_NTZ input.  Parquet written by arrow/pandas without a tz
+    (isAdjustedToUTC=false) reads as NTZ in Spark 4, which cannot cast to
+    DOUBLE directly; NTZ->TIMESTAMP interprets the wall time in the
+    session zone (UTC here), matching DuckDB's EPOCH() on the same naive
+    values bit-for-bit.  TIMESTAMP input passes through unchanged."""
+    return _col(c).cast("timestamp").cast("double")
+
+
 def aqi_category_pm25(v: Column | str) -> Column:
     """AQI category from PM2.5 (`ETL_Multi_Lvl_API/transform.py:42-59`).
 

@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 
 from advanced_etl_pipelines_spark.functions.features import (
     aqi_category_pm25,
+    epoch_seconds,
     risk_class_from_severity,
     temp_category,
 )
@@ -732,9 +733,8 @@ def q_lag_gap_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization primitive."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    # cast(timestamp as double) keeps microsecond fraction — matches DuckDB
-    # EPOCH() on the same micros-truncated values bit-for-bit.
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    ts_s = epoch_seconds("ts")
+    gap = ts_s - F.lag(ts_s).over(w)
     return (
         ev.select("event_type", gap.alias("gap_s"))
         .groupBy("event_type")

@@ -1,0 +1,399 @@
+"""Behavioral-attribution + robust-statistics queries [extension].
+
+The marketing/product-analytics surface (last-touch attribution, EWMA
+trend smoothing, rolling active users) and robust statistics (MAD
+outliers, winsorized means, revenue concentration, TF-IDF terms) — all
+expressed as native DataFrame plans and DuckDB-oracle-checked.  No
+reference counterpart (the reference is batch AQ/weather ETL,
+SURVEY.md §2.3 ends at group-by/pivot/top-k); these extend the same
+aggregate-window toolbox the §2.3 operators exercise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from advanced_etl_pipelines_spark.functions import text as T
+from advanced_etl_pipelines_spark.plans.registry import _t, query, r2, r4
+
+
+@query(
+    "attribution_last_touch",
+    """
+    WITH c AS (
+      SELECT event_type, value,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events)
+    SELECT COALESCE(channel, '(direct)') AS channel,
+           COUNT(*) AS conversions,
+           ROUND(1e-9 + SUM(value), 2) AS attributed_value
+    FROM c WHERE event_type = 'purchase'
+    GROUP BY COALESCE(channel, '(direct)')
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent prior non-purchase event type.  One window pass
+    (last(ignorenulls) over an unbounded-preceding frame shifted one row
+    back) — no self-join, one shuffle on user_id; purchases with no
+    prior touch fall to '(direct)'."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("channel", channel)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("(direct)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            r2(F.sum("value")).alias("attributed_value"),
+        )
+    )
+
+
+@query(
+    "ewma_daily_value",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, SUM(value) AS rev
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    r AS (
+      SELECT event_type, d, rev,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM daily)
+    SELECT a.event_type, a.d,
+           ROUND(1e-9 + SUM(b.rev * POWER(0.9, a.rn - b.rn))
+                        / SUM(POWER(0.9, a.rn - b.rn)), 4) AS ewma_rev
+    FROM r a JOIN r b
+      ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 29 AND a.rn
+    GROUP BY a.event_type, a.d
+    """,
+)
+def q_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA trend smoothing (alpha-decay 0.9, 30-observation horizon)
+    over daily value sums per event type.  The recursive EWMA is
+    re-expressed as a closed-form weighted window: collect the trailing
+    frame once, weight by 0.9^(age) with a HOF transform (JVM-side,
+    index-aware lambda), normalize by the geometric-series sum — no
+    self-join, no iteration, one shuffle for the daily rollup and the
+    window reuses it (same key prefix)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum("value").alias("rev"))
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-29, 0)
+    vals = F.collect_list("rev").over(w)
+    n = F.size(vals)
+    weighted = F.aggregate(
+        F.transform(
+            vals,
+            lambda x, i: x * F.pow(F.lit(0.9), (n - 1 - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(
+            vals, lambda _, i: F.pow(F.lit(0.9), (n - 1 - i).cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return daily.select(
+        "event_type", "d", r4(weighted / den).alias("ewma_rev")
+    )
+
+
+@query(
+    "rolling_7d_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT a.d, CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS active_users_7d
+    FROM days a JOIN du b ON b.d BETWEEN a.d - 6 AND a.d
+    GROUP BY a.d
+    """,
+)
+def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the WAU curve.
+    COUNT(DISTINCT) over a sliding frame has no direct window form, so:
+    pre-reduce to distinct (day, user) pairs (the only big shuffle),
+    broadcast the tiny day spine, range-join pairs into each trailing
+    window, count distinct per day.  The pre-reduction means the join
+    fans out days×7 pairs, not raw events."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct()
+    b, a = du.alias("b"), F.broadcast(days.alias("a"))
+    return (
+        b.join(
+            a,
+            (F.col("b.d") <= F.col("a.d"))
+            & (F.col("b.d") >= F.date_sub(F.col("a.d"), 6)),
+        )
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(F.count_distinct("b.user_id").alias("active_users_7d"))
+    )
+
+
+@query(
+    "entropy_event_types",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type),
+    p AS (
+      SELECT user_id,
+             n * 1.0 / SUM(n) OVER (PARTITION BY user_id) AS p
+      FROM c),
+    e AS (SELECT user_id, -SUM(p * LN(p)) AS ent FROM p GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(1e-9 + AVG(ent), 4) AS avg_entropy,
+           ROUND(1e-9 + MIN(ent), 4) AS min_entropy,
+           ROUND(1e-9 + MAX(ent), 4) AS max_entropy
+    FROM e
+    """,
+)
+def q_entropy_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix (behavioral
+    diversity score), rolled up to corpus stats.  Two cheap aggregates:
+    (user,type) counts, then a per-user window normalization feeding the
+    entropy sum — partitioning reused across both (one shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wu = Window.partitionBy("user_id")
+    p = F.col("n") / F.sum("n").over(wu)
+    ent = c.select("user_id", (-p * F.log(p)).alias("term")).groupBy(
+        "user_id"
+    ).agg(F.sum("term").alias("ent"))
+    return ent.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        r4(F.avg("ent")).alias("avg_entropy"),
+        r4(F.min("ent")).alias("min_entropy"),
+        r4(F.max("ent")).alias("max_entropy"),
+    )
+
+
+@query(
+    "anomaly_mad_robust",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, ABS(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1e-9 + ANY_VALUE(d.med), 4) AS median_v,
+           ROUND(1e-9 + ANY_VALUE(m.mad), 4) AS mad_v,
+           CAST(SUM(CASE WHEN 0.6745 * d.adev / m.mad > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: modified z-score 0.6745·|x−median|/MAD
+    > 3.5 (Iglewicz–Hoaglin) per event type.  Median/MAD are exact
+    interpolated percentiles (breakdown-point-0.5 robust, unlike
+    mean±3σ); the per-type statistics are tiny and broadcast back, so
+    the fact table is scanned twice but never shuffled."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r4(F.any_value("med")).alias("median_v"),
+            r4(F.any_value("mad")).alias("mad_v"),
+            F.sum(
+                F.when(
+                    F.lit(0.6745) * F.col("adev") / F.col("mad") > 3.5, 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "winsorized_mean_price",
+    """
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1e-9 + AVG(l.l_extendedprice), 4) AS raw_mean,
+           ROUND(1e-9 + AVG(LEAST(GREATEST(l.l_extendedprice, q.p05), q.p95)),
+                 4) AS winsorized_mean,
+           ROUND(1e-9 + ANY_VALUE(q.p05), 4) AS p05,
+           ROUND(1e-9 + ANY_VALUE(q.p95), 4) AS p95
+    FROM lineitem l JOIN q USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (clip to [p05, p95] before averaging) per return
+    flag — the tail-robust KPI variant.  Exact percentiles per group are
+    3 rows: broadcast back over the fact scan; clip is pure arithmetic
+    in codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+    )
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r4(F.avg("l_extendedprice")).alias("raw_mean"),
+            r4(F.avg(clipped)).alias("winsorized_mean"),
+            r4(F.any_value("p05")).alias("p05"),
+            r4(F.any_value("p95")).alias("p95"),
+        )
+    )
+
+
+@query(
+    "heavy_hitters_cumshare",
+    """
+    WITH s AS (
+      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT SUM(rev) AS tot FROM s),
+    r AS (
+      SELECT l_partkey, rev, tot,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum
+      FROM s CROSS JOIN t)
+    SELECT l_partkey,
+           ROUND(1e-9 + rev, 2) AS rev,
+           ROUND(1e-9 + cum * 100.0 / tot, 4) AS cum_pct
+    FROM r WHERE cum - rev <= tot * 0.01
+    """,
+)
+def q_heavy_hitters_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the heaviest parts up to 1% of cumulative
+    revenue share, with running share.  The global ordered window runs
+    on the PRE-AGGREGATED per-part frame (|parts|, not |lineitem|), and
+    only that frame sorts on one partition — at 100 TB the rollup output
+    is still ~millions of rows, where a driver-side top-k or a two-level
+    (per-partition prune, then global) pass keeps the same answer."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev"
+        )
+    )
+    tot = s.agg(F.sum("rev").alias("tot"))
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+    r = s.join(F.broadcast(tot)).withColumn("cum", F.sum("rev").over(w))
+    return r.where(
+        F.col("cum") - F.col("rev") <= F.col("tot") * 0.01
+    ).select(
+        "l_partkey",
+        r2(F.col("rev")).alias("rev"),
+        r4(F.col("cum") * 100.0 / F.col("tot")).alias("cum_pct"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, lang, token, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, lang, token),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    score AS (
+      SELECT tf.lang, tf.token,
+             SUM(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0))) AS s
+      FROM tf JOIN df USING (token) CROSS JOIN n
+      GROUP BY tf.lang, tf.token),
+    ranked AS (
+      SELECT lang, token, s,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY s DESC, token) AS rnk
+      FROM score)
+    SELECT lang, token, ROUND(1e-9 + s, 4) AS tfidf, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-5 terms per language by summed
+    tf·idf (smoothed ln((N+1)/(df+1))).  One token explode feeds both
+    the per-doc TF and the DF aggregates; DF and the doc count are tiny
+    relative to the corpus and broadcast into the scoring join — the
+    token stream shuffles once (on token) for DF, once (lang,token) for
+    scoring, then a 5-row-per-lang window top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(T.word_tokens("text")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "lang", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
+    score = (
+        tf.join(df, "token")
+        .join(F.broadcast(n))
+        .groupBy("lang", "token")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+            ).alias("s")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("s"), F.asc("token"))
+    return (
+        score.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "lang",
+            "token",
+            r4(F.col("s")).alias("tfidf"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from advanced_etl_pipelines_spark.functions.features import epoch_seconds
 from advanced_etl_pipelines_spark.plans.registry import _t, query, r4
 from advanced_etl_pipelines_spark.streaming.windows import windowed_event_stats
 
@@ -80,7 +81,8 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    ts_s = epoch_seconds("ts")
+    gap = ts_s - F.lag(ts_s).over(w)
     new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     run = Window.partitionBy("user_id").orderBy(F.asc("ts")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from advanced_etl_pipelines_spark.functions.features import epoch_seconds
 from advanced_etl_pipelines_spark.operators import timeseries as TS
 from advanced_etl_pipelines_spark.plans.registry import _t, query, r4
 
@@ -305,7 +306,7 @@ def q_temporal_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame
     exchange."""
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    ts_s = F.col("ts").cast("double")
+    ts_s = epoch_seconds("ts")
     validity = F.lead(ts_s).over(w) - ts_s
     iv = ev.select(
         "user_id",

@@ -25,6 +25,21 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import TimestampNTZType
+
+
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP.
+
+    Parquet landed by arrow/pandas without a timezone reads as
+    TIMESTAMP_NTZ, which ``withWatermark`` rejects outright
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).  NTZ→TIMESTAMP interprets
+    the wall time in the session zone (UTC for this engine), so the
+    instant is unchanged; TIMESTAMP input passes through untouched."""
+    field = next((f for f in df.schema.fields if f.name == ts_col), None)
+    if field is not None and isinstance(field.dataType, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def windowed_event_stats(
@@ -41,6 +56,7 @@ def windowed_event_stats(
     Works identically on a batch DataFrame (watermark is a no-op there),
     which is how tests pin streaming output == batch output.
     """
+    events = ensure_event_time(events, ts_col)
     w = F.window(F.col(ts_col), window_duration, slide_duration or window_duration)
     src = events.withWatermark(ts_col, watermark_delay) if events.isStreaming else events
     return (
@@ -121,6 +137,7 @@ def dedup_stream(
     State = one entry per distinct key inside the horizon, evicted by
     the watermark — bounded, unlike a naive ``dropDuplicates`` on a
     stream (which keeps ALL keys forever and OOMs at 100 TB/day)."""
+    events = ensure_event_time(events, ts_col)
     return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         list(keys)
     )
@@ -144,6 +161,8 @@ def interval_join_streams(
     the join state (each side holds only rows inside watermark +
     interval).  An unbounded-condition stream-stream join would keep
     both streams' full history in state — never do that at scale."""
+    left = ensure_event_time(left, left_ts)
+    right = ensure_event_time(right, right_ts)
     l = left.withWatermark(left_ts, delay).alias("l")
     r = right.withWatermark(right_ts, delay).alias("r")
     lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")

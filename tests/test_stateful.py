@@ -89,8 +89,11 @@ def test_sessionize_stream_matches_batch_session_count(spark, tmp_path):
     # batch twin
     from pyspark.sql.window import Window
 
+    from advanced_etl_pipelines_spark.functions.features import epoch_seconds
+
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    ts_s = epoch_seconds("ts")
+    gap = ts_s - F.lag(ts_s).over(w)
     want = {
         r["user_id"]: r["n"]
         for r in events.withColumn(
