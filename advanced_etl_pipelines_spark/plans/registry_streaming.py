@@ -156,3 +156,49 @@ def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.avg("k")).alias("avg_k"),
         )
     )
+
+
+@query(
+    "session_window_stats",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           ROUND(1e-9 + EPOCH(MAX(ts)) - EPOCH(MIN(ts)), 4) AS active_s,
+           COUNT(*) AS n_events,
+           ROUND(1e-9 + SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (``F.session_window``, gap 1800s): Spark's
+    own dynamic-gap session operator, the same function that runs
+    statefully on a watermarked stream (``tests/test_streaming.py`` pins
+    stream==batch).  The oracle rebuilds identical sessions with the
+    LAG-islands construction — new session when the inter-event gap
+    >= the 1800s merge horizon (session windows are half-open
+    ``[ts, ts+gap)``)."""
+    from advanced_etl_pipelines_spark.streaming.windows import (
+        session_window_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_window_stats(ev, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        "session_start",
+        r4(F.col("active_s")).alias("active_s"),
+        "n_events",
+        r4(F.col("sum_value")).alias("sum_value"),
+    )

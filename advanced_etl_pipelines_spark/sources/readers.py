@@ -103,3 +103,35 @@ def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     composability, this entry point exists for ad-hoc users."""
     register_sf_views(spark, sf_dir)
     return spark.sql(query)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema=None,
+) -> DataFrame:
+    """XML directory scan (native Spark 4 data source) — the S4 JSON
+    directory scan's XML sibling.  PERMISSIVE by default: malformed
+    elements land in ``_corrupt_record`` instead of failing the scan,
+    matching the corrupt-file-skip posture of the reference's raw-JSON
+    reader (`ETL_Multi_Lvl_API/transform.py:217-222`).  Schema inference
+    costs an extra pass — pass ``schema`` in production jobs."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", root_tag: str = "rows"
+) -> None:
+    """XML sink (export/interchange format — per-partition files like
+    every Spark sink, so it scales with the writer parallelism)."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode("overwrite")
+        .save(path)
+    )

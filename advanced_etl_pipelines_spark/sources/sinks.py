@@ -253,3 +253,34 @@ def compact_small_files(
     shutil.rmtree(path)
     os.replace(tmp, path)
     return n_files
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, F.Column] | None = None,
+    mode: str = "overwrite",
+    null_check_cols: Sequence[str] | None = None,
+) -> dict[str, object]:
+    """Parquet write with in-flight data-quality metrics (Observation
+    API): the named aggregates are accumulated DURING the write scan, so
+    row counts / null counts / ranges cost zero extra jobs — the
+    lakehouse version of the reference's per-step row-count logging
+    (`ETL_Multi_Lvl_API/etl_pipeline.py:64-75` prints per-stage counts
+    by re-scanning; here the sink itself reports them).
+
+    ``metrics`` maps name -> aggregate Column; default is a row count
+    plus a null count per ``null_check_cols`` entry.  Returns the
+    observed values as a dict once the write completes."""
+    from pyspark.sql import Observation
+
+    if metrics is None:
+        metrics = {"n_rows": F.count(F.lit(1))}
+        for c in null_check_cols or []:
+            metrics[f"null_{c}"] = F.sum(
+                F.when(F.col(c).isNull(), 1).otherwise(0)
+            )
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+    observed.write.mode(mode).parquet(path)
+    return dict(obs.get)

@@ -77,18 +77,66 @@ def windowed_event_stats(
     )
 
 
+def session_window_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark_delay: str = "10 minutes",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Dynamic-gap session windows via native ``F.session_window`` —
+    Spark merges events whose windows ``[ts, ts+gap)`` overlap, growing
+    each session until a quiet period >= gap.  Unlike the LAG-based
+    batch sessionizer (``sessionize_events``), this is the engine's own
+    session operator: it works unchanged on a watermarked stream, where
+    state per open session is evicted once the watermark passes its
+    close.  Per (key, session): event count and active span
+    (last-first event, i.e. window length minus the trailing gap)."""
+    events = ensure_event_time(events, ts_col)
+    src = (
+        events.withWatermark(ts_col, watermark_delay)
+        if events.isStreaming
+        else events
+    )
+    sess = src.groupBy(
+        F.session_window(F.col(ts_col), f"{gap_seconds} seconds").alias("sw"),
+        F.col(key_col),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    # session_window.end = last event + gap; subtract the gap to report
+    # the ACTIVE span (last-first event), which the LAG-islands oracle
+    # can reproduce exactly.
+    span = (
+        F.col("sw.end").cast("double")
+        - F.col("sw.start").cast("double")
+        - F.lit(float(gap_seconds))
+    )
+    return sess.select(
+        F.col(key_col),
+        F.col("sw.start").alias("session_start"),
+        span.alias("active_s"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def start_upsert_stream(
     stream_df: DataFrame,
     target_path: str,
     keys: Sequence[str],
     checkpoint_dir: str,
     trigger_once: bool = True,
+    output_mode: str = "update",
 ) -> StreamingQuery:
     """``writeStream.foreachBatch`` → key-idempotent parquet upsert (the
     streaming S7).  ``update`` output mode re-emits a window whenever the
     watermark admits late rows; the upsert keyed on the window columns
     overwrites the stale aggregate, so the sink converges to the same
-    table a batch run would produce.
+    table a batch run would produce.  Session-window aggregations only
+    support ``append`` (rows emit once, when the watermark closes the
+    session) — pass ``output_mode="append"`` for those.
     """
     from advanced_etl_pipelines_spark.sources.sinks import upsert_parquet
 
@@ -98,7 +146,7 @@ def start_upsert_stream(
         upsert_parquet(batch_df.sparkSession, batch_df, target_path, keys)
 
     writer = (
-        stream_df.writeStream.outputMode("update")
+        stream_df.writeStream.outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(sink)
     )

@@ -337,3 +337,38 @@ def test_manifest_json_stream_writer_restart_no_duplicates(spark, tmp_path):
         r.event_id for r in PDS.read_committed(spark, out).collect()
     )
     assert ids == list(range(60)), "restart must continue, not replay"
+
+
+def test_write_with_metrics_single_pass(spark, tmp_path):
+    """Observation metrics accumulate during the write itself and match
+    an independent recount."""
+    from advanced_etl_pipelines_spark.sources.sinks import write_with_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, 3.5), (3, "c", 4.0)],
+        "id bigint, name string, score double",
+    )
+    out = str(tmp_path / "t")
+    m = write_with_metrics(df, out, null_check_cols=["name", "score"])
+    assert m == {"n_rows": 3, "null_name": 1, "null_score": 1}
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+
+
+def test_xml_roundtrip_and_corrupt_tolerance(spark, tmp_path):
+    """Native XML source: roundtrip preserves rows; a malformed element
+    does not fail a PERMISSIVE scan."""
+    from advanced_etl_pipelines_spark.sources.readers import (
+        read_xml,
+        write_xml,
+    )
+
+    df = spark.createDataFrame(
+        [("delhi", 51.2, 1), ("mumbai", None, 2)],
+        "city string, pm2_5 double, hour bigint",
+    )
+    out = str(tmp_path / "xml")
+    write_xml(df, out, row_tag="reading")
+    back = read_xml(spark, out, row_tag="reading")
+    got = {(r["city"], r["pm2_5"], r["hour"]) for r in back.collect()}
+    assert got == {("delhi", 51.2, 1), ("mumbai", None, 2)}

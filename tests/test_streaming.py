@@ -170,3 +170,50 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     )
     want = {r.event_type: (r.wsum, r.n) for r in batch.collect()}
     assert got == want
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """Native session_window aggregation on an availableNow file stream:
+    append mode emits exactly the sessions the final watermark closed,
+    and each emitted row matches the batch result."""
+    from advanced_etl_pipelines_spark.streaming.windows import (
+        session_window_stats,
+    )
+
+    events = read_sf_table(spark, SF, "events")
+    src = str(tmp_path / "landing")
+    events.write.parquet(src)
+
+    batch = session_window_stats(
+        read_sf_table(spark, SF, "events"), gap_seconds=1800
+    ).collect()
+    expected = {tuple(r) for r in batch}
+
+    # Append mode only emits sessions whose window end (last event +
+    # gap) is behind the final watermark (global max ts - delay).
+    max_ts = read_sf_table(spark, SF, "events").agg(
+        F.max(F.col("ts").cast("timestamp").cast("double"))
+    ).collect()[0][0]
+    closed = {
+        tuple(r)
+        for r in batch
+        if r["session_start"].timestamp() + r["active_s"] + 1800
+        < max_ts - 600
+    }
+
+    stream = file_event_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=4
+    )
+    out = str(tmp_path / "out")
+    q = start_upsert_stream(
+        session_window_stats(stream, gap_seconds=1800),
+        out,
+        ["user_id", "session_start"],
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    _await(q)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got <= expected, "stream emitted a session batch never saw"
+    assert closed <= got, "a watermark-closed session was never emitted"
+    assert len(got) > 0
