@@ -439,3 +439,29 @@ def embedding_near_dups(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def choose_lsh_params(
+    threshold: float, num_perm: int = 128
+) -> tuple[int, int]:
+    """Pick (bands, rows) for MinHash LSH so the S-curve inflection
+    ``(1/b)^(1/r)`` sits closest to the target Jaccard ``threshold``.
+
+    The collision probability of a pair with true similarity s under
+    (b bands × r rows) banding is ``1 - (1 - s^r)^b``; its steepest
+    point is ~``(1/b)^(1/r)``, so matching that to the threshold
+    balances false positives (verified away later, costing compute)
+    against false negatives (lost forever).  Only divisors of
+    ``num_perm`` are considered so every permutation is used."""
+    best: tuple[int, int] | None = None
+    best_err = float("inf")
+    for bands in range(1, num_perm + 1):
+        if num_perm % bands:
+            continue
+        rows = num_perm // bands
+        inflection = (1.0 / bands) ** (1.0 / rows)
+        err = abs(inflection - threshold)
+        if err < best_err:
+            best, best_err = (bands, rows), err
+    assert best is not None
+    return best

@@ -225,3 +225,35 @@ def union_all(*dfs: DataFrame) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def histogram2d(
+    df: DataFrame, xcol: str, ycol: str, nx: int, ny: int
+) -> DataFrame:
+    """2-D equal-width histogram — the scalable form of the reference's
+    sampled scatter plot (S13, `ETL_Multi_Lvl_API/etl_analysis.py:336`
+    caps the scatter at 2,000 rows "for performance"; binning aggregates
+    ALL rows into nx*ny cells instead, so density survives any scale).
+
+    Same two-job shape as ``histogram``: one tiny min/max aggregate for
+    both axes, broadcast; then one codegen bucket groupBy."""
+    x = F.col(xcol).cast("double")
+    y = F.col(ycol).cast("double")
+    filtered = df.where(x.isNotNull() & y.isNotNull())
+    bounds = filtered.agg(
+        F.min(x).alias("xlo"),
+        F.max(x).alias("xhi"),
+        F.min(y).alias("ylo"),
+        F.max(y).alias("yhi"),
+    )
+    wb = filtered.crossJoin(F.broadcast(bounds))
+    xw = (F.col("xhi") - F.col("xlo")) / F.lit(float(nx))
+    yw = (F.col("yhi") - F.col("ylo")) / F.lit(float(ny))
+    xb = F.least(F.floor((x - F.col("xlo")) / xw).cast("int"), F.lit(nx - 1))
+    yb = F.least(F.floor((y - F.col("ylo")) / yw).cast("int"), F.lit(ny - 1))
+    return (
+        wb.withColumn("xbucket", xb)
+        .withColumn("ybucket", yb)
+        .groupBy("xbucket", "ybucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -397,3 +397,125 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# Deterministic Poisson(1) bootstrap: replica weights from the
+# engine-portable unit hash (operators/sampling.py) via the inverse CDF,
+# so Spark and DuckDB draw IDENTICAL resamples — the bootstrap becomes
+# oracle-checkable.  Thresholds are the Poisson(1) CDF at k=0..4.
+_POISSON_CDF = [0.36787944, 0.73575888, 0.91969860, 0.98101184, 0.99634015]
+_N_REPLICAS = 20
+_KNUTH = 2654435761
+_MOD = 4294967296
+
+
+def _bootstrap_u_sql(r: int) -> str:
+    key = "(l_orderkey * 10 + l_linenumber)"
+    return (
+        f"((({key} % 2147483648 + {r} * 7919) * {_KNUTH}) % {_MOD})"
+        f" / {_MOD}.0"
+    )
+
+
+def _w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POISSON_CDF)
+    )
+    return f"(CASE {cases} ELSE 5 END)"
+
+
+_BOOT_COLS = ",\n      ".join(
+    f"SUM({_w_sql(_bootstrap_u_sql(r))} * l_extendedprice)"
+    f" / SUM({_w_sql(_bootstrap_u_sql(r))}) AS m{r}"
+    for r in range(_N_REPLICAS)
+)
+_BOOT_LIST = ", ".join(f"m{r}" for r in range(_N_REPLICAS))
+
+_BOOTSTRAP_ORACLE = f"""
+    WITH reps AS (
+      SELECT AVG(l_extendedprice) AS mean_price,
+      {_BOOT_COLS}
+      FROM lineitem),
+    s AS (
+      SELECT mean_price, unnest([{_BOOT_LIST}]) AS m FROM reps)
+    SELECT ROUND(1e-9 + ANY_VALUE(mean_price), 4) AS mean_price,
+           ROUND(1e-9 + STDDEV_SAMP(m), 4) AS se_bootstrap,
+           ROUND(1e-9 + ANY_VALUE(mean_price) - 1.96 * STDDEV_SAMP(m), 4)
+             AS ci_lo,
+           ROUND(1e-9 + ANY_VALUE(mean_price) + 1.96 * STDDEV_SAMP(m), 4)
+             AS ci_hi
+    FROM s
+"""
+
+
+@query("bootstrap_mean_ci", _BOOTSTRAP_ORACLE)
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap standard error / 95% CI for the mean price in
+    ONE scan: each of 20 replicas weights every row by a deterministic
+    Poisson(1) draw (inverse CDF over the portable unit hash keyed on
+    (row id, replica)), so all replica sums run as side-by-side
+    aggregates — the only distributed-bootstrap formulation that works
+    at 100 TB (resampling by materializing replicas would be 20x the
+    I/O; this is 40 extra codegen aggregates on one pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")) % F.lit(
+        2147483648
+    )
+
+    def w(r: int):
+        u = ((key + r * 7919) * F.lit(_KNUTH) % F.lit(_MOD)) / F.lit(
+            float(_MOD)
+        )
+        expr = F.lit(5)
+        for k, c in reversed(list(enumerate(_POISSON_CDF))):
+            expr = F.when(u < c, k).otherwise(expr)
+        return expr
+
+    aggs = [F.avg("l_extendedprice").alias("mean_price")]
+    for r in range(_N_REPLICAS):
+        wr = w(r)
+        aggs.append(
+            (
+                F.sum(wr * F.col("l_extendedprice")) / F.sum(wr)
+            ).alias(f"m{r}")
+        )
+    reps = li.agg(*aggs)
+    ms = F.array(*[F.col(f"m{r}") for r in range(_N_REPLICAS)])
+    n = float(_N_REPLICAS)
+    mean_m = F.aggregate(ms, F.lit(0.0), lambda a, x: a + x) / n
+    var = F.aggregate(
+        ms, F.lit(0.0), lambda a, x: a + (x - mean_m) * (x - mean_m)
+    ) / (n - 1)
+    se = F.sqrt(var)
+    return reps.select(
+        r4(F.col("mean_price")).alias("mean_price"),
+        r4(se).alias("se_bootstrap"),
+        r4(F.col("mean_price") - 1.96 * se).alias("ci_lo"),
+        r4(F.col("mean_price") + 1.96 * se).alias("ci_hi"),
+    )
+
+
+@query(
+    "heatmap_2d_bins",
+    """
+    WITH b AS (
+      SELECT MIN(l_quantity) AS xlo, MAX(l_quantity) AS xhi,
+             MIN(l_extendedprice) AS ylo, MAX(l_extendedprice) AS yhi
+      FROM lineitem)
+    SELECT LEAST(CAST(FLOOR((l_quantity - xlo) / ((xhi - xlo) / 20.0))
+                      AS INT), 19) AS xbucket,
+           LEAST(CAST(FLOOR((l_extendedprice - ylo) / ((yhi - ylo) / 20.0))
+                      AS INT), 19) AS ybucket,
+           COUNT(*) AS cnt
+    FROM lineitem, b GROUP BY 1, 2
+    """,
+)
+def q_heatmap_2d_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D density binning (quantity x price, 20x20) — the engine's
+    answer to the reference's row-capped scatter chart (S13 samples
+    2,000 rows "for performance"; this aggregates every row into 400
+    cells in one codegen pass, scale-invariant)."""
+    from advanced_etl_pipelines_spark.operators.relational import histogram2d
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram2d(li, "l_quantity", "l_extendedprice", 20, 20)

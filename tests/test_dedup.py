@@ -106,3 +106,20 @@ def test_embedding_near_dups(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in D.embedding_near_dups(
         df, "embedding", "vec_id", planes, threshold=0.95).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_choose_lsh_params_tracks_threshold():
+    from advanced_etl_pipelines_spark.operators.dedup import choose_lsh_params
+
+    # Canonical values: 128 perms, t=0.5 -> b=32,r=4 region; higher
+    # thresholds push toward fewer, wider bands.
+    for t in (0.3, 0.5, 0.7, 0.9):
+        b, r = choose_lsh_params(t, 128)
+        assert b * r == 128
+        infl = (1.0 / b) ** (1.0 / r)
+        # divisor-constrained grid is coarse at the low end (t=0.3 ->
+        # inflection 0.42 is the closest admissible point for 128 perms)
+        assert abs(infl - t) < 0.13, (t, b, r, infl)
+    b_lo, r_lo = choose_lsh_params(0.3, 128)
+    b_hi, r_hi = choose_lsh_params(0.9, 128)
+    assert r_lo < r_hi, "higher threshold must use wider bands (more rows)"

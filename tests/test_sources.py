@@ -372,3 +372,32 @@ def test_xml_roundtrip_and_corrupt_tolerance(spark, tmp_path):
     back = read_xml(spark, out, row_tag="reading")
     got = {(r["city"], r["pm2_5"], r["hour"]) for r in back.collect()}
     assert got == {("delhi", 51.2, 1), ("mumbai", None, 2)}
+
+
+def test_python_udtf_lateral_parse(spark):
+    """Python UDTF (Spark 4 API surface): table function exploding a
+    k=v;k=v string into rows, used via SQL LATERAL join.  Kept out of
+    the benched registry — UDTFs are the Python slow path; this pins
+    the API works for the rare genuinely-tabular custom op."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key string, val string")
+    class ParseKV:
+        def eval(self, s: str):
+            for part in (s or "").split(";"):
+                if "=" in part:
+                    k, v = part.split("=", 1)
+                    yield k.strip(), v.strip()
+
+    spark.udtf.register("parse_kv", ParseKV)
+    df = spark.createDataFrame(
+        [(1, "a=1;b=2"), (2, "c=3"), (3, None)], "id bigint, s string"
+    )
+    df.createOrReplaceTempView("kv_src")
+    got = {
+        (r["id"], r["key"], r["val"])
+        for r in spark.sql(
+            "SELECT id, key, val FROM kv_src, LATERAL parse_kv(s)"
+        ).collect()
+    }
+    assert got == {(1, "a", "1"), (1, "b", "2"), (2, "c", "3")}
