@@ -142,3 +142,88 @@ def trailing_window(
         .orderBy(F.unix_timestamp(F.col(ts)))
         .rangeBetween(-seconds, 0)
     )
+
+
+def band_join_bucketed(
+    fact: DataFrame,
+    bands: DataFrame,
+    value: str,
+    lo: str,
+    hi: str,
+    step: float,
+) -> DataFrame:
+    """Scale path for ``band_join``: when the bands table is too large to
+    broadcast, a BroadcastNestedLoopJoin degenerates to |fact| x |bands|
+    comparisons.  Coarsen both sides to integer buckets of width
+    ``step`` instead: a band [lo, hi) overlaps buckets
+    floor(lo/step)..floor(hi/step) (explode via ``sequence()``), a fact
+    value lives in exactly one bucket — the join becomes a shuffled
+    EQUI-join on the bucket key with the exact range re-check as a
+    post-filter, so each fact row only meets bands sharing its bucket.
+    Pick ``step`` near the typical band width: ~1-2 candidate bands per
+    row, and the equi-join shuffles instead of replicating either side.
+    Output rows are identical to ``band_join``."""
+    v = F.col(value)
+    fb = fact.withColumn("__bucket", F.floor(v / F.lit(step)).cast("long"))
+    bb = bands.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / F.lit(step)).cast("long"),
+                # hi is exclusive, but a band ending exactly on a bucket
+                # boundary still owns that bucket's empty overlap; the
+                # range re-check removes any false candidates.
+                F.floor(F.col(hi) / F.lit(step)).cast("long"),
+            )
+        ),
+    )
+    joined = fb.join(bb, "__bucket", "inner").where(
+        (v >= F.col(lo)) & (v < F.col(hi))
+    )
+    return joined.drop("__bucket")
+
+
+def grouped_ols_arrow(
+    df: DataFrame, key: str, x: str, y: str
+) -> DataFrame:
+    """Per-group OLS fit through the ``applyInArrow`` seam (Spark 4):
+    each group arrives as ONE pyarrow.Table (zero-copy columnar, no
+    pandas conversion), numpy computes the closed-form fit, one row
+    returns per group.
+
+    This exists as the template for grouped custom ops Spark can't
+    express (iterative solvers, scipy fits): for plain OLS prefer the
+    native ``regr_slope``/``regr_intercept`` aggregates
+    (`trend_regression_daily`), which is exactly what
+    ``tests/test_relational.py`` pins this seam against.  Scale: one
+    shuffle on ``key``; each group must fit one Arrow batch — fine for
+    per-entity series, wrong for one giant group (use the native
+    aggregates there)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fit(tbl: "pa.Table") -> "pa.Table":
+        xs = tbl.column(x).to_numpy(zero_copy_only=False).astype("float64")
+        ys = tbl.column(y).to_numpy(zero_copy_only=False).astype("float64")
+        ok = ~(np.isnan(xs) | np.isnan(ys))
+        xs, ys = xs[ok], ys[ok]
+        n = int(xs.size)
+        if n >= 2 and float(np.var(xs)) > 0.0:
+            mx, my = xs.mean(), ys.mean()
+            cov = float(((xs - mx) * (ys - my)).sum())
+            var = float(((xs - mx) ** 2).sum())
+            slope = cov / var
+            intercept = my - slope * mx
+        else:
+            slope = intercept = float("nan")
+        return pa.table(
+            {
+                key: pa.array([tbl.column(key)[0].as_py()]),
+                "n": pa.array([n], type=pa.int64()),
+                "slope": pa.array([slope], type=pa.float64()),
+                "intercept": pa.array([intercept], type=pa.float64()),
+            }
+        )
+
+    out_schema = f"{key} string, n bigint, slope double, intercept double"
+    return df.groupBy(key).applyInArrow(fit, out_schema)

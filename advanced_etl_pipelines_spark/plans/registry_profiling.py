@@ -200,12 +200,15 @@ def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # accuracy vs the exact percentiles pinned in tests/test_sampling.py
 def q_approx_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of distribution_stats: approx_percentile
-    (t-digest, accuracy 10000) computes all three quantiles in one
+    (t-digest, accuracy 2000 → rank error ≤ 1/2000 = 0.05%, well under
+    the 1% tolerance the test pins) computes all three quantiles in one
     mergeable sketch pass — no per-group sort, constant memory, scales
-    to any group size.  Exact-vs-approx deviation is tolerance-tested."""
+    to any group size.  Sketch update cost grows with the accuracy
+    parameter; 10000 doubled the per-row cost for precision nothing
+    here needs."""
     li = _t(spark, sf_dir, "lineitem")
     pcts = F.expr(
-        "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+        "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 2000)"
     )
     return li.groupBy("l_returnflag").agg(
         r4(F.element_at(pcts, 1)).alias("p50"),

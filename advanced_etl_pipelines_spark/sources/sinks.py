@@ -284,3 +284,26 @@ def write_with_metrics(
     observed = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
     observed.write.mode(mode).parquet(path)
     return dict(obs.get)
+
+
+def forget_keys(
+    spark: SparkSession,
+    table_root: str,
+    keys_df: DataFrame,
+    on: Sequence[str],
+    keep: int | None = None,
+) -> str:
+    """Right-to-be-forgotten delete: write a new snapshot of the table
+    with every row matching ``keys_df`` on ``on`` removed (left-anti
+    join), leaving prior versions intact for the retention window.
+    GDPR/CCPA erasure on a lakehouse is exactly this: logical delete via
+    a new version, then ``keep=N`` (or the snapshot pruner) physically
+    drops the versions still containing the data once the legal horizon
+    passes.  The anti-join shuffles only the key columns of the deletion
+    set; with the table partitioned on a key prefix, a real lakehouse
+    MERGE DELETE prunes to touched partitions."""
+    current = read_snapshot(spark, table_root)
+    remaining = current.join(
+        F.broadcast(keys_df.select(*on).distinct()), list(on), "left_anti"
+    )
+    return write_snapshot(remaining, table_root, keep=keep)

@@ -200,15 +200,21 @@ def interval_join_streams(
     lower_s: int,
     upper_s: int,
     delay: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join within a time interval:
+    """Stream-stream join within a time interval:
     ``right_ts ∈ [left_ts - upper, left_ts - lower]`` per key — e.g.
     "click attributed to a purchase within the preceding hour".
 
     Both sides are watermarked; the interval condition lets Spark bound
     the join state (each side holds only rows inside watermark +
     interval).  An unbounded-condition stream-stream join would keep
-    both streams' full history in state — never do that at scale."""
+    both streams' full history in state — never do that at scale.
+
+    ``how`` may be ``left_outer``/``right_outer``/``full_outer``:
+    outer rows emit with NULLs only once the watermark proves no match
+    can still arrive, so unmatched results trail the inner ones by the
+    watermark delay — that lag is the price of correctness, not a bug."""
     left = ensure_event_time(left, left_ts)
     right = ensure_event_time(right, right_ts)
     l = left.withWatermark(left_ts, delay).alias("l")
@@ -219,7 +225,7 @@ def interval_join_streams(
         & (rts >= lts - F.expr(f"INTERVAL {upper_s} SECONDS"))
         & (rts <= lts - F.expr(f"INTERVAL {lower_s} SECONDS"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def enrich_with_static(

@@ -98,3 +98,78 @@ def test_global_summary_shape(spark):
     row = R.global_summary(df, "t", ["temp"]).collect()[0]
     assert row["rows"] == 2 and row["time_min"] == 1 and row["time_max"] == 2
     assert row["temp_mean"] == 15.0
+
+
+def test_band_join_bucketed_matches_broadcast(spark):
+    """The bucketed equi-join band join must produce exactly the
+    broadcast-NLJ result, including bands that straddle bucket
+    boundaries and values on band edges."""
+    from advanced_etl_pipelines_spark.operators.timeseries import (
+        band_join,
+        band_join_bucketed,
+    )
+    from pyspark.sql import functions as F
+
+    fact = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 100)], "id bigint, v double"
+    )
+    bands = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 9.5, 33.3), ("c", 33.3, 34.0),
+         ("d", 90.0, 100.0), ("e", 150.0, 160.0)],
+        "band string, lo double, hi double",
+    )
+    want = {
+        (r["id"], r["band"])
+        for r in band_join(fact, bands, "v", "lo", "hi").collect()
+    }
+    got = {
+        (r["id"], r["band"])
+        for r in band_join_bucketed(
+            fact, bands, "v", "lo", "hi", step=7.0
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # and no Exchange-free claim here: assert the plan is an equi-join,
+    # not a nested loop
+    plan = band_join_bucketed(
+        fact, bands, "v", "lo", "hi", step=7.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+
+
+def test_grouped_ols_arrow_matches_native_regr(spark):
+    """The applyInArrow OLS seam must agree with the JVM regr_slope /
+    regr_intercept aggregates to float tolerance."""
+    from advanced_etl_pipelines_spark.functions.features import epoch_seconds
+    from advanced_etl_pipelines_spark.operators.timeseries import (
+        grouped_ols_arrow,
+    )
+    from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+    from pyspark.sql import functions as F
+
+    ev = read_sf_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type",
+        epoch_seconds("ts").alias("xs"),
+        F.col("value").alias("ys"),
+    )
+    native = {
+        r["event_type"]: (r["s"], r["i"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("regr_slope(ys, xs)").alias("s"),
+            F.expr("regr_intercept(ys, xs)").alias("i"),
+        )
+        .collect()
+    }
+    arrow = {
+        r["event_type"]: (r["slope"], r["intercept"])
+        for r in grouped_ols_arrow(ev, "event_type", "xs", "ys").collect()
+    }
+    assert set(arrow) == set(native)
+    for k in native:
+        assert abs(arrow[k][0] - native[k][0]) < 1e-6 * max(
+            1.0, abs(native[k][0])
+        ), k
+        assert abs(arrow[k][1] - native[k][1]) < 1e-6 * max(
+            1.0, abs(native[k][1])
+        ), k

@@ -50,3 +50,35 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert len(glob.glob(f"{path}/part-*.parquet")) == 2
     after = sorted(r.id for r in spark.read.parquet(path).collect())
     assert after == before
+
+
+def test_forget_keys_erases_and_versions(spark, tmp_path):
+    from advanced_etl_pipelines_spark.sources.sinks import (
+        forget_keys,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "keep"), (2, "erase-me"), (3, "keep"), (2, "erase-me-too")],
+        "user_id bigint, payload string",
+    )
+    first_path = write_snapshot(df, root)
+    v_first = int(first_path.rstrip("/").rsplit("v=", 1)[1])
+    keys = spark.createDataFrame([(2,)], "user_id bigint")
+    forget_keys(spark, root, keys, ["user_id"])
+
+    latest = read_snapshot(spark, root)
+    assert latest.where("user_id = 2").count() == 0
+    assert latest.count() == 2
+    # prior version still holds the rows until retention prunes it
+    v1 = read_snapshot(spark, root, version=v_first)
+    assert v1.where("user_id = 2").count() == 2
+
+    # keep=1 physically drops the old version containing the data
+    forget_keys(spark, root, keys, ["user_id"], keep=1)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, version=v_first)

@@ -98,3 +98,57 @@ def test_interval_join_matches_batch_join(spark, tmp_path):
         ).select("click_id", "amount").collect()
     )
     assert got == batch == [(1, 100.0), (2, 200.0)]
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """left_outer interval join: matched rows join normally; a click
+    with no purchase in its window emits once with NULL amount after
+    the watermark closes its interval."""
+    clicks = [
+        (1, "u1", _ts(10)),
+        (2, "u2", _ts(12)),
+        (3, "u3", _ts(14)),
+        # the stream-global watermark is the MIN over both inputs, so
+        # BOTH sides need a late row to close clicks 1-3; this click
+        # itself stays open (watermark never passes it) and must not
+        # appear in the output.
+        (4, "u4", _ts(40)),
+    ]
+    purchases = [
+        ("u1", _ts(5), 100.0),    # inside click 1's window -> match
+        ("u9", _ts(40), 999.0),   # unrelated user, advances right watermark
+    ]
+    cdf = spark.createDataFrame(
+        clicks, "click_id long, user string, cts timestamp"
+    )
+    pdf = spark.createDataFrame(
+        purchases, "user string, pts timestamp, amount double"
+    )
+    csrc, psrc = str(tmp_path / "c"), str(tmp_path / "p")
+    cdf.coalesce(1).write.parquet(csrc)
+    pdf.coalesce(1).write.parquet(psrc)
+
+    joined = interval_join_streams(
+        file_event_stream(spark, csrc, cdf.schema),
+        file_event_stream(spark, psrc, pdf.schema),
+        "user",
+        "cts",
+        "pts",
+        lower_s=0,
+        upper_s=900,
+        delay="1 minutes",
+        how="left_outer",
+    ).select("click_id", "amount")
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = sorted(
+        (r.click_id, r.amount) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, 100.0), (2, None), (3, None)]
