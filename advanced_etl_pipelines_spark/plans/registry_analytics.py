@@ -519,3 +519,142 @@ def q_heatmap_2d_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return histogram2d(li, "l_quantity", "l_extendedprice", 20, 20)
+
+
+@query(
+    "grouping_id_report",
+    """
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           COUNT(*) AS cnt,
+           ROUND(1e-9 + SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_grouping_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING_ID: the bitmask distinguishes a subtotal NULL
+    from a NULL data value — without it, rollup/cube outputs are
+    ambiguous the moment a grouping column is nullable.  Single
+    Expand+HashAggregate pass like the plain cube; COALESCE renders
+    subtotal rows with an explicit '(all)' label."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("cnt"),
+        r2(F.sum("l_extendedprice")).alias("sum_price"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+        "gid",
+        "cnt",
+        "sum_price",
+    )
+
+
+@query(
+    "ols2_fit_score",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             AVG(l_quantity) AS m1, AVG(l_discount) AS m2,
+             AVG(l_extendedprice) AS my,
+             SUM(l_quantity * l_quantity) AS s11r,
+             SUM(l_discount * l_discount) AS s22r,
+             SUM(l_quantity * l_discount) AS s12r,
+             SUM(l_quantity * l_extendedprice) AS s1yr,
+             SUM(l_discount * l_extendedprice) AS s2yr
+      FROM lineitem),
+    c AS (
+      SELECT n, m1, m2, my,
+             s11r - n * m1 * m1 AS s11,
+             s22r - n * m2 * m2 AS s22,
+             s12r - n * m1 * m2 AS s12,
+             s1yr - n * m1 * my AS s1y,
+             s2yr - n * m2 * my AS s2y
+      FROM m),
+    b AS (
+      SELECT n, my,
+             (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
+             (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2,
+             m1, m2
+      FROM c),
+    bb AS (SELECT n, my, b1, b2, my - b1 * m1 - b2 * m2 AS b0 FROM b),
+    sc AS (
+      SELECT bb.b0, bb.b1, bb.b2,
+             SUM(POWER(l_extendedprice
+                       - (bb.b0 + bb.b1 * l_quantity
+                          + bb.b2 * l_discount), 2)) AS sse,
+             SUM(POWER(l_extendedprice - bb.my, 2)) AS sst,
+             COUNT(*) AS n
+      FROM lineitem CROSS JOIN bb
+      GROUP BY bb.b0, bb.b1, bb.b2)
+    SELECT ROUND(1e-9 + b0, 4) AS b0,
+           ROUND(1e-9 + b1, 4) AS b1,
+           ROUND(1e-9 + b2, 4) AS b2,
+           ROUND(1e-9 + SQRT(sse / n), 4) AS rmse,
+           ROUND(1e-9 + 1.0 - sse / sst, 4) AS r2
+    FROM sc
+    """,
+)
+def q_ols2_fit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine ML: two-feature linear model (price ~ quantity +
+    discount) fit AND scored as pure SQL — the operator-fusion
+    model-serving idea (express fit + inference as native columns, no
+    MLlib, no Python).  Fit = one aggregate pass producing the co-moment
+    matrix, solved in closed form (Cramer's rule on the 2x2 normal
+    equations); scoring = second pass with the coefficient row broadcast
+    back, emitting RMSE/R².  Both passes are plain codegen aggregates, so
+    the "training" scales exactly like any other groupBy at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x1).alias("m1"),
+        F.avg(x2).alias("m2"),
+        F.avg(y).alias("my"),
+        F.sum(x1 * x1).alias("s11r"),
+        F.sum(x2 * x2).alias("s22r"),
+        F.sum(x1 * x2).alias("s12r"),
+        F.sum(x1 * y).alias("s1yr"),
+        F.sum(x2 * y).alias("s2yr"),
+    )
+    c = m.select(
+        "n", "m1", "m2", "my",
+        (F.col("s11r") - F.col("n") * F.col("m1") * F.col("m1")).alias("s11"),
+        (F.col("s22r") - F.col("n") * F.col("m2") * F.col("m2")).alias("s22"),
+        (F.col("s12r") - F.col("n") * F.col("m1") * F.col("m2")).alias("s12"),
+        (F.col("s1yr") - F.col("n") * F.col("m1") * F.col("my")).alias("s1y"),
+        (F.col("s2yr") - F.col("n") * F.col("m2") * F.col("my")).alias("s2y"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b = c.select(
+        "my", "m1", "m2",
+        ((F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) / det).alias("b1"),
+        ((F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) / det).alias("b2"),
+    ).select(
+        "my", "b1", "b2",
+        (F.col("my") - F.col("b1") * F.col("m1") - F.col("b2") * F.col("m2")).alias("b0"),
+    )
+    pred = F.col("b0") + F.col("b1") * x1 + F.col("b2") * x2
+    sc = (
+        li.crossJoin(F.broadcast(b))
+        .agg(
+            F.any_value(F.col("b0")).alias("b0v"),
+            F.any_value(F.col("b1")).alias("b1v"),
+            F.any_value(F.col("b2")).alias("b2v"),
+            F.any_value(F.col("my")).alias("myv"),
+            F.sum(F.pow(y - pred, F.lit(2))).alias("sse"),
+            F.sum(F.pow(y - F.col("my"), F.lit(2))).alias("sst"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return sc.select(
+        r4(F.col("b0v")).alias("b0"),
+        r4(F.col("b1v")).alias("b1"),
+        r4(F.col("b2v")).alias("b2"),
+        r4(F.sqrt(F.col("sse") / F.col("n"))).alias("rmse"),
+        r4(F.lit(1.0) - F.col("sse") / F.col("sst")).alias("r2"),
+    )

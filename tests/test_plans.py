@@ -163,3 +163,43 @@ def test_unigram_logprob_broadcasts_vocab(spark, queries):
 def test_dq_report_uses_left_anti_for_integrity(spark, queries):
     plan = _plan(queries["dq_constraint_report"](spark, SF))
     assert "LeftAnti" in plan
+
+
+def test_attribution_single_shuffle(spark, queries):
+    """Window partition (user_id) must be the only wide exchange before
+    the final aggregation — no self-join in the attribution plan."""
+    plan = _plan(queries["attribution_last_touch"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + agg
+
+
+def test_heatmap_bounds_broadcast(spark, queries):
+    """The min/max bounds frame joins in as a broadcast, never a
+    shuffled join or cartesian over the fact table."""
+    plan = _plan(queries["heatmap_2d_bins"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bootstrap_is_one_scan(spark, queries):
+    """All 20 replica aggregates + the mean must fold into ONE scan of
+    lineitem (side-by-side codegen aggregates, no re-reads)."""
+    plan = _plan(queries["bootstrap_mean_ci"](spark, SF))
+    assert plan.count("Scan parquet") == 1
+
+
+def test_rolling_actives_broadcasts_spine(spark, queries):
+    """The day spine is the broadcast side of the range join; the
+    distinct (day,user) frame must not be replicated."""
+    plan = _plan(queries["rolling_7d_active_users"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorize_stats_broadcast_back(spark, queries):
+    """Per-group percentiles join back via broadcast — the fact table
+    shuffles only for its own aggregation."""
+    plan = _plan(queries["winsorized_mean_price"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
