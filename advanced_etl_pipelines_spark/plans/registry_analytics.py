@@ -658,3 +658,182 @@ def q_ols2_fit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.sqrt(F.col("sse") / F.col("n"))).alias("rmse"),
         r4(F.lit(1.0) - F.col("sse") / F.col("sst")).alias("r2"),
     )
+
+
+@query(
+    "tree_score_confusion",
+    """
+    WITH scored AS (
+      SELECT (event_type = 'purchase') AS actual,
+             (CASE
+                WHEN value IS NULL THEN FALSE
+                WHEN value > 75.0 THEN TRUE
+                WHEN value > 40.0 AND EXTRACT(hour FROM ts) >= 18 THEN TRUE
+                ELSE FALSE
+              END) AS pred
+      FROM events)
+    SELECT CAST(SUM(CASE WHEN actual AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN NOT actual AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN actual AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN NOT actual AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           ROUND(1e-9 + SUM(CASE WHEN actual AND pred THEN 1 ELSE 0 END) * 1.0
+                 / GREATEST(SUM(CASE WHEN pred THEN 1 ELSE 0 END), 1), 4)
+             AS precision_,
+           ROUND(1e-9 + SUM(CASE WHEN actual AND pred THEN 1 ELSE 0 END) * 1.0
+                 / GREATEST(SUM(CASE WHEN actual THEN 1 ELSE 0 END), 1), 4)
+             AS recall_
+    FROM scored
+    """,
+)
+def q_tree_score_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree model serving as native expressions: a (fixed,
+    pre-trained) depth-2 tree compiles to nested CASE WHEN — the
+    operator-fusion way to run tree inference inside the scan, in
+    whole-stage codegen, with the confusion matrix and precision/recall
+    aggregated in the same pass.  A real forest compiles the same way
+    (sum of per-tree CASEs); no model server round-trip, no Python."""
+    ev = _t(spark, sf_dir, "events")
+    actual = F.col("event_type") == "purchase"
+    pred = (
+        F.when(F.col("value").isNull(), F.lit(False))
+        .when(F.col("value") > 75.0, F.lit(True))
+        .when(
+            (F.col("value") > 40.0) & (F.hour("ts") >= 18), F.lit(True)
+        )
+        .otherwise(F.lit(False))
+    )
+    s = ev.select(actual.alias("actual"), pred.alias("pred"))
+    b = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    tp = b(F.col("actual") & F.col("pred"))
+    fp = b(~F.col("actual") & F.col("pred"))
+    fn_ = b(F.col("actual") & ~F.col("pred"))
+    tn = b(~F.col("actual") & ~F.col("pred"))
+    return s.agg(
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn_.alias("fn"),
+        tn.alias("tn"),
+        r4(
+            tp * 1.0 / F.greatest(b(F.col("pred")), F.lit(1))
+        ).alias("precision_"),
+        r4(
+            tp * 1.0 / F.greatest(b(F.col("actual")), F.lit(1))
+        ).alias("recall_"),
+    )
+
+
+@query(
+    "nb_lang_confusion",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS token
+      FROM documents),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rn
+        FROM tok GROUP BY token) WHERE rn <= 2000),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    counts AS (
+      SELECT t.lang, t.token, COUNT(*) AS cnt
+      FROM tok t JOIN vocab v USING (token)
+      GROUP BY t.lang, t.token),
+    totals AS (SELECT lang, SUM(cnt) AS tot FROM counts GROUP BY lang),
+    vsize AS (SELECT COUNT(*) AS v FROM vocab),
+    priors AS (
+      SELECT lang, COUNT(*) AS docs,
+             LN(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents)) AS lp
+      FROM documents GROUP BY lang),
+    dt AS (
+      SELECT t.doc_id, t.lang AS actual, t.token
+      FROM tok t JOIN vocab v USING (token)),
+    scored AS (
+      SELECT dt.doc_id, dt.actual, l.lang AS cand,
+             SUM(LN((COALESCE(c.cnt, 0) + 1.0) / (tt.tot + vs.v))) AS ll
+      FROM dt CROSS JOIN langs l
+      LEFT JOIN counts c ON c.lang = l.lang AND c.token = dt.token
+      JOIN totals tt ON tt.lang = l.lang
+      CROSS JOIN vsize vs
+      GROUP BY dt.doc_id, dt.actual, l.lang),
+    best AS (
+      SELECT doc_id, actual, cand AS pred
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id
+          ORDER BY ll + (SELECT lp FROM priors p WHERE p.lang = cand) DESC,
+                   cand) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT actual, pred, COUNT(*) AS n_docs
+    FROM best GROUP BY actual, pred
+    """,
+)
+def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine naive Bayes: fit AND classify with nothing but
+    aggregates and joins — multinomial NB over the top-2000 vocabulary
+    with Laplace smoothing, self-evaluated as a language-ID confusion
+    matrix.  The model (token likelihoods, priors, totals) is a handful
+    of small aggregate frames that broadcast into the scoring join; the
+    corpus-side token stream shuffles once for the per-(doc, candidate)
+    log-likelihood sum.  Unseen-in-class tokens get the +1 floor via the
+    left join's COALESCE — semantics identical on both engines, so the
+    whole classifier is oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs_total = docs.count()
+    tok = docs.select(
+        "doc_id", "lang", F.explode(T.word_tokens("text")).alias("token")
+    )
+    wv = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") <= 2000)
+        .select("token")
+    )
+    langs = docs.select("lang").distinct().withColumnRenamed("lang", "cand")
+    dt = tok.join(F.broadcast(vocab), "token").select(
+        "doc_id", F.col("lang").alias("actual"), "token"
+    )
+    counts = (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    vsize = vocab.count()
+    priors = docs.groupBy("lang").agg(
+        F.log(F.count(F.lit(1)) / F.lit(float(n_docs_total))).alias("lp")
+    )
+    scored = (
+        dt.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(counts.withColumnRenamed("lang", "cand")),
+            ["cand", "token"],
+            "left",
+        )
+        .join(F.broadcast(totals.withColumnRenamed("lang", "cand")), "cand")
+        .groupBy("doc_id", "actual", "cand")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                    / (F.col("tot") + F.lit(float(vsize)))
+                )
+            ).alias("ll")
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.col("ll") + F.col("lp")), F.asc("cand")
+    )
+    best = (
+        scored.join(
+            F.broadcast(priors.withColumnRenamed("lang", "cand")), "cand"
+        )
+        .withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+    )
+    return best.groupBy(
+        F.col("actual"), F.col("cand").alias("pred")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
