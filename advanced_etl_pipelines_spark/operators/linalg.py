@@ -1,0 +1,226 @@
+"""Distributed linear algebra: PCA over an embedding column.
+
+The treeAggregate pattern through the Arrow seam: each Arrow batch
+reduces to one partial-moment row (n, Σv, flattened Σv·vᵀ) with a single
+BLAS call, the handful of partials fold on the driver, and the d×d
+eigendecomposition (numpy, d = embedding dim, typically 16-1024) is
+driver-side by design — it's O(d³), independent of row count.  The
+projection pass is the same batch-matmul seam the ANN operators use
+(`operators/similarity.py:with_projections`).  Nothing here ever
+materializes the corpus: the only driver traffic is #batches × d²
+doubles down and k×d doubles back up.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from advanced_etl_pipelines_spark.functions.vectors import as_double
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str, k: int
+) -> dict[str, object]:
+    """Fit a k-component PCA: returns ``mean`` (d), ``components``
+    (k×d, rows are unit eigenvectors, sign-fixed so each row's
+    largest-|x| entry is positive), and ``explained_var`` (k ratios).
+
+    Covariance is assembled from per-batch partial moments — one
+    ``V.T @ V`` (BLAS syrk) per Arrow batch — so the shuffle-free
+    reduce scales with batches, not rows."""
+    import pandas as pd
+
+    src = df.select(as_double(vec_col).alias("v")).where(
+        F.col("v").isNotNull()
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]],
+                dtype=np.float64,
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [V.shape[0]],
+                    "s": [V.sum(axis=0)],
+                    "outer": [(V.T @ V).ravel()],
+                }
+            )
+
+    rows = src.mapInPandas(
+        partials, "n long, s array<double>, outer array<double>"
+    ).collect()
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    outer = np.sum([np.asarray(r["outer"]) for r in rows], axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = outer.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # k × d
+    # eigenvector sign is arbitrary: fix so the largest-|x| entry of
+    # each component is positive (deterministic across BLAS builds)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total_var = float(np.trace(cov))
+    explained = [float(evals[o]) / total_var for o in order]
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_var": explained,
+        "n": n,
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    mean: list[float],
+    components: list[list[float]],
+    out_col: str = "pc",
+) -> DataFrame:
+    """Project each vector onto the fitted components:
+    ``(v - mean) @ componentsᵀ`` — one batch matmul per Arrow batch,
+    keyed output (id, pc array)."""
+    import pandas as pd
+
+    mu = np.asarray(mean, dtype=np.float64)
+    C = np.asarray(components, dtype=np.float64).T  # d × k
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    out_col: list((V - mu) @ C),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        as_double(vec_col).alias(vec_col),
+    ).mapInPandas(gen, f"{id_col} long, {out_col} array<double>")
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iters: int = 5,
+) -> tuple[list[list[float]], DataFrame]:
+    """Full distributed Lloyd's k-means (Euclidean) over the WHOLE
+    corpus — the scale-out complement to the sampled trainer the IVF
+    index uses (`operators/similarity.py:_kmeans_centroids`).
+
+    Each iteration is one distributed pass: an Arrow batch computes
+    nearest-centroid assignments with a single matmul, then reduces to
+    per-(batch, cluster) partial sums; the k×batches partial rows fold
+    on the driver into new centroids (the treeAggregate shape — driver
+    traffic per iteration is k·d doubles per batch, never rows).
+    Deterministic: init takes the vectors at k evenly spaced ranks of
+    the id ordering (reproducible regardless of partitioning); FP
+    reduce order varies with partitioning, which can flip exact ties by
+    ~1e-12 — the parity test compares centroids and assignments on data
+    without such ties.
+
+    Returns (centroids, assignment DataFrame(id, cluster))."""
+    import pandas as pd
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        as_double(vec_col).alias("v"),
+    ).where(F.col("v").isNotNull())
+
+    # deterministic seed-spread init: k vectors at evenly spaced ranks
+    # of the id ordering (avoids adjacent-duplicate seeds)
+    n = src.count()
+    if n == 0:
+        raise ValueError("kmeans_lloyd: empty input")
+    step = max(n // k, 1)
+    seeds = (
+        src.orderBy("id")
+        .limit(k * step)
+        .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+        .where((F.col("rn") - 1) % step == 0)
+        .limit(k)
+        .collect()
+    )
+    cent = np.asarray([list(r["v"]) for r in seeds], dtype=np.float64)
+
+    for _ in range(iters):
+        C = cent  # capture
+
+        def partials(batches, C=C):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.asarray(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["v"]],
+                    dtype=np.float64,
+                )
+                d2 = (
+                    (V * V).sum(axis=1, keepdims=True)
+                    - 2.0 * (V @ C.T)
+                    + (C * C).sum(axis=1)
+                )
+                a = d2.argmin(axis=1)
+                out = {"cluster": [], "cnt": [], "s": []}
+                for c in np.unique(a):
+                    m = V[a == c]
+                    out["cluster"].append(int(c))
+                    out["cnt"].append(m.shape[0])
+                    out["s"].append(m.sum(axis=0))
+                yield pd.DataFrame(out)
+
+        parts = src.mapInPandas(
+            partials, "cluster int, cnt long, s array<double>"
+        ).collect()
+        sums = np.zeros_like(cent)
+        cnts = np.zeros(k, dtype=np.int64)
+        for r in parts:
+            sums[r["cluster"]] += np.asarray(r["s"])
+            cnts[r["cluster"]] += r["cnt"]
+        nonempty = cnts > 0
+        cent = cent.copy()
+        cent[nonempty] = sums[nonempty] / cnts[nonempty, None]
+
+    C = cent
+
+    def assign(batches, C=C):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]],
+                dtype=np.float64,
+            )
+            d2 = (
+                (V * V).sum(axis=1, keepdims=True)
+                - 2.0 * (V @ C.T)
+                + (C * C).sum(axis=1)
+            )
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "cluster": d2.argmin(axis=1)}
+            )
+
+    out = src.mapInPandas(assign, "id long, cluster int")
+    return cent.tolist(), out

@@ -837,3 +837,60 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy(
         F.col("actual"), F.col("cand").alias("pred")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query("pca_embedding_projection")  # eigendecomposition — rows-only;
+# numpy parity pinned in tests/test_relational.py
+def q_pca_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/linalg.py): covariance from per-batch
+    BLAS partial moments (treeAggregate through the Arrow seam), d×d
+    eigendecomposition driver-side (O(d³), row-count-independent),
+    projection as one batch matmul per Arrow batch.  Output: per-label
+    mean of the first two principal coordinates + variance explained —
+    the embedding-drift / cluster-structure diagnostic for a training
+    corpus."""
+    from advanced_etl_pipelines_spark.operators.linalg import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    fit = pca_fit(emb, "embedding", k=2)
+    proj = pca_project(
+        emb, "embedding", "vec_id", fit["mean"], fit["components"]
+    )
+    labeled = proj.join(emb.select("vec_id", "label"), "vec_id")
+    return labeled.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(F.avg(F.element_at("pc", 1))).alias("mean_pc1"),
+        r4(F.avg(F.element_at("pc", 2))).alias("mean_pc2"),
+        r4(F.lit(fit["explained_var"][0])).alias("var_pc1"),
+        r4(F.lit(fit["explained_var"][1])).alias("var_pc2"),
+    )
+
+
+@query("kmeans_cluster_profile")  # iterative Lloyd — rows-only; numpy
+# parity + convergence pinned in tests/test_relational.py
+def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus distributed k-means (operators/linalg.py
+    kmeans_lloyd, k=8, 3 iterations): per-cluster size and
+    label-purity profile — the corpus-structure diagnostic
+    (near-duplicate pockets, topic lumps) run on embeddings.  Each
+    iteration is one Arrow-matmul pass + a k·batches partial-sum fold;
+    nothing row-scale ever reaches the driver."""
+    from advanced_etl_pipelines_spark.operators.linalg import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assign = kmeans_lloyd(emb, "embedding", "vec_id", k=8, iters=3)
+    labeled = assign.join(
+        emb.select(F.col("vec_id").alias("id"), "label"), "id"
+    )
+    mode_share = F.max("n") * 1.0 / F.sum("n")
+    per = labeled.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per.groupBy("cluster").agg(
+        F.sum("n").alias("size"),
+        F.count(F.lit(1)).alias("n_labels"),
+        r4(mode_share).alias("top_label_share"),
+    )

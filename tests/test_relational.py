@@ -173,3 +173,98 @@ def test_grouped_ols_arrow_matches_native_regr(spark):
         assert abs(arrow[k][1] - native[k][1]) < 1e-6 * max(
             1.0, abs(native[k][1])
         ), k
+
+
+def test_pca_matches_numpy(spark):
+    """Distributed PCA (Arrow partial moments + driver eigh) must match
+    a single-node numpy PCA on the same vectors: explained variance and
+    per-row projections to tolerance, after the shared sign fix."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.operators.linalg import (
+        pca_fit,
+        pca_project,
+    )
+    from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+
+    emb = read_sf_table(spark, "/root/testdata/sf0.001", "embeddings")
+    fit = pca_fit(emb, "embedding", k=3)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    V = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    mu = V.mean(axis=0)
+    cov = np.cov((V - mu).T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    comps = evecs[:, order].T
+    for i in range(3):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+
+    total = float(np.trace(cov))
+    want_ev = [float(evals[o]) / total for o in order]
+    for got, want in zip(fit["explained_var"], want_ev):
+        assert abs(got - want) < 1e-8
+
+    got_comps = np.asarray(fit["components"])
+    assert np.abs(got_comps - comps).max() < 1e-8
+
+    proj = {
+        r["vec_id"]: np.asarray(r["pc"])
+        for r in pca_project(
+            emb, "embedding", "vec_id", fit["mean"], fit["components"]
+        ).collect()
+    }
+    want_proj = (V - mu) @ comps.T
+    for i, vid in enumerate(ids):
+        assert np.abs(proj[vid] - want_proj[i]).max() < 1e-8
+
+
+def test_kmeans_lloyd_matches_numpy_and_converges(spark):
+    """Distributed Lloyd must reproduce a numpy Lloyd run from the SAME
+    init (same assignments up to FP ties) and strictly reduce inertia."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.operators.linalg import kmeans_lloyd
+    from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+
+    emb = read_sf_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    V = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    ids = np.asarray([r["vec_id"] for r in rows])
+    k, iters = 4, 5
+
+    cent, assign_df = kmeans_lloyd(emb, "embedding", "vec_id", k, iters)
+    cent = np.asarray(cent)
+
+    # numpy twin from the same evenly-spaced-rank init
+    n = len(V)
+    step = max(n // k, 1)
+    C = V[np.arange(0, k * step, step)[:k]].copy()
+    for _ in range(iters):
+        d2 = ((V * V).sum(1, keepdims=True) - 2 * V @ C.T + (C * C).sum(1))
+        a = d2.argmin(1)
+        for c in range(k):
+            if (a == c).any():
+                C[c] = V[a == c].mean(0)
+    assert np.abs(cent - C).max() < 1e-8
+
+    got = {r["id"]: r["cluster"] for r in assign_df.collect()}
+    d2 = ((V * V).sum(1, keepdims=True) - 2 * V @ C.T + (C * C).sum(1))
+    want = d2.argmin(1)
+    mismatches = sum(
+        1 for i, vid in enumerate(ids) if got[vid] != want[i]
+    )
+    assert mismatches == 0
+
+    # inertia strictly improves over the init
+    init_inertia = (
+        ((V * V).sum(1, keepdims=True)
+         - 2 * V @ V[np.arange(0, k * step, step)[:k]].T
+         + (V[np.arange(0, k * step, step)[:k]] ** 2).sum(1))
+        .min(1).sum()
+    )
+    final_inertia = d2.min(1).sum()
+    assert final_inertia < init_inertia
