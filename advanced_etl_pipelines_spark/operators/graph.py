@@ -85,3 +85,93 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iters: int = 5,
+    damping: float = 0.85,
+    dedupe_edges: bool = True,
+) -> DataFrame:
+    """Power-iteration PageRank over an edge list — the canonical
+    iterative-join workload, pure DataFrame ops (no GraphX/RDD).
+
+    Per iteration: rank/out-degree flows along edges (one shuffled join
+    keyed on src), sums per dst (one aggregate), plus the damping
+    teleport.  Nodes with no out-edges (dangling) redistribute nothing
+    — the simplified variant; the co-purchase graphs this engine builds
+    are symmetric, so every node has out-degree ≥ 1 and ranks sum to ~1.
+    ``localCheckpoint`` truncates lineage per round, same as
+    ``connected_components`` — without it plan size doubles each
+    iteration.
+
+    Returns (node, rank).  Deterministic given the edge list."""
+    # materialize the edge list ONCE — it re-enters the flow join every
+    # iteration, and an upstream edge build (e.g. an order self-join)
+    # would otherwise be recomputed per round
+    e = edges.select(
+        F.col(src).cast("long").alias("s"),
+        F.col(dst).cast("long").alias("d"),
+    ).where(F.col("s").isNotNull() & F.col("d").isNotNull())
+    if dedupe_edges:
+        # simple-graph semantics; skipping it (dedupe_edges=False)
+        # treats repeated pairs as a MULTIGRAPH — flow splits by edge
+        # multiplicity (out-degree counts it too, so the chain stays
+        # stochastic), and saves the full-edge-list distinct shuffle
+        e = e.distinct()
+    e = e.localCheckpoint()
+    # the (node) and (node, rank) frames are two orders of magnitude
+    # smaller than the edges; keeping them on the full shuffle-partition
+    # count makes every iteration pay ~32 near-empty tasks per stage —
+    # pin them to a few partitions (checkpoint materialization is not
+    # AQE-coalesced)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .coalesce(4)
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    # fold 1/out-degree into the edge list ONCE: per-iteration work is
+    # then a single broadcast join + aggregate
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    ew = (
+        e.join(outdeg, "s")
+        .select("s", "d", (1.0 / F.col("deg")).alias("w"))
+        .localCheckpoint()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        # ranks is |nodes| rows — broadcast it so the (much larger) edge
+        # list never shuffles; only the per-dst partial sums move.  At
+        # node counts past the broadcast budget, hash-partition ew and
+        # ranks on s instead and this becomes a co-located join.
+        contrib = (
+            ew.join(
+                F.broadcast(ranks.withColumnRenamed("node", "s")), "s"
+            )
+            .select("d", (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("inflow"))
+            .coalesce(4)
+        )
+        ranks = (
+            nodes.join(
+                F.broadcast(contrib.withColumnRenamed("d", "node")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -894,3 +894,31 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_labels"),
         r4(mode_share).alias("top_label_share"),
     )
+
+
+@query("pagerank_copurchase")  # iterative power method — rows-only;
+# numpy parity pinned in tests/test_graph.py
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts appearing in the
+    same order are linked, both directions, so the graph is symmetric
+    and dangling-free).  Edge build is one self-join within order keys
+    — bounded fanout, orders have single-digit lines; 3 power
+    iterations of join+aggregate with lineage checkpointing.
+    Multigraph mode (dedupe_edges=False): pair multiplicity = tie
+    strength, and the full-edge distinct shuffle is skipped.  Output:
+    top-10 parts by rank (graph-centrality 'hub products')."""
+    from advanced_etl_pipelines_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(b, "l_orderkey").where(
+        F.col("a.l_partkey") != F.col("b.l_partkey")
+    ).select(
+        F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+    )
+    ranks = pagerank(edges, "s", "d", iters=3, dedupe_edges=False)
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(10)
+        .select("node", r4(F.col("rank") * 1e6).alias("rank_ppm"))
+    )

@@ -60,3 +60,34 @@ def test_bm25_matches_closed_form(spark):
     idf = math.log(1 + (1 - 1 + 0.5) / (1 + 0.5))
     expect = idf * (1 * 2.2) / (1 + 1.2)
     assert abs(out.score - expect) < 1e-9
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """DataFrame PageRank must equal a numpy power iteration with the
+    same damping/iterations on the same graph (no dangling nodes)."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.operators.graph import pagerank
+
+    # a small symmetric graph: star 0-(1,2,3) plus chain 3-4
+    pairs = [(0, 1), (0, 2), (0, 3), (3, 4)]
+    und = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(und, "s long, d long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, "s", "d", iters=6, damping=0.85).collect()
+    }
+
+    ids = sorted({x for p in und for x in p})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for a, b in und:
+        A[idx[b], idx[a]] = 1.0  # column-stochastic flow a -> b
+    A /= np.maximum(A.sum(axis=0), 1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(6):
+        r = (1 - 0.85) / n + 0.85 * A @ r
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-12, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
