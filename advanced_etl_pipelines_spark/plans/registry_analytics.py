@@ -922,3 +922,124 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("node", r4(F.col("rank") * 1e6).alias("rank_ppm"))
     )
+
+
+@query(
+    "recursive_calendar_gaps",
+    """
+    WITH RECURSIVE bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+      FROM events),
+    cal(d) AS (
+      SELECT lo FROM bounds
+      UNION ALL
+      SELECT d + 1 FROM cal, bounds WHERE d < hi),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY CAST(ts AS DATE))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN daily.n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS gap_days,
+           CAST(MIN(cal.d) AS DATE) AS first_day,
+           CAST(MAX(cal.d) AS DATE) AS last_day
+    FROM cal LEFT JOIN daily ON cal.d = daily.d
+    """,
+)
+def q_recursive_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): calendar spine between the corpus
+    min/max day, left-joined to daily counts for coverage/gap stats —
+    the declarative twin of the sequence()-based gap-fill
+    (`resample_gapfill`).  Spark executes one micro-stage per recursion
+    LEVEL, so the recursion advances by 16-day strides (depth =
+    range/16, ~10 levels instead of ~150) and each stride explodes into
+    its days with sequence() — same spine, an order of magnitude fewer
+    sequential stages.  That depth-vs-work trade is the general recipe
+    for recursive CTEs on this engine."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__rcg_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+          FROM __rcg_events),
+        strides(d0) AS (
+          SELECT lo FROM bounds
+          UNION ALL
+          SELECT DATE_ADD(d0, 16) FROM strides, bounds
+          WHERE DATE_ADD(d0, 16) <= hi),
+        cal AS (
+          SELECT explode(sequence(d0, LEAST(DATE_ADD(d0, 15), hi))) AS d
+          FROM strides, bounds),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+          FROM __rcg_events GROUP BY CAST(ts AS DATE))
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN daily.n IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS gap_days,
+               MIN(cal.d) AS first_day,
+               MAX(cal.d) AS last_day
+        FROM cal LEFT JOIN daily ON cal.d = daily.d
+        """
+    )
+
+
+@query(
+    "zipf_alpha_fit",
+    """
+    WITH tok AS (
+      SELECT unnest(
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS token
+      FROM documents),
+    v AS (
+      SELECT token, COUNT(*) AS freq,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rnk
+      FROM tok GROUP BY token),
+    top AS (SELECT LN(rnk) AS x, LN(freq) AS y FROM v WHERE rnk <= 1000),
+    m AS (
+      SELECT COUNT(*) AS n, AVG(x) AS mx, AVG(y) AS my,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM top)
+    SELECT ROUND(1e-9 - (sxy - n * mx * my) / (sxx - n * mx * mx), 4)
+             AS zipf_alpha,
+           ROUND(1e-9 + my + (sxy - n * mx * my) / (sxx - n * mx * mx) * (0 - mx),
+                 4) AS ln_c,
+           CAST(n AS BIGINT) AS n_terms
+    FROM m
+    """,
+)
+def q_zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus vocabulary: ln(freq) regressed
+    on ln(rank) over the top-1000 terms — slope = −α (natural English
+    runs α ≈ 1; big deviations flag synthetic/boilerplate corpora, a
+    standard pretraining-data health check).  One token explode, one
+    vocab aggregate, one ordered window on the 1000-row frame, then a
+    closed-form simple regression — all single-pass aggregates."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(T.word_tokens("text")).alias("token")
+    )
+    wv = Window.orderBy(F.desc("freq"), F.asc("token"))
+    v = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("rnk", F.row_number().over(wv))
+        .where(F.col("rnk") <= 1000)
+        .select(
+            F.log("rnk").alias("x"), F.log("freq").alias("y")
+        )
+    )
+    m = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("sxy") - F.col("n") * F.col("mx") * F.col("my")) / (
+        F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx")
+    )
+    return m.select(
+        r4(-slope).alias("zipf_alpha"),
+        r4(F.col("my") + slope * (0 - F.col("mx"))).alias("ln_c"),
+        F.col("n").alias("n_terms"),
+    )
