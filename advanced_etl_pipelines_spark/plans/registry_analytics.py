@@ -1043,3 +1043,270 @@ def q_zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("my") + slope * (0 - F.col("mx"))).alias("ln_c"),
         F.col("n").alias("n_terms"),
     )
+
+
+@query(
+    "drift_psi_value",
+    """
+    WITH tagged AS (
+      SELECT value,
+             CAST(ts AS DATE) >= DATE '2024-01-16' AS recent
+      FROM events WHERE value IS NOT NULL),
+    b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM tagged),
+    binned AS (
+      SELECT recent,
+             LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 10.0)) AS INT), 9)
+               AS bucket
+      FROM tagged, b),
+    dist AS (
+      SELECT bucket,
+             SUM(CASE WHEN NOT recent THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN recent THEN 1 ELSE 0 END) AS n_cur
+      FROM binned GROUP BY bucket),
+    tot AS (
+      SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM dist),
+    p AS (
+      SELECT bucket,
+             (n_ref + 0.5) / (t_ref + 5.0) AS pr,
+             (n_cur + 0.5) / (t_cur + 5.0) AS pc
+      FROM dist, tot)
+    SELECT ROUND(1e-9 + SUM((pc - pr) * LN(pc / pr)), 6) AS psi,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM p
+    """,
+)
+def q_drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event window (10 equal-width buckets over the shared range,
+    +0.5 Laplace smoothing so empty buckets stay finite) — THE standard
+    feature-drift alarm for a deployed model (psi > 0.2 = investigate).
+    One scan builds both distributions side by side (conditional
+    aggregates), so drift monitoring costs a single pass however wide
+    the table."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    tagged = ev.select(
+        "value", (F.to_date("ts") >= F.lit("2024-01-16")).alias("recent")
+    )
+    b = tagged.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    wb = tagged.crossJoin(F.broadcast(b))
+    bucket = F.least(
+        F.floor(
+            (F.col("value") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / 10.0)
+        ).cast("int"),
+        F.lit(9),
+    )
+    dist = wb.groupBy(bucket.alias("bucket")).agg(
+        F.sum(F.when(~F.col("recent"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("recent"), 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = dist.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = dist.crossJoin(F.broadcast(tot)).select(
+        ((F.col("n_ref") + 0.5) / (F.col("t_ref") + 5.0)).alias("pr"),
+        ((F.col("n_cur") + 0.5) / (F.col("t_cur") + 5.0)).alias("pc"),
+    )
+    return p.agg(
+        F.round(
+            F.lit(1e-9)
+            + F.sum((F.col("pc") - F.col("pr")) * F.log(F.col("pc") / F.col("pr"))),
+            6,
+        ).alias("psi"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+@query(
+    "drift_ks_value",
+    """
+    WITH tagged AS (
+      SELECT value,
+             CAST(ts AS DATE) >= DATE '2024-01-16' AS recent
+      FROM events WHERE value IS NOT NULL),
+    tot AS (
+      SELECT SUM(CASE WHEN recent THEN 0 ELSE 1 END) AS t_ref,
+             SUM(CASE WHEN recent THEN 1 ELSE 0 END) AS t_cur
+      FROM tagged),
+    steps AS (
+      SELECT value,
+             SUM(CASE WHEN recent THEN 0 ELSE 1 END) OVER w AS c_ref,
+             SUM(CASE WHEN recent THEN 1 ELSE 0 END) OVER w AS c_cur
+      FROM tagged
+      WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING))
+    SELECT ROUND(1e-9 + MAX(ABS(c_ref * 1.0 / t_ref - c_cur * 1.0 / t_cur)),
+                 6) AS ks_stat
+    FROM steps, tot
+    """,
+)
+def q_drift_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the two halves of
+    the window: max gap between the empirical CDFs, computed as running
+    conditional counts over the value-ordered stream.  The global
+    ordered window is the honest cost — at 100 TB, bucket the values
+    first (the PSI query's shape) or sample; exact KS needs a sort by
+    construction."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    tagged = ev.select(
+        "value", (F.to_date("ts") >= F.lit("2024-01-16")).alias("recent")
+    )
+    tot = tagged.agg(
+        F.sum(F.when(~F.col("recent"), 1).otherwise(0)).alias("t_ref"),
+        F.sum(F.when(F.col("recent"), 1).otherwise(0)).alias("t_cur"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    steps = tagged.select(
+        F.sum(F.when(~F.col("recent"), 1).otherwise(0)).over(w).alias("c_ref"),
+        F.sum(F.when(F.col("recent"), 1).otherwise(0)).over(w).alias("c_cur"),
+    )
+    return steps.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            F.lit(1e-9)
+            + F.max(
+                F.abs(
+                    F.col("c_ref") / F.col("t_ref")
+                    - F.col("c_cur") / F.col("t_cur")
+                )
+            ),
+            6,
+        ).alias("ks_stat")
+    )
+
+
+@query(
+    "lift_deciles",
+    """
+    WITH scored AS (
+      SELECT value, (event_type = 'purchase') AS actual
+      FROM events WHERE value IS NOT NULL),
+    d AS (
+      SELECT actual, NTILE(10) OVER (ORDER BY value DESC, actual) AS decile
+      FROM scored),
+    base AS (
+      SELECT AVG(CASE WHEN actual THEN 1.0 ELSE 0.0 END) AS rate FROM scored)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1e-9 + AVG(CASE WHEN actual THEN 1.0 ELSE 0.0 END), 4)
+             AS purchase_rate,
+           ROUND(1e-9 + AVG(CASE WHEN actual THEN 1.0 ELSE 0.0 END)
+                 / (SELECT rate FROM base), 4) AS lift
+    FROM d GROUP BY decile
+    """,
+)
+def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift chart for 'value' as a purchase-propensity score:
+    NTILE(10) by descending score, per-decile conversion rate over the
+    base rate — the model-quality report every ranking model ships
+    with.  NTILE is a global ordered window; at scale replace with
+    percentile-bucket assignment from one approx-quantile pass (the
+    equi_depth_histogram shape)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    scored = ev.select(
+        "value", (F.col("event_type") == "purchase").alias("actual")
+    )
+    d = scored.select(
+        "actual",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("value"), F.asc("actual")))
+        .alias("decile"),
+    )
+    base = scored.agg(
+        F.avg(F.when(F.col("actual"), 1.0).otherwise(0.0)).alias("rate")
+    )
+    per = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.when(F.col("actual"), 1.0).otherwise(0.0)).alias("pr"),
+    )
+    return per.crossJoin(F.broadcast(base)).select(
+        "decile",
+        "n",
+        r4(F.col("pr")).alias("purchase_rate"),
+        r4(F.col("pr") / F.col("rate")).alias("lift"),
+    )
+
+
+@query(
+    "ab_test_zstat",
+    """
+    WITH assign AS (
+      SELECT user_id,
+             ((user_id % 2147483648) * 2654435761) % 4294967296
+               < 2147483648 AS in_a,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    g AS (
+      SELECT CASE WHEN in_a THEN 'A' ELSE 'B' END AS arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM assign GROUP BY CASE WHEN in_a THEN 'A' ELSE 'B' END),
+    w AS (
+      SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+             MAX(CASE WHEN arm = 'A' THEN conv END) AS ca,
+             MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+             MAX(CASE WHEN arm = 'B' THEN conv END) AS cb
+      FROM g),
+    s AS (
+      SELECT na, ca, nb, cb,
+             ca * 1.0 / na AS pa, cb * 1.0 / nb AS pb,
+             (ca + cb) * 1.0 / (na + nb) AS pp
+      FROM w)
+    SELECT na, CAST(ca AS BIGINT) AS conv_a,
+           nb, CAST(cb AS BIGINT) AS conv_b,
+           ROUND(1e-9 + pa, 4) AS rate_a,
+           ROUND(1e-9 + pb, 4) AS rate_b,
+           ROUND(1e-9 + (pa - pb)
+                 / NULLIF(SQRT(pp * (1 - pp) * (1.0 / na + 1.0 / nb)), 0),
+                 4) AS z_stat
+    FROM s
+    """,
+)
+def q_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation primitive: deterministic 50/50 hash split of
+    users (the portable unit hash, so assignment is reproducible and
+    oracle-identical), per-user conversion flag, two-proportion pooled
+    z-test between arms.  Everything is two aggregates; an A/A test on
+    this data should hover near z=0 — the engine-level sanity check
+    every experimentation platform runs before trusting its bucketing."""
+    ev = _t(spark, sf_dir, "events")
+    in_a = (
+        (F.col("user_id") % F.lit(2147483648)) * F.lit(2654435761)
+        % F.lit(4294967296)
+    ) < F.lit(2147483648)
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).withColumn("in_a", in_a)
+    g = assign.groupBy(
+        F.when(F.col("in_a"), "A").otherwise("B").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    w = g.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("cb"),
+    )
+    pa = F.col("ca") / F.col("na")
+    pb = F.col("cb") / F.col("nb")
+    pp = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb"))
+    z = (pa - pb) / F.nullif(
+        F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+        F.lit(0.0),
+    )
+    return w.select(
+        "na",
+        F.col("ca").alias("conv_a"),
+        "nb",
+        F.col("cb").alias("conv_b"),
+        r4(pa).alias("rate_a"),
+        r4(pb).alias("rate_b"),
+        r4(z).alias("z_stat"),
+    )

@@ -158,3 +158,45 @@ def test_dedup_mean_matches_plain_mean(spark, rows):
         assert math.isclose(
             out[k], sum(vals) / len(vals), rel_tol=1e-9, abs_tol=1e-6
         )
+
+
+def test_statistical_invariants_sf0001(spark):
+    """Mathematical invariants of the statistics family, checked on real
+    testdata: PSI >= 0 (it is a symmetrized KL divergence), KS in
+    [0, 1], per-user entropy in [0, ln(#event_types)], winsorized mean
+    inside [p05, p95], and decile conversion rates averaging back to the
+    base rate (lift ~ 1 overall)."""
+    import math
+
+    import __spark_entry__ as e
+
+    q = e.queries()
+    sf = "/root/testdata/sf0.001"
+
+    psi = q["drift_psi_value"](spark, sf).collect()[0]
+    assert psi["psi"] >= 0.0
+
+    ks = q["drift_ks_value"](spark, sf).collect()[0]
+    assert 0.0 <= ks["ks_stat"] <= 1.0
+
+    ent = q["entropy_event_types"](spark, sf).collect()[0]
+    from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+
+    n_types = (
+        read_sf_table(spark, sf, "events")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    assert 0.0 <= ent["min_entropy"] <= ent["avg_entropy"]
+    assert ent["max_entropy"] <= math.log(max(n_types, 2)) + 1e-6
+
+    for r in q["winsorized_mean_price"](spark, sf).collect():
+        assert r["p05"] - 1e-6 <= r["winsorized_mean"] <= r["p95"] + 1e-6
+
+    rows = q["lift_deciles"](spark, sf).collect()
+    n_tot = sum(r["n"] for r in rows)
+    overall = sum(r["n"] * r["purchase_rate"] for r in rows) / n_tot
+    lift_avg = sum(r["n"] * r["lift"] for r in rows) / n_tot
+    assert abs(lift_avg - 1.0) < 0.02
+    assert overall > 0
