@@ -1310,3 +1310,106 @@ def q_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(pb).alias("rate_b"),
         r4(z).alias("z_stat"),
     )
+
+
+@query(
+    "survival_km_repeat_purchase",
+    """
+    WITH p AS (
+      SELECT user_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'),
+    horizon AS (SELECT MAX(ts) AS hi FROM events),
+    spans AS (
+      SELECT f.user_id,
+             CAST(FLOOR((EPOCH(COALESCE(s.ts, h.hi)) - EPOCH(f.ts))
+                        / 86400.0) AS INT) AS dur_d,
+             CASE WHEN s.ts IS NULL THEN 0 ELSE 1 END AS ev
+      FROM (SELECT user_id, ts FROM p WHERE rn = 1) f
+      LEFT JOIN (SELECT user_id, ts FROM p WHERE rn = 2) s
+        USING (user_id)
+      CROSS JOIN horizon h),
+    agg AS (
+      SELECT dur_d, COUNT(*) AS leaving, SUM(ev) AS deaths
+      FROM spans GROUP BY dur_d),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM spans),
+    risk AS (
+      SELECT dur_d, deaths,
+             n - COALESCE(SUM(leaving) OVER (ORDER BY dur_d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk
+      FROM agg, t),
+    km AS (
+      SELECT dur_d, deaths, at_risk,
+             EXP(SUM(LN(GREATEST(1.0 - deaths * 1.0 / at_risk, 1e-300)))
+                 OVER (ORDER BY dur_d)) AS s
+      FROM risk)
+    SELECT dur_d AS day,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(deaths AS BIGINT) AS deaths,
+           ROUND(1e-9 + s, 6) AS survival
+    FROM km WHERE deaths > 0
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival of "time to repeat purchase" (first→second
+    purchase; users without a second purchase are right-censored at the
+    corpus horizon).  The product-limit estimator runs as windows over
+    the per-DAY aggregate — risk set from a running sum, the cumulative
+    product as exp(Σ ln), floored at 1e-300 so a fully-depleted risk
+    set stays finite identically on both engines.  The windows order a
+    frame of distinct durations (≤ horizon days), never raw events, so
+    the single-partition sort is bounded regardless of corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wp))
+    )
+    hi = ev.agg(F.max("ts").alias("hi"))
+    f = p.where(F.col("rn") == 1).select("user_id", F.col("ts").alias("t0"))
+    s = p.where(F.col("rn") == 2).select("user_id", F.col("ts").alias("t1"))
+    from advanced_etl_pipelines_spark.functions.features import epoch_seconds
+
+    spans = (
+        f.join(s, "user_id", "left")
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.floor(
+                (
+                    epoch_seconds(F.coalesce("t1", "hi"))
+                    - epoch_seconds("t0")
+                )
+                / 86400.0
+            )
+            .cast("int")
+            .alias("dur_d"),
+            F.when(F.col("t1").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    agg = spans.groupBy("dur_d").agg(
+        F.count(F.lit(1)).alias("leaving"), F.sum("ev").alias("deaths")
+    )
+    n = spans.count()
+    wprev = Window.orderBy("dur_d").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wcum = Window.orderBy("dur_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = F.lit(n) - F.coalesce(
+        F.sum("leaving").over(wprev), F.lit(0)
+    )
+    factor = F.greatest(
+        F.lit(1.0) - F.col("deaths") / at_risk, F.lit(1e-300)
+    )
+    km = agg.withColumn("at_risk", at_risk).withColumn(
+        "s", F.exp(F.sum(F.log(factor)).over(wcum))
+    )
+    return km.where(F.col("deaths") > 0).select(
+        F.col("dur_d").alias("day"),
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.col("deaths").cast("long").alias("deaths"),
+        F.round(F.lit(1e-9) + F.col("s"), 6).alias("survival"),
+    )
