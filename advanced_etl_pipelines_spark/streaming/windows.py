@@ -244,3 +244,64 @@ def enrich_with_static(
     construction — a dimension or per-key feature table; if it outgrows
     broadcast, pre-bucket both sides on the join key."""
     return stream_df.join(F.broadcast(static_df), list(on), how)
+
+
+def start_medallion_stream(
+    stream_df: DataFrame,
+    bronze_path: str,
+    silver_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Dual-sink micro-batch pipeline with end-to-end idempotency — the
+    streaming medallion pattern (raw->staged->rollup is the reference's
+    batch layout, `SURVEY.md §1.1`; this is its incremental form):
+
+    1. bronze: the batch lands under ``batch=<id>/`` with mode
+       overwrite, so a redelivered batch replaces itself byte-for-byte
+       instead of duplicating;
+    2. silver: the (day, event_type) rollup is NOT incremented —
+       incremental += double-counts on redelivery.  Instead the days
+       touched by this batch are re-aggregated FROM bronze (the source
+       of truth) and upserted by key.  Recompute-touched-partitions is
+       what makes the rollup exactly-once under at-least-once delivery,
+       with cost bounded by the touched days, not table size."""
+    from advanced_etl_pipelines_spark.sources.sinks import upsert_parquet
+
+    stream_df = ensure_event_time(stream_df, ts_col)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_df.write.mode("overwrite").parquet(
+            f"{bronze_path}/batch={batch_id}"
+        )
+        days = [
+            r["d"]
+            for r in batch_df.select(
+                F.to_date(ts_col).alias("d")
+            ).distinct().collect()
+        ]
+        bronze = spark.read.option("basePath", bronze_path).parquet(
+            bronze_path
+        )
+        rollup = (
+            bronze.where(F.to_date(ts_col).isin(days))
+            .groupBy(F.to_date(ts_col).alias("d"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+        )
+        upsert_parquet(spark, rollup, silver_path, ["d", "event_type"])
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

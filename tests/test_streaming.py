@@ -217,3 +217,57 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
     assert got <= expected, "stream emitted a session batch never saw"
     assert closed <= got, "a watermark-closed session was never emitted"
     assert len(got) > 0
+
+
+def test_medallion_stream_idempotent_rollup(spark, tmp_path):
+    """Bronze + recompute-touched-days silver rollup: the final rollup
+    equals a batch recompute over all events, and re-running the whole
+    stream from a fresh checkpoint (simulated redelivery of every
+    batch) leaves the rollup unchanged."""
+    from advanced_etl_pipelines_spark.streaming.windows import (
+        start_medallion_stream,
+    )
+
+    events = read_sf_table(spark, SF, "events")
+    src = str(tmp_path / "landing")
+    events.write.parquet(src)
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+
+    def run(ckpt: str) -> None:
+        stream = file_event_stream(
+            spark, src, spark.read.parquet(src).schema,
+            max_files_per_trigger=4,
+        )
+        q = start_medallion_stream(
+            stream, bronze, silver, str(tmp_path / ckpt)
+        )
+        _await(q)
+
+    run("ckpt1")
+    want = {
+        (r["d"], r["event_type"], r["n_events"], round(r["sum_value"], 6))
+        for r in events.groupBy(
+            F.to_date(F.col("ts").cast("timestamp")).alias("d"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .collect()
+    }
+    got1 = {
+        (r["d"], r["event_type"], r["n_events"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(silver).collect()
+    }
+    assert got1 == want
+
+    # full redelivery: fresh checkpoint replays every batch
+    run("ckpt2")
+    got2 = {
+        (r["d"], r["event_type"], r["n_events"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(silver).collect()
+    }
+    assert got2 == want
