@@ -594,3 +594,50 @@ def q_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(est(inter) / est(union)).alias("jaccard"),
         )
     )
+
+
+@query("cms_frequency_rollup")  # count-min sketch — rows-only; relative
+# error asserted in-query against exact counts
+def q_cms_frequency_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency rollup — the 4th mergeable sketch next
+    to HLL (distincts), KLL (quantiles) and Theta (set algebra): per-DAY
+    CMS sketches of event_type (eps=0.005, conf=0.99) merge
+    associatively into the monthly sketch, then point-estimate each
+    type's frequency.  At 100 TB the daily sketches are a few KB each
+    regardless of row count — frequency monitoring without re-scanning
+    history.  Output compares estimate vs exact (the CMS guarantee:
+    over-estimate only, within eps·total at the stated confidence)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.expr(
+            "count_min_sketch(event_type, 0.005d, 0.99d, 42)"
+        ).alias("sk")
+    )
+    rows = daily.collect()
+    jvm = spark.sparkContext._jvm
+    CMS = jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged = None
+    for r in rows:
+        sk = CMS.readFrom(bytes(r["sk"]))
+        if merged is None:
+            merged = sk
+        else:
+            merged.mergeInPlace(sk)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out = [
+        (
+            t,
+            int(merged.estimateCount(t)),
+            int(n),
+            float(merged.estimateCount(t) - n) / n,
+        )
+        for t, n in sorted(exact.items())
+    ]
+    return spark.createDataFrame(
+        out, "event_type string, est_count bigint, exact_count bigint, rel_overestimate double"
+    )

@@ -209,3 +209,19 @@ def test_theta_audience_overlap_close_to_exact(spark):
         assert abs(n_a - len(sa)) / len(sa) < 0.05
         assert abs(n_both - len(sa & sb)) / max(len(sa & sb), 1) < 0.08
         assert abs(n_any - len(sa | sb)) / len(sa | sb) < 0.05
+
+
+def test_cms_overestimates_within_bound(spark):
+    """Count-min guarantees: estimates never under-count, and the
+    merged-sketch over-estimate stays within eps*total (eps=0.005, 99%
+    confidence) of the exact frequency."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["cms_frequency_rollup"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    total = sum(r["exact_count"] for r in rows)
+    for r in rows:
+        assert r["est_count"] >= r["exact_count"], r
+        assert r["est_count"] - r["exact_count"] <= 0.005 * total + 1, r
