@@ -173,3 +173,105 @@ def write_zorder_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def global_running_sums(
+    df: DataFrame,
+    order_by: Sequence,
+    sum_cols: Sequence[str],
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Distributed prefix sum: global running totals of ``sum_cols`` in
+    ``order_by`` order WITHOUT a single-partition global window.
+
+    The classic scalable decomposition:
+
+    1. range-partition on the order keys (equal keys co-located, ranges
+       ordered across partitions), then eagerly materialize — pins the
+       sampled range boundaries and ``spark_partition_id`` so the two
+       consumers below see one consistent assignment;
+    2. per-partition subtotal frame (``n_parts`` rows) with an exclusive
+       running offset — the only unpartitioned window in the plan runs
+       over partition-count rows, bounded by cluster width, not data;
+    3. broadcast the offsets back and add them to per-partition running
+       sums (each window is partitioned by ``__pid``).
+
+    Output = ``df`` plus one ``cum_<col>`` per sum column.  ``order_by``
+    must be a total order over the rows (callers pass pre-aggregated
+    per-distinct-key frames, where the key itself is unique) or the
+    running sums are not reproducible.
+
+    Replaces the round-1 single-partition ``Window.orderBy(...)`` pattern
+    flagged in VERDICT.md (equi-depth NTILE, exact KS, lift deciles):
+    same answers, but the sort is ``n_parts``-way parallel and no
+    executor ever holds more than its own range.
+    """
+    if n_parts is None:
+        n_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    d = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    ptot = d.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+    )
+    from pyspark.sql.window import Window
+
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = ptot.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(woff), F.lit(0)).alias(
+                f"__off_{c}"
+            )
+            for c in sum_cols
+        ],
+    )
+    wrun = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = d.join(F.broadcast(off), "__pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}", F.sum(c).over(wrun) + F.col(f"__off_{c}")
+        )
+    return out.drop("__pid", *[f"__off_{c}" for c in sum_cols])
+
+
+def top_k_global(df: DataFrame, order_by: Sequence, k: int) -> DataFrame:
+    """Two-level exact top-k: per-partition prune to k rows, then a
+    global rank over the <= k * n_partitions survivors.
+
+    Any row in the global top-k is necessarily in its partition's local
+    top-k, so the survivor set is a superset of the answer and the final
+    ``row_number`` window — the only unpartitioned one — runs over a
+    frame bounded by k x cluster width, not by data volume.  ``order_by``
+    must be a deterministic total order (tie-break on the key) for the
+    rank values to be reproducible; under that condition the survivors'
+    global ranks equal their ranks within the survivor frame, because
+    every better-ranked row also survives.
+
+    Output = ``df`` filtered to the top-k rows plus a global ``rnk``
+    column (1-based).  Replaces the round-1 unpartitioned
+    ``row_number`` top-V vocabulary pattern flagged in VERDICT.md.
+    """
+    from pyspark.sql.window import Window
+
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    wlocal = Window.partitionBy(F.spark_partition_id()).orderBy(*order_cols)
+    pruned = (
+        df.withColumn("__lrnk", F.row_number().over(wlocal))
+        .where(F.col("__lrnk") <= k)
+        .drop("__lrnk")
+    )
+    wglobal = Window.orderBy(*order_cols)
+    return (
+        pruned.withColumn("rnk", F.row_number().over(wglobal))
+        .where(F.col("rnk") <= k)
+    )

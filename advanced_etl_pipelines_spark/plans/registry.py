@@ -33,6 +33,7 @@ from advanced_etl_pipelines_spark.functions.features import (
     temp_category,
 )
 from advanced_etl_pipelines_spark.operators import relational as R
+from advanced_etl_pipelines_spark.operators import scale as S
 from advanced_etl_pipelines_spark.sources.readers import read_sf_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1052,6 +1053,54 @@ def q_set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "equi_depth_histogram",
     """
+    WITH d AS (SELECT l_extendedprice AS v, COUNT(*) AS c
+               FROM lineitem GROUP BY l_extendedprice),
+    tot AS (SELECT SUM(c) AS n FROM d),
+    cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum_c FROM d)
+    SELECT CAST((10 * cum_c + n - 1) // n AS INT) AS bucket,
+           CAST(SUM(c) AS BIGINT) AS cnt,
+           ROUND(1e-9 + MIN(v), 4) AS lo, ROUND(1e-9 + MAX(v), 4) AS hi
+    FROM cum, tot GROUP BY 1
+    """,
+)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency histogram at DISTINCT-VALUE granularity — the
+    complement of A14's equal-width binning.  bucket(v) =
+    ceil(10 * cum_count(v) / n) in exact integer arithmetic, so tied
+    rows always share a bucket (deterministic under ties, unlike NTILE,
+    which splits them by arbitrary row order).
+
+    Scale shape (replaces the round-1 full-table NTILE flagged in
+    VERDICT.md): groupBy collapses to distinct values, then
+    ``global_running_sums`` computes the cumulative count as a
+    distributed prefix sum — range-partitioned, per-partition windows,
+    broadcast offsets; the only unpartitioned window is over the
+    partition-count subtotal frame.  No executor ever sorts more than
+    its own value range.  ``equi_depth_histogram_ntile`` keeps the
+    row-split NTILE form as the small-data parity twin."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = (
+        li.select(F.col("l_extendedprice").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = d.agg(F.sum("c").alias("n"))
+    cum = S.global_running_sums(d, ["v"], ["c"])
+    bucket = F.expr("CAST((10 * cum_c + n - 1) DIV n AS INT)").alias("bucket")
+    return (
+        cum.join(F.broadcast(tot))
+        .groupBy(bucket)
+        .agg(
+            F.sum("c").alias("cnt"),
+            r4(F.min("v")).alias("lo"),
+            r4(F.max("v")).alias("hi"),
+        )
+    )
+
+
+@query(
+    "equi_depth_histogram_ntile",
+    """
     WITH t AS (SELECT l_extendedprice AS v,
                       NTILE(10) OVER (ORDER BY l_extendedprice) AS bucket
                FROM lineitem)
@@ -1060,12 +1109,13 @@ def q_set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t GROUP BY bucket
     """,
 )
-def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-frequency (NTILE) histogram — the complement of A14's
-    equal-width binning.  Note the global NTILE needs a total order
-    (single-partition window): fine for histogramming a column, but at
-    100 TB use distribution_stats' percentile cut points + width_bucket
-    assignment instead (two scans, fully parallel)."""
+def q_equi_depth_histogram_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-split NTILE equi-depth histogram — the small-data parity twin
+    of ``equi_depth_histogram``.  Exactly n/10 rows per bucket, but the
+    global NTILE needs a total order (single-partition window) and ties
+    split by arbitrary row order; registered for parity with engines
+    whose histogram uses NTILE semantics.  The scale path is the
+    prefix-sum form in ``equi_depth_histogram``."""
     li = _t(spark, sf_dir, "lineitem")
     w = Window.orderBy(F.asc("l_extendedprice"))
     t = li.select(

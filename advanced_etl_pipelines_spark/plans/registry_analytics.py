@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from advanced_etl_pipelines_spark.functions import text as T
+from advanced_etl_pipelines_spark.operators import scale as S
 from advanced_etl_pipelines_spark.plans.registry import _t, query, r2, r4
 
 
@@ -310,9 +311,17 @@ def q_heavy_hitters_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration: the heaviest parts up to 1% of cumulative
     revenue share, with running share.  The global ordered window runs
     on the PRE-AGGREGATED per-part frame (|parts|, not |lineitem|), and
-    only that frame sorts on one partition — at 100 TB the rollup output
-    is still ~millions of rows, where a driver-side top-k or a two-level
-    (per-partition prune, then global) pass keeps the same answer."""
+    only the PRUNED survivor frame sorts on one partition.
+
+    Two-level pass (the round-1 docstring mitigation, now the
+    implementation): each partition computes its LOCAL running share in
+    (rev desc, key) order and keeps only rows whose local
+    cum - rev <= 1% of the broadcast global total.  A row's local
+    predecessors are a subset of its global predecessors, so
+    local cum <= global cum and every true answer row survives the
+    prune; the global window then runs over ~(result x n_partitions)
+    rows, bounded by the answer size times cluster width — not by
+    |parts|, which is ~20M at 100x."""
     li = _t(spark, sf_dir, "lineitem")
     s = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -320,8 +329,18 @@ def q_heavy_hitters_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = s.agg(F.sum("rev").alias("tot"))
+    wl = Window.partitionBy("__pid").orderBy(
+        F.desc("rev"), F.asc("l_partkey")
+    )
+    pruned = (
+        s.withColumn("__pid", F.spark_partition_id())
+        .join(F.broadcast(tot))
+        .withColumn("lcum", F.sum("rev").over(wl))
+        .where(F.col("lcum") - F.col("rev") <= F.col("tot") * 0.01)
+        .drop("__pid", "lcum")
+    )
     w = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
-    r = s.join(F.broadcast(tot)).withColumn("cum", F.sum("rev").over(w))
+    r = pruned.withColumn("cum", F.sum("rev").over(w))
     return r.where(
         F.col("cum") - F.col("rev") <= F.col("tot") * 0.01
     ).select(
@@ -776,7 +795,9 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix.  The model (token likelihoods, priors, totals) is a handful
     of small aggregate frames that broadcast into the scoring join; the
     corpus-side token stream shuffles once for the per-(doc, candidate)
-    log-likelihood sum.  Unseen-in-class tokens get the +1 floor via the
+    log-likelihood sum.  The top-2000 vocabulary is an exact two-level
+    top-k (``top_k_global``) — no window over the corpus-scale term
+    frame.  Unseen-in-class tokens get the +1 floor via the
     left join's COALESCE — semantics identical on both engines, so the
     whole classifier is oracle-checked."""
     docs = _t(spark, sf_dir, "documents")
@@ -784,14 +805,11 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "lang", F.explode(T.word_tokens("text")).alias("token")
     )
-    wv = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    vocab = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rn", F.row_number().over(wv))
-        .where(F.col("rn") <= 2000)
-        .select("token")
-    )
+    vocab = S.top_k_global(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")),
+        [F.desc("cnt"), F.asc("token")],
+        2000,
+    ).select("token")
     langs = docs.select("lang").distinct().withColumnRenamed("lang", "cand")
     dt = tok.join(F.broadcast(vocab), "token").select(
         "doc_id", F.col("lang").alias("actual"), "token"
@@ -1013,21 +1031,17 @@ def q_zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     on ln(rank) over the top-1000 terms — slope = −α (natural English
     runs α ≈ 1; big deviations flag synthetic/boilerplate corpora, a
     standard pretraining-data health check).  One token explode, one
-    vocab aggregate, one ordered window on the 1000-row frame, then a
+    vocab aggregate, an exact two-level top-k (``top_k_global`` — ranks
+    of survivors equal their global ranks, so ln(rank) is exact), then a
     closed-form simple regression — all single-pass aggregates."""
     toks = _t(spark, sf_dir, "documents").select(
         F.explode(T.word_tokens("text")).alias("token")
     )
-    wv = Window.orderBy(F.desc("freq"), F.asc("token"))
-    v = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn("rnk", F.row_number().over(wv))
-        .where(F.col("rnk") <= 1000)
-        .select(
-            F.log("rnk").alias("x"), F.log("freq").alias("y")
-        )
-    )
+    v = S.top_k_global(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq")),
+        [F.desc("freq"), F.asc("token")],
+        1000,
+    ).select(F.log("rnk").alias("x"), F.log("freq").alias("y"))
     m = v.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("x").alias("mx"),
@@ -1124,16 +1138,16 @@ def q_drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT value,
              CAST(ts AS DATE) >= DATE '2024-01-16' AS recent
       FROM events WHERE value IS NOT NULL),
-    tot AS (
-      SELECT SUM(CASE WHEN recent THEN 0 ELSE 1 END) AS t_ref,
-             SUM(CASE WHEN recent THEN 1 ELSE 0 END) AS t_cur
-      FROM tagged),
-    steps AS (
+    d AS (
       SELECT value,
-             SUM(CASE WHEN recent THEN 0 ELSE 1 END) OVER w AS c_ref,
-             SUM(CASE WHEN recent THEN 1 ELSE 0 END) OVER w AS c_cur
-      FROM tagged
-      WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING))
+             SUM(CASE WHEN recent THEN 0 ELSE 1 END) AS n_ref,
+             SUM(CASE WHEN recent THEN 1 ELSE 0 END) AS n_cur
+      FROM tagged GROUP BY value),
+    tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM d),
+    steps AS (
+      SELECT SUM(n_ref) OVER w AS c_ref,
+             SUM(n_cur) OVER w AS c_cur
+      FROM d WINDOW w AS (ORDER BY value))
     SELECT ROUND(1e-9 + MAX(ABS(c_ref * 1.0 / t_ref - c_cur * 1.0 / t_cur)),
                  6) AS ks_stat
     FROM steps, tot
@@ -1141,25 +1155,109 @@ def q_drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_drift_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic between the two halves of
-    the window: max gap between the empirical CDFs, computed as running
-    conditional counts over the value-ordered stream.  The global
-    ordered window is the honest cost — at 100 TB, bucket the values
-    first (the PSI query's shape) or sample; exact KS needs a sort by
-    construction."""
+    the window: sup-gap between the empirical CDFs.
+
+    The CDFs step only at distinct values, so the running counts are
+    computed on the per-DISTINCT-VALUE aggregate (groupBy value ->
+    n_ref/n_cur, then running sums ordered by value).  That is both the
+    textbook definition (ties are CDF peers, so the round-1 per-row ROWS
+    frame was tie-order nondeterministic — ADVICE.md) and the scale fix:
+    the running sums come from ``global_running_sums``' distributed
+    prefix sum (range-partitioned windows + broadcast offsets), so no
+    single-partition full-data sort exists in the plan.  The bucketed
+    approximation for when even the distinct-value frame is huge is
+    ``drift_ks_bucketed``."""
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     tagged = ev.select(
         "value", (F.to_date("ts") >= F.lit("2024-01-16")).alias("recent")
     )
-    tot = tagged.agg(
-        F.sum(F.when(~F.col("recent"), 1).otherwise(0)).alias("t_ref"),
-        F.sum(F.when(F.col("recent"), 1).otherwise(0)).alias("t_cur"),
+    d = tagged.groupBy("value").agg(
+        F.sum(F.when(~F.col("recent"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("recent"), 1).otherwise(0)).alias("n_cur"),
     )
-    w = Window.orderBy("value").rowsBetween(
+    tot = d.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    steps = S.global_running_sums(d, ["value"], ["n_ref", "n_cur"])
+    return steps.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            F.lit(1e-9)
+            + F.max(
+                F.abs(
+                    F.col("cum_n_ref") / F.col("t_ref")
+                    - F.col("cum_n_cur") / F.col("t_cur")
+                )
+            ),
+            6,
+        ).alias("ks_stat")
+    )
+
+
+@query(
+    "drift_ks_bucketed",
+    """
+    WITH tagged AS (
+      SELECT value,
+             CAST(ts AS DATE) >= DATE '2024-01-16' AS recent
+      FROM events WHERE value IS NOT NULL),
+    b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM tagged),
+    binned AS (
+      SELECT recent,
+             LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 64.0)) AS INT), 63)
+               AS bucket
+      FROM tagged, b),
+    d AS (
+      SELECT bucket,
+             SUM(CASE WHEN recent THEN 0 ELSE 1 END) AS n_ref,
+             SUM(CASE WHEN recent THEN 1 ELSE 0 END) AS n_cur
+      FROM binned GROUP BY bucket),
+    tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM d),
+    steps AS (
+      SELECT SUM(n_ref) OVER w AS c_ref,
+             SUM(n_cur) OVER w AS c_cur
+      FROM d WINDOW w AS (ORDER BY bucket))
+    SELECT ROUND(1e-9 + MAX(ABS(c_ref * 1.0 / t_ref - c_cur * 1.0 / t_cur)),
+                 6) AS ks_stat
+    FROM steps, tot
+    """,
+)
+def q_drift_ks_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-CDF KS approximation (PSI's conditional-aggregate
+    shape): 64 equal-width buckets over [min, max], CDFs evaluated at
+    bucket upper edges, max gap.  One bounds scan + one groupBy — no
+    ordered window over anything bigger than the 64-row bucket frame.
+    Underestimates exact KS by at most the largest within-bucket CDF
+    variation (parity vs the exact form pinned in
+    tests/test_registry_smoke.py); this is the form to reach for when
+    even the distinct-value frame of ``drift_ks_value`` is corpus-scale."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    tagged = ev.select(
+        "value", (F.to_date("ts") >= F.lit("2024-01-16")).alias("recent")
+    )
+    b = tagged.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = tagged.crossJoin(F.broadcast(b)).select(
+        "recent",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(64.0))
+            ).cast("int"),
+            F.lit(63),
+        ).alias("bucket"),
+    )
+    d = binned.groupBy("bucket").agg(
+        F.sum(F.when(~F.col("recent"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("recent"), 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = d.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    steps = tagged.select(
-        F.sum(F.when(~F.col("recent"), 1).otherwise(0)).over(w).alias("c_ref"),
-        F.sum(F.when(F.col("recent"), 1).otherwise(0)).over(w).alias("c_cur"),
+    steps = d.select(
+        F.sum("n_ref").over(w).alias("c_ref"),
+        F.sum("n_cur").over(w).alias("c_cur"),
     )
     return steps.crossJoin(F.broadcast(tot)).agg(
         F.round(
@@ -1182,48 +1280,59 @@ def q_drift_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT value, (event_type = 'purchase') AS actual
       FROM events WHERE value IS NOT NULL),
     d AS (
-      SELECT actual, NTILE(10) OVER (ORDER BY value DESC, actual) AS decile
-      FROM scored),
-    base AS (
-      SELECT AVG(CASE WHEN actual THEN 1.0 ELSE 0.0 END) AS rate FROM scored)
-    SELECT decile,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(1e-9 + AVG(CASE WHEN actual THEN 1.0 ELSE 0.0 END), 4)
-             AS purchase_rate,
-           ROUND(1e-9 + AVG(CASE WHEN actual THEN 1.0 ELSE 0.0 END)
-                 / (SELECT rate FROM base), 4) AS lift
-    FROM d GROUP BY decile
+      SELECT value, COUNT(*) AS c,
+             SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS conv
+      FROM scored GROUP BY value),
+    tot AS (SELECT SUM(c) AS nn, SUM(conv) * 1.0 / SUM(c) AS rate FROM d),
+    cum AS (SELECT value, c, conv,
+                   SUM(c) OVER (ORDER BY value DESC) AS cum_c
+            FROM d)
+    SELECT CAST((10 * cum_c + nn - 1) // nn AS INT) AS decile,
+           CAST(SUM(c) AS BIGINT) AS n,
+           ROUND(1e-9 + SUM(conv) * 1.0 / SUM(c), 4) AS purchase_rate,
+           ROUND(1e-9 + (SUM(conv) * 1.0 / SUM(c)) / rate, 4) AS lift
+    FROM cum, tot GROUP BY 1, rate
     """,
 )
 def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile lift chart for 'value' as a purchase-propensity score:
-    NTILE(10) by descending score, per-decile conversion rate over the
-    base rate — the model-quality report every ranking model ships
-    with.  NTILE is a global ordered window; at scale replace with
-    percentile-bucket assignment from one approx-quantile pass (the
-    equi_depth_histogram shape)."""
+    deciles by descending score, per-decile conversion rate over the
+    base rate — the model-quality report every ranking model ships with.
+
+    Deciles are cut at DISTINCT-SCORE granularity — decile(v) =
+    ceil(10 * cum_count(v) / n) over descending score, exact integer
+    arithmetic — so equal scores always land in one decile (the honest
+    definition for a ranking metric: a model cannot order ties) and the
+    result is reproducible.  Replaces the round-1 full-table NTILE
+    (VERDICT.md): per-distinct-score aggregate, then
+    ``global_running_sums``' distributed prefix sum for the cumulative
+    count — range-partitioned windows + broadcast offsets, no
+    single-partition sort anywhere in the plan."""
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     scored = ev.select(
         "value", (F.col("event_type") == "purchase").alias("actual")
     )
-    d = scored.select(
-        "actual",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("value"), F.asc("actual")))
-        .alias("decile"),
+    d = scored.groupBy("value").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("actual"), 1).otherwise(0)).alias("conv"),
     )
-    base = scored.agg(
-        F.avg(F.when(F.col("actual"), 1.0).otherwise(0.0)).alias("rate")
+    tot = d.agg(
+        F.sum("c").alias("nn"),
+        (F.sum("conv") / F.sum("c")).alias("rate"),
     )
-    per = d.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg(F.when(F.col("actual"), 1.0).otherwise(0.0)).alias("pr"),
+    cum = S.global_running_sums(d, [F.desc("value")], ["c"])
+    decile = F.expr("CAST((10 * cum_c + nn - 1) DIV nn AS INT)").alias(
+        "decile"
     )
-    return per.crossJoin(F.broadcast(base)).select(
-        "decile",
-        "n",
-        r4(F.col("pr")).alias("purchase_rate"),
-        r4(F.col("pr") / F.col("rate")).alias("lift"),
+    return (
+        cum.join(F.broadcast(tot))
+        .groupBy(decile, F.col("rate"))
+        .agg(
+            F.sum("c").alias("n"),
+            r4(F.sum("conv") / F.sum("c")).alias("purchase_rate"),
+            r4((F.sum("conv") / F.sum("c")) / F.col("rate")).alias("lift"),
+        )
+        .drop("rate")
     )
 
 

@@ -22,6 +22,7 @@ from advanced_etl_pipelines_spark.functions import text as T
 from advanced_etl_pipelines_spark.functions import vectors as V
 from advanced_etl_pipelines_spark.operators import dedup as D
 from advanced_etl_pipelines_spark.operators import multimodal as M
+from advanced_etl_pipelines_spark.operators import scale as SC
 from advanced_etl_pipelines_spark.operators import similarity as S
 from advanced_etl_pipelines_spark.plans.registry import _t, query, r4
 
@@ -821,22 +822,22 @@ def q_oov_rate_topv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocab coverage: build a top-1000 vocabulary by corpus
     frequency (deterministic tie-break on the token), then measure the
     out-of-vocabulary token rate per language — the diagnostic that
-    sizes a vocab before training.  The vocab is top-k over the term
-    aggregate (tiny) and broadcasts; the token stream is scanned once
-    for counting and once for scoring — at 100 TB materialize the
-    tokenized frame if the double explode dominates."""
+    sizes a vocab before training.  The vocab is an exact two-level
+    top-k over the term aggregate (``top_k_global``: per-partition
+    prune, then a global rank over <= k x n_partitions survivors — no
+    window ever sees the full corpus-scale vocabulary) and broadcasts;
+    the token stream is scanned once for counting and once for scoring
+    — at 100 TB materialize the tokenized frame if the double explode
+    dominates."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "lang", F.explode(T.word_tokens("text")).alias("token")
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    vocab = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 1000)
-        .select("token", F.lit(True).alias("in_v"))
-    )
+    vocab = SC.top_k_global(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")),
+        [F.desc("cnt"), F.asc("token")],
+        1000,
+    ).select("token", F.lit(True).alias("in_v"))
     scored = tok.join(F.broadcast(vocab), "token", "left_outer")
     return scored.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_tokens"),

@@ -203,3 +203,33 @@ def test_winsorize_stats_broadcast_back(spark, queries):
     plan = _plan(queries["winsorized_mean_price"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_prefix_sum_queries_no_full_table_global_sort(spark, queries):
+    """The round-1 single-partition global-sort plans (VERDICT.md): the
+    registered forms must be the distributed prefix-sum rewrites —
+    range-partitioned per-partition windows (__pid) with no NTILE over
+    the full table.  The only unpartitioned window left is over the
+    partition-count subtotal frame (bounded by cluster width)."""
+    for name in ("equi_depth_histogram", "drift_ks_value", "lift_deciles"):
+        plan = _plan(queries[name](spark, SF))
+        assert "ntile" not in plan.lower(), name
+        assert "__pid" in plan, name
+
+
+def test_topv_vocab_uses_two_level_topk(spark, queries):
+    """Top-V vocabulary queries must carry the per-partition prune
+    (__lrnk) so no row_number window ever sees the corpus-scale term
+    frame — only the <= k x n_partitions survivor frame."""
+    for name in ("oov_rate_topv", "nb_lang_confusion", "zipf_alpha_fit"):
+        plan = _plan(queries[name](spark, SF))
+        assert "__lrnk" in plan, name
+
+
+def test_heavy_hitters_two_level_prune(spark, queries):
+    """heavy_hitters_cumshare: local running-share prune (lcum over
+    __pid partitions) must precede the global window, so the global
+    sort sees ~answer x n_partitions rows, not |parts|."""
+    plan = _plan(queries["heavy_hitters_cumshare"](spark, SF))
+    assert "__pid" in plan
+    assert "lcum" in plan

@@ -32,3 +32,17 @@ def test_entry_contract(spark):
 
     df = e.entry(spark)
     assert len(df.collect()) > 0
+
+
+def test_drift_ks_bucketed_parity_with_exact(spark):
+    """The bucketed-CDF KS underestimates exact KS by at most the
+    largest within-bucket CDF step; on the testdata the 64-bucket
+    approximation must land within 0.05 absolute of exact."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf = "/root/testdata/sf0.01"
+    exact = qs["drift_ks_value"](spark, sf).collect()[0]["ks_stat"]
+    approx = qs["drift_ks_bucketed"](spark, sf).collect()[0]["ks_stat"]
+    assert approx <= exact + 1e-9
+    assert abs(exact - approx) < 0.05

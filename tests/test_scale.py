@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 
 from advanced_etl_pipelines_spark.operators.scale import (
     bucketed_join,
+    global_running_sums,
     salted_join,
+    top_k_global,
     write_bucketed,
 )
 from advanced_etl_pipelines_spark.sources.readers import read_sf_table
@@ -244,3 +246,52 @@ def test_bloom_runtime_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_global_running_sums_matches_single_window(spark):
+    """Distributed prefix sum == the single-partition window it
+    replaces, on an adversarial frame (duplicate-free keys, negative
+    and zero sums, fewer rows than partitions in some ranges)."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randint(-5, 20)) for i in rnd.sample(range(10_000), 997)]
+    df = spark.createDataFrame(rows, "k INT, v INT")
+    got = {
+        r["k"]: r["cum_v"]
+        for r in global_running_sums(df, ["k"], ["v"], n_parts=7).collect()
+    }
+    acc, want = 0, {}
+    for k, v in sorted(rows):
+        acc += v
+        want[k] = acc
+    assert got == want
+
+
+def test_global_running_sums_desc_order(spark):
+    df = spark.createDataFrame([(i, 1) for i in range(100)], "k INT, c INT")
+    got = {
+        r["k"]: r["cum_c"]
+        for r in global_running_sums(
+            df, [F.desc("k")], ["c"], n_parts=5
+        ).collect()
+    }
+    assert got == {k: 100 - k for k in range(100)}
+
+
+def test_top_k_global_matches_global_rank(spark):
+    """Two-level top-k == global row_number top-k, ranks included,
+    under a deterministic total order with heavy count ties."""
+    rows = [(f"t{i:04d}", i % 17) for i in range(2_000)]
+    df = spark.createDataFrame(rows, "token STRING, cnt INT")
+    got = sorted(
+        (r["rnk"], r["token"], r["cnt"])
+        for r in top_k_global(
+            df, [F.desc("cnt"), F.asc("token")], 25
+        ).collect()
+    )
+    want_order = sorted(rows, key=lambda t: (-t[1], t[0]))[:25]
+    want = sorted(
+        (i + 1, tok, cnt) for i, (tok, cnt) in enumerate(want_order)
+    )
+    assert got == want
