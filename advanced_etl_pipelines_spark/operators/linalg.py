@@ -155,6 +155,11 @@ def kmeans_lloyd(
     n = src.count()
     if n == 0:
         raise ValueError("kmeans_lloyd: empty input")
+    if n < k:
+        raise ValueError(
+            f"kmeans_lloyd: k={k} exceeds input rows n={n}; "
+            "reduce k or provide more vectors"
+        )
     step = max(n // k, 1)
     seeds = (
         src.orderBy("id")

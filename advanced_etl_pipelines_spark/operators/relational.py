@@ -249,8 +249,15 @@ def histogram2d(
     wb = filtered.crossJoin(F.broadcast(bounds))
     xw = (F.col("xhi") - F.col("xlo")) / F.lit(float(nx))
     yw = (F.col("yhi") - F.col("ylo")) / F.lit(float(ny))
-    xb = F.least(F.floor((x - F.col("xlo")) / xw).cast("int"), F.lit(nx - 1))
-    yb = F.least(F.floor((y - F.col("ylo")) / yw).cast("int"), F.lit(ny - 1))
+    # degenerate-range guard: a constant axis (hi == lo) would make the
+    # divide NULL for every row and silently collapse the histogram into
+    # one null cell — put all rows in bucket 0 instead (ADVICE.md).
+    xb = F.when(F.col("xhi") > F.col("xlo"), F.least(
+        F.floor((x - F.col("xlo")) / xw).cast("int"), F.lit(nx - 1)
+    )).otherwise(F.lit(0))
+    yb = F.when(F.col("yhi") > F.col("ylo"), F.least(
+        F.floor((y - F.col("ylo")) / yw).cast("int"), F.lit(ny - 1)
+    )).otherwise(F.lit(0))
     return (
         wb.withColumn("xbucket", xb)
         .withColumn("ybucket", yb)

@@ -1069,8 +1069,9 @@ def q_zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM tagged),
     binned AS (
       SELECT recent,
-             LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 10.0)) AS INT), 9)
-               AS bucket
+             CASE WHEN hi > lo THEN
+               LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 10.0)) AS INT), 9)
+             ELSE 0 END AS bucket
       FROM tagged, b),
     dist AS (
       SELECT bucket,
@@ -1103,13 +1104,18 @@ def q_drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = tagged.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     wb = tagged.crossJoin(F.broadcast(b))
-    bucket = F.least(
-        F.floor(
-            (F.col("value") - F.col("lo"))
-            / ((F.col("hi") - F.col("lo")) / 10.0)
-        ).cast("int"),
-        F.lit(9),
-    )
+    # degenerate-range guard (ADVICE.md): constant column -> bucket 0,
+    # not an all-NULL bucket from the zero-width divide
+    bucket = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 10.0)
+            ).cast("int"),
+            F.lit(9),
+        ),
+    ).otherwise(F.lit(0))
     dist = wb.groupBy(bucket.alias("bucket")).agg(
         F.sum(F.when(~F.col("recent"), 1).otherwise(0)).alias("n_ref"),
         F.sum(F.when(F.col("recent"), 1).otherwise(0)).alias("n_cur"),
@@ -1203,8 +1209,10 @@ def q_drift_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM tagged),
     binned AS (
       SELECT recent,
-             LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 64.0)) AS INT), 63)
-               AS bucket
+             CASE WHEN hi > lo THEN
+               LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 64.0)) AS INT),
+                     63)
+             ELSE 0 END AS bucket
       FROM tagged, b),
     d AS (
       SELECT bucket,
@@ -1237,13 +1245,16 @@ def q_drift_ks_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = tagged.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     binned = tagged.crossJoin(F.broadcast(b)).select(
         "recent",
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / F.lit(64.0))
-            ).cast("int"),
-            F.lit(63),
-        ).alias("bucket"),
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / F.lit(64.0))
+                ).cast("int"),
+                F.lit(63),
+            ),
+        ).otherwise(F.lit(0)).alias("bucket"),
     )
     d = binned.groupBy("bucket").agg(
         F.sum(F.when(~F.col("recent"), 1).otherwise(0)).alias("n_ref"),

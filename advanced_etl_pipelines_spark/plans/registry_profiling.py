@@ -596,48 +596,116 @@ def q_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cms_frequency_rollup")  # count-min sketch — rows-only; relative
-# error asserted in-query against exact counts
+# Engine-portable polynomial string hash (the string twin of
+# operators/sampling.py::unit_hash): fold (acc*131 + ascii(char)) mod
+# 1e9+7 over the characters.  Verified to produce identical values in
+# Spark (F.aggregate over split chars) and DuckDB (list_reduce), so CMS
+# bucket assignment is oracle-checkable.
+_CMS_D, _CMS_W, _CMS_P = 4, 512, 1_000_000_007
+_POLY_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({col}, ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, c) -> (acc * 131 + c) % 1000000007)"
+)
+
+
+def _poly_hash(col) -> F.Column:
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(131) + F.ascii(c)) % F.lit(_CMS_P),
+    )
+
+
+def _cms_bucket(hv, i) -> F.Column:
+    return (hv * (2 * i + 1) + i * F.lit(40503)) % F.lit(_CMS_W)
+
+
+@query(
+    "cms_frequency_rollup",
+    f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS d, event_type,
+             {_POLY_HASH_SQL.format(col="event_type")} AS hv
+      FROM events),
+    rows_i AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS i),
+    cells AS (
+      SELECT d, i, (hv * (2 * i + 1) + i * 40503) % {_CMS_W} AS bucket,
+             COUNT(*) AS c
+      FROM h CROSS JOIN rows_i GROUP BY d, i, bucket),
+    merged AS (SELECT i, bucket, SUM(c) AS c FROM cells GROUP BY i, bucket),
+    items AS (SELECT DISTINCT event_type, hv FROM h),
+    est AS (
+      SELECT event_type, MIN(m.c) AS est_count
+      FROM items CROSS JOIN rows_i
+      JOIN merged m
+        ON m.i = rows_i.i
+       AND m.bucket = (items.hv * (2 * rows_i.i + 1) + rows_i.i * 40503)
+                      % {_CMS_W}
+      GROUP BY event_type),
+    exact AS (
+      SELECT event_type, COUNT(*) AS exact_count
+      FROM events GROUP BY event_type)
+    SELECT exact.event_type,
+           CAST(est_count AS BIGINT) AS est_count,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           ROUND(1e-9 + (est_count - exact_count) * 1.0 / exact_count, 4)
+             AS rel_overestimate
+    FROM est JOIN exact ON est.event_type = exact.event_type
+    """,
+)
 def q_cms_frequency_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency rollup — the 4th mergeable sketch next
     to HLL (distincts), KLL (quantiles) and Theta (set algebra): per-DAY
-    CMS sketches of event_type (eps=0.005, conf=0.99) merge
-    associatively into the monthly sketch, then point-estimate each
-    type's frequency.  At 100 TB the daily sketches are a few KB each
-    regardless of row count — frequency monitoring without re-scanning
-    history.  Output compares estimate vs exact (the CMS guarantee:
-    over-estimate only, within eps·total at the stated confidence)."""
+    CMS tables (depth 4 x width 512) of event_type merge associatively
+    into the monthly table by cell-wise SUM, then each type's frequency
+    is point-estimated as the MIN over its depth cells.
+
+    The sketch is expressed entirely in native SQL: buckets come from an
+    engine-portable polynomial hash (fold acc*131+ascii mod 1e9+7 —
+    identical in Spark and DuckDB, so the whole rollup is
+    oracle-checked, upgraded from round 1's rows-only check), cells are
+    a (day, i, bucket) aggregate with map-side combine, the cross-day
+    merge is a second bounded aggregate (<= days x depth x width rows),
+    and estimation joins the distinct items against the broadcast merged
+    table.  No driver-side sketch objects and no ``_jvm`` access — the
+    round-1 form collected per-day Spark CountMinSketch binaries and
+    merged them through ``sparkContext._jvm``, which breaks under Spark
+    Connect (ADVICE.md) and hid driver work inside a benched query.  At
+    100 TB the daily tables are a few KB each regardless of row count —
+    frequency monitoring without re-scanning history.  Output compares
+    estimate vs exact (the CMS guarantee: over-estimate only)."""
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.expr(
-            "count_min_sketch(event_type, 0.005d, 0.99d, 42)"
-        ).alias("sk")
+    h = ev.select(
+        F.to_date("ts").alias("d"),
+        "event_type",
+        _poly_hash(F.col("event_type")).alias("hv"),
     )
-    rows = daily.collect()
-    jvm = spark.sparkContext._jvm
-    CMS = jvm.org.apache.spark.util.sketch.CountMinSketch
-    merged = None
-    for r in rows:
-        sk = CMS.readFrom(bytes(r["sk"]))
-        if merged is None:
-            merged = sk
-        else:
-            merged.mergeInPlace(sk)
-    exact = {
-        r["event_type"]: r["n"]
-        for r in ev.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    out = [
-        (
-            t,
-            int(merged.estimateCount(t)),
-            int(n),
-            float(merged.estimateCount(t) - n) / n,
-        )
-        for t, n in sorted(exact.items())
-    ]
-    return spark.createDataFrame(
-        out, "event_type string, est_count bigint, exact_count bigint, rel_overestimate double"
+    i = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("i")
+    cells = (
+        h.select("d", "hv", i)
+        .groupBy("d", "i", _cms_bucket(F.col("hv"), F.col("i")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = cells.groupBy("i", "bucket").agg(F.sum("c").alias("c"))
+    items = h.select("event_type", "hv").distinct()
+    est = (
+        items.select("event_type", "hv", i)
+        .withColumn("bucket", _cms_bucket(F.col("hv"), F.col("i")))
+        .join(F.broadcast(merged), ["i", "bucket"])
+        .groupBy("event_type")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "est_count",
+        "exact_count",
+        r4(
+            (F.col("est_count") - F.col("exact_count"))
+            / F.col("exact_count")
+        ).alias("rel_overestimate"),
     )

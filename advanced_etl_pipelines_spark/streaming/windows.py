@@ -83,6 +83,7 @@ def session_window_stats(
     gap_seconds: int = 1800,
     watermark_delay: str = "10 minutes",
     key_col: str = "user_id",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Dynamic-gap session windows via native ``F.session_window`` —
     Spark merges events whose windows ``[ts, ts+gap)`` overlap, growing
@@ -98,13 +99,16 @@ def session_window_stats(
         if events.isStreaming
         else events
     )
+    # value_col=None -> count-only sessions, for sources without a
+    # numeric payload column (ADVICE.md: the signature parameterizes
+    # ts/key, so the summed column must be parameterized too).
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
     sess = src.groupBy(
         F.session_window(F.col(ts_col), f"{gap_seconds} seconds").alias("sw"),
         F.col(key_col),
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("sum_value"),
-    )
+    ).agg(*aggs)
     # session_window.end = last event + gap; subtract the gap to report
     # the ACTIVE span (last-first event), which the LAG-islands oracle
     # can reproduce exactly.
@@ -118,7 +122,7 @@ def session_window_stats(
         F.col("sw.start").alias("session_start"),
         span.alias("active_s"),
         "n_events",
-        "sum_value",
+        *(["sum_value"] if value_col is not None else []),
     )
 
 

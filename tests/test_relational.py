@@ -268,3 +268,31 @@ def test_kmeans_lloyd_matches_numpy_and_converges(spark):
     )
     final_inertia = d2.min(1).sum()
     assert final_inertia < init_inertia
+
+
+def test_kmeans_rejects_k_above_n(spark):
+    """n < k must raise a clear ValueError, not an opaque numpy shape
+    error from the seed-selection path (ADVICE.md)."""
+    import pytest
+
+    from advanced_etl_pipelines_spark.operators.linalg import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="k=5 exceeds input rows n=2"):
+        kmeans_lloyd(df, "embedding", "vec_id", k=5)
+
+
+def test_histogram2d_degenerate_range_buckets_to_zero(spark):
+    """A constant axis lands every row in bucket 0 instead of a silent
+    all-NULL bucket from the zero-width divide (ADVICE.md)."""
+    from advanced_etl_pipelines_spark.operators.relational import histogram2d
+
+    df = spark.createDataFrame(
+        [(5.0, float(i)) for i in range(10)], "x double, y double"
+    )
+    rows = histogram2d(df, "x", "y", nx=4, ny=2).collect()
+    assert all(r["xbucket"] == 0 for r in rows)
+    assert {r["ybucket"] for r in rows} == {0, 1}
+    assert sum(r["cnt"] for r in rows) == 10

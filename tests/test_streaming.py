@@ -271,3 +271,22 @@ def test_medallion_stream_idempotent_rollup(spark, tmp_path):
         for r in spark.read.parquet(silver).collect()
     }
     assert got2 == want
+
+
+def test_session_window_stats_value_col_parameterized(spark):
+    """value_col is part of the signature: a custom column sums, and
+    None yields count-only sessions for payload-less sources
+    (ADVICE.md)."""
+    from advanced_etl_pipelines_spark.streaming.windows import (
+        session_window_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 2.5), (1, "2024-01-01 00:10:00", 1.5)],
+        "user_id long, ts string, amount double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = session_window_stats(df, value_col="amount").collect()
+    assert len(out) == 1 and out[0]["sum_value"] == 4.0
+    no_val = session_window_stats(df.drop("amount"), value_col=None)
+    assert "sum_value" not in no_val.columns
+    assert no_val.collect()[0]["n_events"] == 2
