@@ -207,3 +207,39 @@ def sessionize_tws(
         outputMode="update",
         timeMode="processingTime",
     )
+
+
+def running_user_stats_auto(events: DataFrame) -> DataFrame:
+    """Backend-dispatching running counter: ``transformWithStateInPandas``
+    where the protobuf-encoded state-server protocol is importable, else
+    the behavioral twin on classic ``applyInPandasWithState`` (same
+    output schema, same cross-batch totals — parity pinned by
+    tests/test_transform_state.py in both environments).  This is the
+    operator callers should use: the new API is strictly an engine
+    upgrade (RocksDB-backed named state, timer bookkeeping), not a
+    semantic one."""
+    if TWS_AVAILABLE:
+        return running_user_stats_tws(events)
+    from advanced_etl_pipelines_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    return running_user_stats(events)
+
+
+def sessionize_auto(
+    events: DataFrame,
+    gap_seconds: float = 1800.0,
+    timeout_ms: int = 30_000,
+) -> DataFrame:
+    """Backend-dispatching sessionizer: timer-flushed
+    ``transformWithStateInPandas`` when protobuf is available, else the
+    classic ``applyInPandasWithState`` twin whose GroupState timeout
+    plays the timer's role (same schema, same session splits)."""
+    if TWS_AVAILABLE:
+        return sessionize_tws(events, gap_seconds, timeout_ms)
+    from advanced_etl_pipelines_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    return sessionize_stream(events, gap_seconds, timeout_ms)
