@@ -3,10 +3,12 @@
 Images/audio/video ride through the engine as opaque ``binary`` columns
 with a typed metadata struct.  The Spark-side architecture is real and
 tested — schema, Arrow-batched ``mapInPandas`` decode, partition-size
-control — while the codec itself is stubbed (this container has no
-PIL/ffmpeg): ``decode_media_meta`` produces deterministic fake features
-derived from the bytes, and ``decode_media_meta(strict=True)`` raises
-``NotImplementedError`` where a real decoder would plug in.
+control — and the codec seam now has a REAL image path:
+``decode_media_meta(strict=True)`` decodes PNG bytes (PIL when
+importable, else the pure-stdlib codec in ``functions/png.py``) and
+raises ``NotImplementedError`` only for formats neither can handle
+(JPEG/audio/video in a container without PIL/ffmpeg).  ``strict=False``
+keeps the deterministic fake decode for synthetic media columns.
 
 Scale notes: media bytes dominate row size, so operators here
 (1) never shuffle the binary column for metadata-only outputs — project
@@ -54,24 +56,46 @@ def _fake_decode(media: bytes, media_type: str) -> tuple[int, int, int]:
     return width, height, frames
 
 
+def _real_decode(media: bytes, media_type: str) -> tuple[int, int, int]:
+    """Real codec dispatch for ``strict=True``: PIL when importable
+    (any format PIL knows), else the pure-stdlib PNG codec
+    (functions/png.py).  Raises NotImplementedError for formats neither
+    path can decode — audio/video need soundfile/pyav."""
+    from advanced_etl_pipelines_spark.functions import png as P
+
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        with Image.open(io.BytesIO(bytes(media))) as im:
+            return im.width, im.height, getattr(im, "n_frames", 1)
+    except ImportError:
+        pass
+    if bytes(media[:8]) == P.PNG_MAGIC:
+        arr = P.decode_png(bytes(media))  # full pixel decode, not just IHDR
+        h, w = arr.shape[:2]
+        return w, h, 1
+    raise NotImplementedError(
+        f"no codec for media_type={media_type!r} without PIL "
+        "(pure-stdlib path handles 8-bit non-interlaced PNG)"
+    )
+
+
 def decode_media_meta(df: DataFrame, strict: bool = False) -> DataFrame:
     """Arrow-batched media "decode": (id, media, media_type) ->
     MEDIA_META_SCHEMA rows.
 
-    ``strict=True`` is the real-codec seam: it raises NotImplementedError
-    exactly where image/audio decode libraries would be invoked, proving
-    the plumbing without pretending the codecs exist.
+    ``strict=True`` decodes for real — PIL if installed, else the
+    pure-stdlib PNG codec; unsupported formats raise, so a corrupt or
+    unknown blob fails loudly instead of producing fake dimensions.
+    ``strict=False`` is the deterministic fake for synthetic columns.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: F401  (vectorized paths would use this)
 
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real media decode requires PIL/soundfile/pyav; "
-                    "install and replace _fake_decode"
-                )
             out = {
                 "id": pdf["id"],
                 "media_type": pdf["media_type"],
@@ -83,7 +107,10 @@ def decode_media_meta(df: DataFrame, strict: bool = False) -> DataFrame:
             }
             ws, hs, fs, ds = [], [], [], []
             for media, mt in zip(pdf["media"], pdf["media_type"]):
-                w, h, fr = _fake_decode(media, mt)
+                if strict:
+                    w, h, fr = _real_decode(media, mt)
+                else:
+                    w, h, fr = _fake_decode(media, mt)
                 ws.append(w)
                 hs.append(h)
                 fs.append(fr)
@@ -108,16 +135,21 @@ RESIZED_SCHEMA = (
 )
 
 
-def resize_media(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+def resize_media(
+    df: DataFrame, target_w: int, target_h: int, codec: str = "fake"
+) -> DataFrame:
     """Arrow-batched media resize seam: (id, media, media_type) → resized
     binary + final dimensions.
 
-    The fake codec emulates a resize by deterministic byte subsampling to
-    ``target_w*target_h`` bytes (stride sampling keeps it stable); a real
-    implementation replaces the inner function with PIL
-    ``Image.resize``.  The Spark contract — binary in, binary out, bounded
-    Arrow batches, no shuffle — is exactly what a real resizer needs.
+    ``codec="png"`` is the real path: decode the PNG (pure-stdlib codec),
+    nearest-neighbor resample via numpy index gather, re-encode — actual
+    pixels in, actual pixels out.  ``codec="fake"`` keeps the
+    deterministic byte-subsampling stand-in for synthetic media columns.
+    Either way the Spark contract is identical — binary in, binary out,
+    bounded Arrow batches, no shuffle — which is what matters at scale.
     """
+    if codec not in ("fake", "png"):
+        raise ValueError(f"codec must be 'fake' or 'png', got {codec!r}")
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_out = max(target_w * target_h, 1)
@@ -129,6 +161,13 @@ def resize_media(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             out = bytes(media[::stride])[:n_out]
             return out + b"\x00" * (n_out - len(out))
 
+        def png_resize(media: bytes) -> bytes:
+            from advanced_etl_pipelines_spark.functions import png as P
+
+            arr = P.decode_png(bytes(media))
+            return P.encode_png(P.resize_nearest(arr, target_w, target_h))
+
+        fn = png_resize if codec == "png" else fake
         for pdf in batches:
             yield pd.DataFrame(
                 {
@@ -136,7 +175,7 @@ def resize_media(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     "media_type": pdf["media_type"],
                     "width": target_w,
                     "height": target_h,
-                    "media": pdf["media"].map(fake),
+                    "media": pdf["media"].map(fn),
                 }
             )
 
@@ -215,4 +254,44 @@ def media_meta_native(df: DataFrame) -> DataFrame:
         n.cast("bigint").alias("n_bytes"),
         (16 + (n % 240)).cast("int").alias("width_hint"),
         (16 + ((n * 3) % 240)).cast("int").alias("height_hint"),
+    )
+
+
+PNG_MEDIA_SCHEMA = "id bigint, media binary, media_type string"
+
+
+def attach_png_media(
+    df: DataFrame, id_col: str, base_w: int = 24, base_h: int = 16
+) -> DataFrame:
+    """Real-PNG media column: every row gets an actual encoded PNG (an
+    id-seeded RGB gradient, ``base_w + id%8`` wide so dimensions vary),
+    produced with the pure-stdlib codec.  This is the fixture-grade twin
+    of ``attach_fake_media`` for exercising the REAL decode path
+    end-to-end — bytes that any external PNG viewer also opens."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from advanced_etl_pipelines_spark.functions import png as P
+
+        for pdf in batches:
+            blobs = []
+            for i in pdf["id"]:
+                w, h = base_w + int(i) % 8, base_h + int(i) % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [
+                        (xx * 255 // max(w - 1, 1)),
+                        (yy * 255 // max(h - 1, 1)),
+                        np.full((h, w), int(i) % 256),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                blobs.append(P.encode_png(arr))
+            yield pd.DataFrame(
+                {"id": pdf["id"], "media": blobs, "media_type": "image"}
+            )
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        gen, schema=PNG_MEDIA_SCHEMA
     )

@@ -99,3 +99,112 @@ def test_extract_features_unit_norm_and_similarity_ready(media, spark):
     )
     nn = brute_force_topk(out, out.where(F.col("id") == 1), "feature", "id", k=1)
     assert nn.first()["neighbor_id"] in (2, 3)
+
+
+# ---------------------------------------------------------------------------
+# Real codec path (round 2): pure-stdlib PNG decode behind the strict seam
+# ---------------------------------------------------------------------------
+
+
+def test_png_codec_roundtrip_all_shapes_and_filters():
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions.png import (
+        decode_png,
+        encode_png,
+        png_meta,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 9), (6, 4, 3), (3, 7, 4)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in (0, 1, 2):
+            out = decode_png(encode_png(a, filter_type=ft))
+            assert out.shape == a.shape and (out == a).all(), (shape, ft)
+    w, h, depth, ctype = png_meta(encode_png(rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)))
+    assert (w, h, depth, ctype) == (6, 4, 8, 2)
+
+
+def test_png_checked_in_fixture_decodes():
+    """The committed gradient.png (SUB-filtered, 20x13 RGB) decodes to
+    its known pixel values — a fixture any external viewer also opens."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions.png import decode_png
+
+    data = open("tests/fixtures/gradient.png", "rb").read()
+    arr = decode_png(data)
+    assert arr.shape == (13, 20, 3)
+    assert arr[0, 0].tolist() == [0, 0, 0]
+    assert arr[12, 19].tolist() == [255, 255, 31]
+    assert arr[6, 10].tolist() == [134, 127, 16]
+    yy, xx = np.mgrid[0:13, 0:20]
+    want = np.stack(
+        [xx * 255 // 19, yy * 255 // 12, (xx + yy) % 256], axis=2
+    ).astype(np.uint8)
+    assert (arr == want).all()
+
+
+def test_strict_decode_real_png_media(spark):
+    """decode_media_meta(strict=True) performs a full pixel decode of
+    real PNG blobs and reports true dimensions (was NotImplementedError
+    in round 1)."""
+    from advanced_etl_pipelines_spark.operators.multimodal import (
+        attach_png_media,
+        decode_media_meta,
+    )
+
+    df = spark.range(12).withColumnRenamed("id", "doc_id")
+    media = attach_png_media(df, "doc_id")
+    got = {
+        r["id"]: (r["width"], r["height"])
+        for r in decode_media_meta(media, strict=True).collect()
+    }
+    assert got == {i: (24 + i % 8, 16 + i % 5) for i in range(12)}
+
+
+def test_strict_decode_rejects_non_png_without_pil(spark):
+    import pytest
+
+    from advanced_etl_pipelines_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_media_meta,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed: non-PNG formats may decode for real")
+    except ImportError:
+        pass
+    df = spark.createDataFrame([(1, "just text")], "doc_id long, text string")
+    media = attach_fake_media(df, "text", "doc_id")
+    with pytest.raises(Exception, match="no codec|NotImplementedError"):
+        decode_media_meta(media, strict=True).collect()
+
+
+def test_resize_media_png_codec_real_pixels(spark):
+    """codec='png' re-encodes actual resampled pixels: output blobs are
+    valid PNGs of the target size whose pixels match a local
+    nearest-neighbor resample."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions.png import (
+        decode_png,
+        resize_nearest,
+    )
+    from advanced_etl_pipelines_spark.operators.multimodal import (
+        attach_png_media,
+        resize_media,
+    )
+
+    df = spark.range(4).withColumnRenamed("id", "doc_id")
+    media = attach_png_media(df, "doc_id")
+    src = {r["id"]: bytes(r["media"]) for r in media.collect()}
+    out = resize_media(media, 10, 6, codec="png").collect()
+    assert len(out) == 4
+    for r in out:
+        arr = decode_png(bytes(r["media"]))
+        assert arr.shape == (6, 10, 3)
+        want = resize_nearest(decode_png(src[r["id"]]), 10, 6)
+        assert (arr == want).all()

@@ -324,3 +324,27 @@ def test_aq_run_pipeline_end_to_end(spark, tmp_path):
         .toPandas()
     )
     assert len(summary) == 6
+
+
+def test_report_renders_six_reference_charts(spark, tmp_path):
+    """S13 parity e2e: render_report writes the six PNGs mirroring the
+    reference's matplotlib figures; each must exist, be non-empty, and
+    decode as a valid PNG with plausible chart dimensions."""
+    import os
+
+    from advanced_etl_pipelines_spark.functions.png import decode_png
+    from advanced_etl_pipelines_spark.pipelines.report import (
+        REPORT_CHARTS,
+        render_report,
+    )
+
+    out = str(tmp_path / "report")
+    paths = render_report(spark, "/root/testdata/sf0.001", out)
+    assert sorted(os.path.basename(p) for p in paths) == sorted(REPORT_CHARTS)
+    for p in paths:
+        assert os.path.getsize(p) > 500, p
+        arr = decode_png(open(p, "rb").read())
+        h, w = arr.shape[:2]
+        assert h >= 200 and w >= 300, p
+        # charts are not blank: more than one distinct color
+        assert len({tuple(px) for px in arr.reshape(-1, 3)[::37]}) > 2, p
