@@ -176,6 +176,124 @@ def minhash_near_dups(
     )
 
 
+POLY_P = 1_000_000_007  # shared with the CMS sketch (registry_profiling)
+
+
+def poly_hash(c: Column) -> Column:
+    """Engine-portable polynomial string hash: fold ``(acc*131 +
+    ascii(char)) mod 1e9+7`` over the characters.  Identical in Spark
+    (``F.aggregate`` over split chars) and DuckDB (``list_reduce``), so
+    operators built on it are DuckDB-oracle-checkable — the same scheme
+    the count-min sketch rollup uses (`plans/registry_profiling.py`).
+    ~10× slower per string than ``xxhash64`` (per-char fold vs one JVM
+    intrinsic); use it where cross-engine reproducibility is the point.
+    """
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(131) + F.ascii(ch)) % F.lit(POLY_P),
+    )
+
+
+def minhash_portable_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.25,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with an ENGINE-PORTABLE hash family, so
+    the full pipeline — signatures, band collisions, estimated Jaccard —
+    is bit-reproducible in any SQL engine (and hence oracle-checked,
+    where `minhash_near_dups`'s xxhash64 form is rows-only).
+
+    Hash family: base ``h = poly_hash(shingle)``; "permutation" i is the
+    affine map ``((2i+1)·h + i·40503) mod 1e9+7`` (odd multipliers keep
+    the maps distinct; same constants as the CMS bucket family).  The
+    signature is the min over the doc's distinct word shingles, computed
+    as a shuffle-free per-row fold exactly like `minhash_signature_frame`.
+
+    Candidate generation bands the signature into ``bands`` slices and
+    self-joins on (band index, slice) equality — the slice ARRAY is the
+    join key, so banding involves no second hash and therefore no
+    engine-specific collision behavior: a pair collides iff some band of
+    the two signatures is identical, a pure function of the signatures.
+    Estimated Jaccard = matching-element fraction, filtered at
+    ``threshold``.  Same bucket-collision join shape as the xxhash64
+    path: shuffle ∝ bucket sizes, never n².
+    """
+    rows = num_perm // bands
+    from advanced_etl_pipelines_spark.functions.text import bind_once
+
+    perm_idx = F.sequence(F.lit(0), F.lit(num_perm - 1))
+
+    def fold(shingles: Column) -> Column:
+        init = F.array_repeat(F.lit(POLY_P).cast("long"), num_perm)
+
+        def step(acc: Column, s: Column) -> Column:
+            hashes = bind_once(
+                poly_hash(s),
+                lambda h: F.transform(
+                    perm_idx,
+                    lambda i: ((2 * i + 1) * h + i * F.lit(40503))
+                    % F.lit(POLY_P),
+                ),
+            )
+            return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+
+        return F.aggregate(shingles, init, step)
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(word_tokens(text_col), shingle_n)).alias(
+            "g"
+        ),
+    ).where(F.size("g") > 0)
+    base = grams.select("id", bind_once(F.col("g"), fold).alias("sig")).persist()
+    banded = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(F.col("sig"), b * rows + 1, rows),
+            )
+        ).alias("band", "bslice"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bslice") == F.col("r.bslice"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b
+                ),
+                lambda x: x,
+            )
+        )
+        / F.lit(float(num_perm))
+    )
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

@@ -250,6 +250,153 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_train_holdout",
+    f"""
+    WITH tagged AS (
+      SELECT doc_id, lang,
+             TRIM(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+             CASE WHEN {_UNIT_HASH_SQL} < 0.8 THEN 'train'
+                  WHEN {_UNIT_HASH_SQL} < 0.9 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents),
+    tn AS (SELECT DISTINCT norm FROM tagged WHERE split = 'train')
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN split <> 'train' AND tn.norm IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+    FROM tagged LEFT JOIN tn USING (norm)
+    GROUP BY lang, split
+    """,
+)
+def q_split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (80/10/10 on the portable
+    doc_id hash — rerun-stable, engine-portable, and any downstream
+    system can recompute membership from the id alone) plus the leakage
+    audit every eval split needs: how many valid/test docs share their
+    normalized text with some training doc.  Non-zero ``n_leaked`` is
+    the classic split-before-dedup bug — hash splits assign exact
+    duplicates independently, so dedup must run FIRST (or the split key
+    must be the content digest, not the doc id).
+
+    Scale shape: the split tag is per-row arithmetic on the scan; the
+    leakage check is one equi-join keyed on the normalized text.  At
+    100 TB the join key should be the 64-bit content digest (xxhash64 —
+    8-byte shuffle keys, same answer modulo astronomically-unlikely
+    collisions); the string key here keeps the query exactly
+    reproducible in the DuckDB oracle."""
+    from advanced_etl_pipelines_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    u = SA.unit_hash("doc_id")
+    split = (
+        F.when(u < 0.8, F.lit("train"))
+        .when(u < 0.9, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = docs.select(
+        "doc_id",
+        "lang",
+        normalize_text("text").alias("norm"),
+        split.alias("split"),
+    )
+    tn = (
+        tagged.where(F.col("split") == "train")
+        .select("norm")
+        .distinct()
+        .withColumn("in_train", F.lit(1))
+    )
+    leaked = (F.col("split") != "train") & F.col("in_train").isNotNull()
+    return (
+        tagged.join(tn, "norm", "left_outer")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(leaked, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaked"),
+        )
+    )
+
+
+@query(
+    "mixture_budget_fill",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             LEN(regexp_extract_all(text, '\\S+')) AS ntok,
+             {_UNIT_HASH_SQL} AS u
+      FROM documents),
+    r AS (
+      SELECT source, ntok,
+             COALESCE(SUM(ntok) OVER (PARTITION BY source ORDER BY u, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM t)
+    SELECT source,
+           COUNT(*) AS total_docs,
+           CAST(SUM(CASE WHEN prior < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_docs,
+           CAST(SUM(CASE WHEN prior < 1000 THEN ntok ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM r GROUP BY source
+    """,
+)
+def q_mixture_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture assembly: greedily fill a fixed per-source token
+    budget (1000 whitespace tokens) in deterministic hash order — a doc
+    is kept iff the tokens of all docs ordered before it (by portable
+    hash, then id) have not yet exhausted the source's budget.  This is
+    how a training run pins "N tokens from each source" reproducibly:
+    membership is a pure function of (doc_id, corpus), not of partition
+    layout or sampling state.
+
+    Scale shape: the running token count uses the distributed prefix sum
+    (`operators/scale.global_running_sums` — range-partition on the
+    order key, per-partition subtotals, broadcast offsets) over the
+    GLOBAL (source, hash, id) order, then subtracts each source's
+    exclusive start offset (a tiny per-source frame, window over
+    |sources| rows).  No per-source single-partition window: a 100 TB
+    source's docs stay spread across the range partitions.  The DuckDB
+    oracle states the same semantics with the naive per-source window."""
+    from advanced_etl_pipelines_spark.operators.scale import (
+        global_running_sums,
+    )
+    from pyspark.sql.window import Window
+
+    budget = 1000
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "doc_id",
+        T.token_count("text").cast("long").alias("ntok"),
+        SA.unit_hash("doc_id").alias("u"),
+    )
+    g = global_running_sums(t, ["source", "u", "doc_id"], ["ntok"])
+    tot = t.groupBy("source").agg(F.sum("ntok").alias("stot"))
+    woff = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = tot.select(
+        "source",
+        F.coalesce(F.sum("stot").over(woff), F.lit(0)).alias("soff"),
+    )
+    prior = F.col("cum_ntok") - F.col("ntok") - F.col("soff")
+    kept = prior < budget
+    return (
+        g.join(F.broadcast(off), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum(F.when(kept, 1).otherwise(0))
+            .cast("bigint")
+            .alias("kept_docs"),
+            F.sum(F.when(kept, F.col("ntok")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+@query(
     "bigram_pmi_top",
     f"""
     WITH tk AS (SELECT {_TOKENS_SQL} AS toks FROM documents),

@@ -247,6 +247,53 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_minhash_portable",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, LEN(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+          FROM tk WHERE LEN(toks) >= 3),
+    sig AS (SELECT doc_id,
+            list_transform(range(0, 16), i ->
+              list_min(list_transform(grams, s ->
+                ((2*i+1) * list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(s, ''),
+                                    c -> CAST(ascii(c) AS BIGINT))),
+                     (acc, c) -> (acc * 131 + c) % 1000000007)
+                 + i * 40503) % 1000000007))) AS sg
+          FROM g),
+    scored AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             LEN(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) / 16.0
+               AS est
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE LEN(list_filter(range(0, 8),
+                bd -> a.sg[2*bd+1] = b.sg[2*bd+1]
+                  AND a.sg[2*bd+2] = b.sg[2*bd+2])) > 0)
+    SELECT id_a, id_b, ROUND(1e-9 + est, 4) AS est_jaccard
+    FROM scored WHERE est >= 0.25
+    """,
+)
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms)+LSH(8 bands × 2 rows) near-dup pairs with the
+    engine-portable polynomial hash family — the ORACLE-CHECKED twin of
+    ``dedup_minhash_pairs`` (whose xxhash64 signatures no other engine
+    can reproduce, so the driver records it rows-only).  Signatures,
+    band collisions (slice-array equality, no second hash), and the
+    estimated-Jaccard filter are all pure integer arithmetic evaluated
+    identically by Spark and DuckDB; the oracle's blocked pair join is
+    O(n²) but the engine side runs the real bucket-collision LSH join.
+    Upgrades the near-dedup family's correctness check from rows-only to
+    full value-hash parity."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.minhash_portable_pairs(
+        docs, "text", "doc_id", num_perm=16, bands=8, threshold=0.25
+    )
+    return out.select("id_a", "id_b", r4(F.col("est_jaccard")).alias("est_jaccard"))
+
+
 @query("dedup_simhash")  # engine-native xxhash64 — rows-only check
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 64-bit SimHash + near-dup pair count at hamming <= 3 (the
@@ -297,6 +344,71 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = S.brute_force_topk(emb, queries, "embedding", "vec_id", k=5)
     return out.select(
         "query_id", "neighbor_id", r4(F.col("cos_sim")).alias("cos_sim"), "rank"
+    )
+
+
+@query("semdedup_embedding")  # iterative k-means stage — rows-only check
+def q_semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with distributed k-means,
+    then look for near-duplicate pairs ONLY within each cluster —
+    pairwise cosine over the full corpus is O(n²)·d, but clustering
+    first bounds the pair space to Σ|cluster|², the paper's central
+    trick.  A vector is removed when it has a within-cluster neighbor
+    with cosine ≥ 0.95 and a smaller id (min-id representative rule, the
+    deterministic greedy the keep-one-per-group family uses throughout
+    this engine).
+
+    Scale shape: k-means is the Arrow-matmul Lloyd trainer
+    (`operators/linalg.kmeans_lloyd` — driver traffic is k·d doubles per
+    batch per iteration); the pair join shuffles on the cluster id only,
+    and at 100 TB k grows with the corpus (the paper uses 50k clusters
+    for LAION) to keep Σ|cluster|² linear-ish.  Output: per-cluster
+    sizes, removed counts, and the max duplicate-pair similarity —
+    deterministic given the seeded init, checked rows-only (k-means is
+    iterative, not SQL-expressible) with a parity test pinning the
+    removal rule against a numpy reference."""
+    from advanced_etl_pipelines_spark.operators.linalg import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assign = kmeans_lloyd(emb, "embedding", "vec_id", k=16, iters=3)
+    base = (
+        emb.select(
+            F.col("vec_id").alias("id"),
+            V.as_double("embedding").alias("v"),
+        )
+        .join(assign, "id")
+        .withColumn("n", V.l2_norm(F.col("v")))
+        .persist()
+    )
+    l, r = base.alias("l"), base.alias("r")
+    denom = F.col("l.n") * F.col("r.n")
+    cos = F.when(
+        denom > 0, V.dot(F.col("l.v"), F.col("r.v")) / denom
+    ).otherwise(F.lit(None).cast("double"))
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.cluster").alias("cluster"),
+            F.col("r.id").alias("removed_id"),
+            cos.alias("cs"),
+        )
+        .where(F.col("cs") >= 0.95)
+    )
+    removed = pairs.groupBy("cluster").agg(
+        F.countDistinct("removed_id").alias("n_removed"),
+        r4(F.max("cs")).alias("max_dup_cos"),
+    )
+    sizes = base.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        sizes.join(removed, "cluster", "left_outer")
+        .na.fill({"n_removed": 0})
+        .select("cluster", "n_vecs", "n_removed", "max_dup_cos")
+        .orderBy("cluster")
     )
 
 

@@ -47,6 +47,43 @@ def test_minhash_finds_planted_near_dup(spark):
     assert not any({a, b} & {5, 6} for a, b in pairs)  # unrelated stay apart
 
 
+def test_minhash_portable_matches_python_reference(spark):
+    """The portable hash family is pinned against a pure-Python fold so a
+    regression in either the Spark expression or the shared constants
+    (131 / 1e9+7 / 40503 affine family) is caught without DuckDB."""
+    P = 1_000_000_007
+
+    def py_poly(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * 131 + ord(ch)) % P
+        return acc
+
+    def py_sig(text: str) -> list[int]:
+        toks = [t for t in "".join(
+            c.lower() if c.isalnum() else " " for c in text
+        ).split() if t]
+        grams = sorted({" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)})
+        return [
+            min(((2 * i + 1) * py_poly(g) + i * 40503) % P for g in grams)
+            for i in range(16)
+        ]
+
+    docs = _docs(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_portable_pairs(
+            docs, "text", "doc_id", num_perm=16, bands=8, threshold=0.25
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs  # near-dup collides on an unchanged band
+    assert not any({a, b} & {5, 6} for a, b in pairs)
+    sig1, sig4 = py_sig(BASE), py_sig(BASE.replace("parquet", "orc"))
+    expected = sum(a == b for a, b in zip(sig1, sig4)) / 16.0
+    assert abs(pairs[(1, 4)] - expected) < 1e-9
+
+
 def test_simhash_identical_distance_zero(spark):
     sims = {r["id"]: r["sh"] for r in D.simhash_frame(
         _docs(spark), "text", "doc_id").collect()}

@@ -225,3 +225,66 @@ def test_cms_overestimates_within_bound(spark):
     for r in rows:
         assert r["est_count"] >= r["exact_count"], r
         assert r["est_count"] - r["exact_count"] <= 0.005 * total + 1, r
+
+
+def test_mixture_budget_fill_matches_naive_window(spark):
+    """The distributed-prefix-sum budget fill must equal the naive
+    per-source running-sum definition (what the DuckDB oracle states)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    import __spark_entry__ as e
+    from advanced_etl_pipelines_spark.functions.text import token_count
+    from advanced_etl_pipelines_spark.operators.sampling import unit_hash
+    from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: (r["total_docs"], r["kept_docs"], r["kept_tokens"])
+        for r in e.queries()["mixture_budget_fill"](spark, sf).collect()
+    }
+    docs = read_sf_table(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        token_count("text").cast("long").alias("ntok"),
+        unit_hash("doc_id").alias("u"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("u", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = (
+        docs.withColumn("prior", F.coalesce(F.sum("ntok").over(w), F.lit(0)))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum(F.when(F.col("prior") < 1000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("kept_docs"),
+            F.sum(F.when(F.col("prior") < 1000, F.col("ntok")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )
+    want = {
+        r["source"]: (r["total_docs"], r["kept_docs"], r["kept_tokens"])
+        for r in naive.collect()
+    }
+    assert got == want
+
+
+def test_split_train_holdout_invariants(spark):
+    """Split covers every doc exactly once; leakage only counts
+    valid/test docs whose normalized text also occurs in train."""
+    import __spark_entry__ as e
+    from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = e.queries()["split_train_holdout"](spark, sf).collect()
+    total = read_sf_table(spark, sf, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        if r["split"] == "train":
+            assert r["n_leaked"] == 0
+        assert 0 <= r["n_leaked"] <= r["n_docs"]

@@ -86,3 +86,44 @@ def test_lsh_deterministic_across_runs(emb, spark):
     b = sorted(map(tuple, S.lsh_topk(emb, q, "embedding", "vec_id", k=3)
                    .select("query_id", "neighbor_id").collect()))
     assert a == b
+
+
+def test_semdedup_removal_rule_matches_numpy(emb, spark):
+    """Pin the SemDeDup removal rule: given the (deterministic) k-means
+    assignment, a vector is removed iff some same-cluster vector with a
+    smaller id has cosine >= 0.95.  Recompute per-cluster removal counts
+    with numpy from the same assignment and compare."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.operators.linalg import kmeans_lloyd
+    from advanced_etl_pipelines_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["cluster"]: (r["n_vecs"], r["n_removed"])
+        for r in QUERIES["semdedup_embedding"](spark, sf).collect()
+    }
+
+    _, assign = kmeans_lloyd(emb, "embedding", "vec_id", k=16, iters=3)
+    rows = (
+        emb.select("vec_id", "embedding")
+        .join(assign.withColumnRenamed("id", "vec_id"), "vec_id")
+        .collect()
+    )
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(
+            (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+        )
+    for c, members in by_cluster.items():
+        members.sort()
+        removed = set()
+        for i, (ida, va) in enumerate(members):
+            for idb, vb in members[:i]:
+                cs = float(
+                    va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+                )
+                if cs >= 0.95:
+                    removed.add(ida)
+                    break
+        assert got[c] == (len(members), len(removed)), f"cluster {c}"
