@@ -195,36 +195,20 @@ def poly_hash(c: Column) -> Column:
     )
 
 
-def minhash_portable_pairs(
+def minhash_portable_signature_frame(
     df: DataFrame,
     text_col: str,
     id_col: str,
     num_perm: int = 16,
-    bands: int = 8,
-    threshold: float = 0.25,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs with an ENGINE-PORTABLE hash family, so
-    the full pipeline — signatures, band collisions, estimated Jaccard —
-    is bit-reproducible in any SQL engine (and hence oracle-checked,
-    where `minhash_near_dups`'s xxhash64 form is rows-only).
-
-    Hash family: base ``h = poly_hash(shingle)``; "permutation" i is the
+    """(id, sig) MinHash signature frame with the ENGINE-PORTABLE hash
+    family: base ``h = poly_hash(shingle)``; "permutation" i is the
     affine map ``((2i+1)·h + i·40503) mod 1e9+7`` (odd multipliers keep
     the maps distinct; same constants as the CMS bucket family).  The
     signature is the min over the doc's distinct word shingles, computed
-    as a shuffle-free per-row fold exactly like `minhash_signature_frame`.
-
-    Candidate generation bands the signature into ``bands`` slices and
-    self-joins on (band index, slice) equality — the slice ARRAY is the
-    join key, so banding involves no second hash and therefore no
-    engine-specific collision behavior: a pair collides iff some band of
-    the two signatures is identical, a pure function of the signatures.
-    Estimated Jaccard = matching-element fraction, filtered at
-    ``threshold``.  Same bucket-collision join shape as the xxhash64
-    path: shuffle ∝ bucket sizes, never n².
-    """
-    rows = num_perm // bands
+    as the same shuffle-free per-row fold as
+    `minhash_signature_frame` (plan-asserted exchange-free)."""
     from advanced_etl_pipelines_spark.functions.text import bind_once
 
     perm_idx = F.sequence(F.lit(0), F.lit(num_perm - 1))
@@ -251,7 +235,36 @@ def minhash_portable_pairs(
             "g"
         ),
     ).where(F.size("g") > 0)
-    base = grams.select("id", bind_once(F.col("g"), fold).alias("sig")).persist()
+    return grams.select("id", bind_once(F.col("g"), fold).alias("sig"))
+
+
+def minhash_portable_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.25,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with an ENGINE-PORTABLE hash family, so
+    the full pipeline — signatures, band collisions, estimated Jaccard —
+    is bit-reproducible in any SQL engine (and hence oracle-checked,
+    where `minhash_near_dups`'s xxhash64 form is rows-only).
+
+    Candidate generation bands the signature into ``bands`` slices and
+    self-joins on (band index, slice) equality — the slice ARRAY is the
+    join key, so banding involves no second hash and therefore no
+    engine-specific collision behavior: a pair collides iff some band of
+    the two signatures is identical, a pure function of the signatures.
+    Estimated Jaccard = matching-element fraction, filtered at
+    ``threshold``.  Same bucket-collision join shape as the xxhash64
+    path: shuffle ∝ bucket sizes, never n².
+    """
+    rows = num_perm // bands
+    base = minhash_portable_signature_frame(
+        df, text_col, id_col, num_perm, shingle_n
+    ).persist()
     banded = base.select(
         "id",
         F.posexplode(

@@ -309,6 +309,214 @@ def ivf_topk(
     )
 
 
+def pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 16,
+    ksub: int = 32,
+    seed: int = 42,
+    sample_size: int = 2048,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the dimension into
+    ``m`` contiguous subspaces and run k-means (``ksub`` centroids) in
+    each, on the same deterministic driver sample the IVF trainer uses.
+    Vectors are unit-normalized first so inner product == cosine and the
+    PQ approximation targets the similarity actually ranked.
+
+    Returns ``m`` codebooks of shape ksub × (dim/m)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        init = rng.permutation(len(xs))[:ksub]
+        cent = xs[init].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append(cent.tolist())
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    books: list[list[list[float]]],
+    id_out: str = "id",
+) -> DataFrame:
+    """Arrow seam: encode each (unit-normalized) vector to its ``m``
+    nearest-subspace-centroid codes.  Output (id, codes array<int>) —
+    at 100 TB the code table is what lives in memory / shuffles: m bytes
+    per vector (16 here) instead of dim floats (256), a 16× compression,
+    which is the entire point of PQ."""
+    import pandas as pd
+
+    B = np.asarray(books, dtype=np.float64)  # m × ksub × dsub
+    m, _, dsub = B.shape
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            V = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+            )
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                xs = V[:, j * dsub : (j + 1) * dsub]
+                d2 = (
+                    (xs * xs).sum(axis=1, keepdims=True)
+                    - 2.0 * (xs @ B[j].T)
+                    + (B[j] * B[j]).sum(axis=1)
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_out: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return corpus.select(
+        F.col(id_col).cast("long").alias(id_col),
+        as_double(vec_col).alias(vec_col),
+    ).mapInPandas(gen, f"{id_out} long, codes array<int>")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 32,
+    seed: int = 42,
+    shortlist_factor: int = 4,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k with exact rerank: compressed-domain
+    scan → per-query ADC shortlist (``shortlist_factor``·k) → exact
+    cosine rerank of the shortlist only.
+
+    The ADC (asymmetric distance computation) trick: each query
+    precomputes a lookup table LUT[j][c] = ⟨q_subⱼ, codebook[j][c]⟩
+    (m·ksub floats — 128 here); a corpus vector's approximate inner
+    product is then m table lookups over its codes, no float vector
+    touched.  The scoring join reads only (id, codes) — the 32×-smaller
+    code table — and the full vectors are fetched just for the
+    shortlist.  That separation (codes in the scan path, vectors only
+    behind a top-k semi-join) is what makes billion-vector search fit a
+    cluster's memory; locally it is also plan-visible: the heavy join
+    side carries array<int> of length m.
+
+    Deterministic given the seed; recall vs brute force is pinned in
+    tests (ADC is approximate, so a planted-margin floor, not equality).
+    """
+    books = pq_codebooks(corpus, vec_col, id_col, m, ksub, seed)
+    dsub = len(books[0][0])
+    codes = pq_encode(corpus, vec_col, id_col, books, id_out="neighbor_id")
+
+    # Per-query LUT as a flat m·ksub literal-free array: numpy on the
+    # (small, broadcast) query side.
+    import pandas as pd
+
+    B = np.asarray(books, dtype=np.float64)
+
+    def qgen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+            )
+            luts = np.empty((len(V), m * ksub))
+            for j in range(m):
+                qs = Vn[:, j * dsub : (j + 1) * dsub]
+                luts[:, j * ksub : (j + 1) * ksub] = qs @ B[j].T
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[id_col].to_numpy(),
+                    "lut": list(luts),
+                }
+            )
+
+    q = queries.select(
+        F.col(id_col).cast("long").alias(id_col),
+        as_double(vec_col).alias(vec_col),
+    ).mapInPandas(qgen, "query_id long, lut array<double>")
+
+    # ADC score = Σⱼ LUT[j·ksub + code[j]] — a native fold over the code
+    # array against the broadcast query LUT.
+    jidx = F.sequence(F.lit(0), F.lit(m - 1))
+    adc = F.aggregate(
+        jidx,
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("lut"),
+            (j * ksub + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
+        ),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(w))
+        .where(F.col("srank") <= shortlist_factor * k)
+        .select("query_id", "neighbor_id")
+    )
+
+    # Exact rerank: fetch full vectors for shortlist rows only.
+    c_full = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    q_full = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        as_double(vec_col).alias("qv"),
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(c_full, "neighbor_id")
+        .join(F.broadcast(q_full), "query_id")
+        .select("query_id", "neighbor_id", _cos_hoisted().alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -423,6 +423,18 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("knn_pq_topk")  # approximate — recall vs brute force pinned in tests
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-5 (16 subspaces × 32 centroids, ADC
+    shortlist 4k, exact rerank): the memory-scale ANN path — the scoring
+    scan reads 16-byte code rows (16× smaller than the float vectors),
+    and full vectors are fetched only behind the shortlist semi-join.
+    Codebooks train on the same deterministic driver sample as IVF."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return S.pq_topk(emb, queries, "embedding", "vec_id", k=5)
+
+
 @query("knn_ivf_topk")  # approximate — recall vs brute force pinned in tests
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 (16 clusters, 4 probes, seed 42): centroids
@@ -875,6 +887,84 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         r4(F.avg("doc_nll")).alias("avg_doc_nll"),
         r4(F.max("doc_nll")).alias("max_doc_nll"),
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, lang, unnest({_TOKENS_SQL}) AS token
+      FROM documents),
+    vocab AS (
+      SELECT token, COUNT(*) AS c_raw,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+      FROM tok GROUP BY token),
+    tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt,
+                   COUNT(*) AS v FROM vocab),
+    per_doc AS (
+      SELECT t.doc_id, t.source,
+             AVG(LN((vb.c_tgt + 1.0) / (tot.n_tgt + tot.v))
+               - LN((vb.c_raw + 1.0) / (tot.n_raw + tot.v))) AS w
+      FROM tok t JOIN vocab vb USING (token) CROSS JOIN tot
+      GROUP BY t.doc_id, t.source)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(1e-9 + AVG(w), 4) AS avg_log_weight,
+           ROUND(1e-9 + SUM(CASE WHEN w > 0 THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 4) AS frac_target_like
+    FROM per_doc GROUP BY source
+    """,
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169):
+    score every raw document by how much more likely a TARGET-domain
+    language model finds it than the raw-corpus model — here two
+    add-1-smoothed unigram models (target = the 'en' slice, standing in
+    for the paper's hashed-ngram features), per-doc mean token
+    log-ratio.  Positive weight = looks more like the target than like
+    the average raw doc; ``frac_target_like`` per source is the share a
+    resampling pass would favor.
+
+    Scale shape: one token explode feeds the vocab build (map-side
+    partial aggregate carries the vocabulary, not the corpus) and the
+    scoring join; both model frames broadcast.  At 100 TB the vocab is
+    hashed into a fixed-width bucket table (the paper uses 10k hash
+    buckets) so the broadcast stays bounded regardless of corpus
+    vocabulary growth."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(T.word_tokens("text")).alias("token"),
+    )
+    vocab = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
+    )
+    tot = vocab.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    w_term = F.log(
+        (F.col("c_tgt") + 1.0) / (F.col("n_tgt") + F.col("v"))
+    ) - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + F.col("v")))
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(F.avg(w_term).alias("w"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        r4(F.avg("w")).alias("avg_log_weight"),
+        r4(
+            F.sum(F.when(F.col("w") > 0, 1.0).otherwise(0.0))
+            / F.count(F.lit(1))
+        ).alias("frac_target_like"),
     )
 
 

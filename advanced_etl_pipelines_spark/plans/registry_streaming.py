@@ -126,6 +126,46 @@ def q_stream_windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "stream_dedup_replay",
+    """
+    WITH replay AS (
+      SELECT event_id, event_type FROM events
+      UNION ALL
+      SELECT event_id, event_type FROM events
+      WHERE (((event_id % 2147483648) * 2654435761) % 4294967296)
+            / 4294967296.0 < 0.1)
+    SELECT event_type,
+           COUNT(*) AS n_delivered,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS n_dups
+    FROM replay GROUP BY event_type
+    """,
+)
+def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery suppression, batch twin: a deterministic
+    10% of events are re-delivered (portable hash on event_id — the
+    oracle rebuilds the same replay), and the ingest must collapse them
+    back to one row per event_id.  ``tests/test_streaming_joins.py``
+    pins that `streaming/windows.dedup_stream`
+    (dropDuplicatesWithinWatermark — bounded state, watermark-evicted)
+    running on the same replayed feed keeps exactly ``n_unique`` rows —
+    oracle verifies the semantics, the streaming test verifies the
+    streaming machinery preserves them (same loop-closing pattern as
+    stream_windowed_event_stats)."""
+    from advanced_etl_pipelines_spark.operators.sampling import unit_hash
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    replay = ev.unionAll(ev.where(unit_hash("event_id") < 0.1))
+    return replay.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_delivered"),
+        F.count_distinct("event_id").cast("bigint").alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct("event_id"))
+        .cast("bigint")
+        .alias("n_dups"),
+    )
+
+
+@query(
     "variant_props_extract",
     """
     SELECT event_type,

@@ -79,6 +79,19 @@ def test_signature_queries_shuffle_free_map_side(spark):
     assert "Exchange" not in _plan(D.simhash_frame(docs, "text", "doc_id"))
 
 
+def test_portable_minhash_signatures_shuffle_free(spark):
+    """The portable-hash MinHash signature stage is the same map-side
+    fold as the xxhash64 form - its pre-banding plan must be
+    exchange-free too (grams -> poly hash -> affine perms -> min fold,
+    all per-row)."""
+    from advanced_etl_pipelines_spark.operators import dedup as D
+    from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+
+    docs = read_sf_table(spark, SF, "documents")
+    sig = D.minhash_portable_signature_frame(docs, "text", "doc_id")
+    assert "Exchange" not in _plan(sig)
+
+
 def test_q6_all_predicates_pushed(spark, queries):
     # the default 100-char metadata cap truncates the PushedFilters list
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")

@@ -127,3 +127,38 @@ def test_semdedup_removal_rule_matches_numpy(emb, spark):
                     removed.add(ida)
                     break
         assert got[c] == (len(members), len(removed)), f"cluster {c}"
+
+
+def test_pq_recall_floor_vs_brute_force(emb, spark):
+    """PQ-ADC shortlist + exact rerank on sf0.001: with a 16x32 codebook
+    on 64-dim data and a 4k shortlist, demand >= 60% top-5 recall
+    (measured 0.85 with the 16x32 codebook; numpy reference agrees)."""
+    q = emb.where(F.col("vec_id") < 20)
+    bf = S.brute_force_topk(emb, q, "embedding", "vec_id", k=5)
+    pq = S.pq_topk(emb, q, "embedding", "vec_id", k=5)
+    bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    pq_pairs = {(r["query_id"], r["neighbor_id"]) for r in pq.collect()}
+    recall = len(bf_pairs & pq_pairs) / len(bf_pairs)
+    assert recall >= 0.6, f"PQ recall {recall:.2f} below floor"
+
+
+def test_pq_deterministic_and_exact_scores(emb, spark):
+    """Reranked cos_sim values must equal brute-force cosine for the
+    pairs both return (the rerank is exact), and runs are deterministic."""
+    q = emb.where(F.col("vec_id") < 5)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in S.brute_force_topk(emb, q, "embedding", "vec_id", k=5).collect()
+    }
+    a = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in S.pq_topk(emb, q, "embedding", "vec_id", k=5).collect()
+    }
+    b = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in S.pq_topk(emb, q, "embedding", "vec_id", k=5).collect()
+    }
+    assert a == b
+    for pair, cs in a.items():
+        if pair in bf:
+            assert abs(cs - bf[pair]) < 1e-9

@@ -152,3 +152,47 @@ def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
         (r.click_id, r.amount) for r in spark.read.parquet(out).collect()
     )
     assert got == [(1, 100.0), (2, None), (3, None)]
+
+
+def test_stream_dedup_replay_matches_batch_twin(spark, tmp_path):
+    """Close the loop on stream_dedup_replay: the same deterministic
+    10%-replayed event feed, streamed through dedup_stream on event_id,
+    must keep exactly the oracle-checked batch twin's n_unique rows."""
+    import __spark_entry__ as e
+    from advanced_etl_pipelines_spark.operators.sampling import unit_hash
+    from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+
+    sf = "/root/testdata/sf0.001"
+    expected = {
+        r["event_type"]: r["n_unique"]
+        for r in e.queries()["stream_dedup_replay"](spark, sf).collect()
+    }
+
+    ev = read_sf_table(spark, sf, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    replay = ev.unionAll(ev.where(unit_hash("event_id") < 0.1))
+    src = str(tmp_path / "src")
+    replay.coalesce(2).write.parquet(src)
+
+    stream = file_event_stream(spark, src, spark.read.parquet(src).schema)
+    out = str(tmp_path / "out")
+    # horizon spans the whole 30-day testdata window so every redelivery
+    # lands inside the dedup state regardless of file ordering
+    q = (
+        dedup_stream(stream, ["event_id"], "ts", "31 days")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
