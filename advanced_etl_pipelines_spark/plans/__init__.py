@@ -17,3 +17,4 @@ from advanced_etl_pipelines_spark.plans import registry_corpus  # noqa: E402,F40
 from advanced_etl_pipelines_spark.plans import registry_ts  # noqa: E402,F401
 from advanced_etl_pipelines_spark.plans import registry_profiling  # noqa: E402,F401
 from advanced_etl_pipelines_spark.plans import registry_analytics  # noqa: E402,F401
+from advanced_etl_pipelines_spark.plans import registry_advanced  # noqa: E402,F401

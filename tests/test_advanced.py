@@ -1,0 +1,133 @@
+"""Invariants and plan shapes for the round-2 advanced query family
+(plans/registry_advanced.py): classifier gating, SCD2 intervals,
+triangle counting, CUSUM, bigram LM, salted aggregation parity.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quality_classifier_scores_bounded(spark, queries):
+    rows = queries["quality_classifier_linear"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.score <= 1.0
+        assert r.keep == (r.score >= 0.5)
+        assert r.n_tokens > 0
+
+
+def test_quality_classifier_broadcasts_weights(spark, queries):
+    plan = _plan(queries["quality_classifier_linear"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_scd2_intervals_partition_user(spark, queries):
+    df = queries["scd2_user_state"](spark, SF)
+    rows = df.collect()
+    # exactly one current row per user, and intervals don't repeat state
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in rs if r.is_current) == 1, uid
+        assert rs[-1].valid_to == "current"
+        for a, b in zip(rs, rs[1:]):
+            assert a.event_type != b.event_type or a.valid_to <= b.valid_from
+    # windows are user-partitioned: no single-partition window warning
+    plan = _plan(df)
+    assert "Window" in plan
+
+
+def test_scd2_interval_chain_covers_stream(spark, queries):
+    """valid_to of each closed interval equals valid_from of the next."""
+    rows = queries["scd2_user_state"](spark, SF).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r.valid_from, r.valid_to == "current"))
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from
+
+
+def test_triangle_count_on_known_graph(spark):
+    """4-clique minus one edge has 2 triangles, 5 edges, clustering
+    3*2/wedges."""
+    from advanced_etl_pipelines_spark.plans.registry_advanced import (
+        q_triangle_count_copurchase,  # noqa: F401  (pattern exercised below)
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], ["s", "d"]
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    n_tri = (
+        e1.join(e2, F.col("e1.d") == F.col("e2.s"))
+        .join(
+            e3,
+            (F.col("e3.s") == F.col("e1.s"))
+            & (F.col("e3.d") == F.col("e2.d")),
+        )
+        .count()
+    )
+    assert n_tri == 2
+
+
+def test_cusum_changepoint_shape(spark, queries):
+    r = queries["cusum_changepoint_daily"](spark, SF).collect()
+    assert len(r) == 1
+    assert r[0].max_abs_cusum >= 0
+    assert r[0].n_days >= 1
+
+
+def test_bigram_lm_perplexity_positive(spark, queries):
+    rows = queries["bigram_lm_perplexity"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # perplexity of a smoothed LM is >= 1 and finite
+        assert r.avg_ppl >= 1.0
+        assert r.n_docs > 0
+
+
+def test_salted_agg_matches_plain_groupby(spark, queries):
+    """The salted two-phase aggregate must be bit-identical (after the
+    shared rounding) to the naive groupBy it protects against skew."""
+    from advanced_etl_pipelines_spark.plans.registry import _t, r2, r4
+
+    ev = _t(spark, SF, "events")
+    plain = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            r2(F.sum("value")).alias("sum_value"),
+            r4(F.sum("value") / F.count("value")).alias("avg_value"),
+        )
+    )
+    salted = queries["salted_hot_key_agg"](spark, SF)
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_agg_two_exchanges(spark, queries):
+    """Salting must actually produce the two-level shape: an exchange on
+    (event_type, salt) before the final exchange on event_type."""
+    plan = _plan(queries["salted_hot_key_agg"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") >= 2
