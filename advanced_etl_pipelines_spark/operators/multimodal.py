@@ -261,13 +261,21 @@ PNG_MEDIA_SCHEMA = "id bigint, media binary, media_type string"
 
 
 def attach_png_media(
-    df: DataFrame, id_col: str, base_w: int = 24, base_h: int = 16
+    df: DataFrame, id_col: str, base_w: int = 24, base_h: int = 16,
+    patterns: int = 1,
 ) -> DataFrame:
     """Real-PNG media column: every row gets an actual encoded PNG (an
     id-seeded RGB gradient, ``base_w + id%8`` wide so dimensions vary),
     produced with the pure-stdlib codec.  This is the fixture-grade twin
     of ``attach_fake_media`` for exercising the REAL decode path
-    end-to-end — bytes that any external PNG viewer also opens."""
+    end-to-end — bytes that any external PNG viewer also opens.
+
+    ``patterns > 1`` rotates the luminance layout by ``id % patterns``
+    (gradient direction flips), giving the corpus that many *visually
+    distinct* families while rows within a family stay near-identical —
+    the fixture shape perceptual-hash dedup needs (with the default all
+    rows share one layout and a layout-sensitive hash collapses them to
+    a single cluster)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -279,12 +287,16 @@ def attach_png_media(
             for i in pdf["id"]:
                 w, h = base_w + int(i) % 8, base_h + int(i) % 5
                 yy, xx = np.mgrid[0:h, 0:w]
+                gx = xx * 255 // max(w - 1, 1)
+                gy = yy * 255 // max(h - 1, 1)
+                if patterns > 1:
+                    p = int(i) % patterns
+                    if p % 2 == 1:
+                        gx = 255 - gx
+                    if (p // 2) % 2 == 1:
+                        gy = 255 - gy
                 arr = np.stack(
-                    [
-                        (xx * 255 // max(w - 1, 1)),
-                        (yy * 255 // max(h - 1, 1)),
-                        np.full((h, w), int(i) % 256),
-                    ],
+                    [gx, gy, np.full((h, w), int(i) % 256)],
                     axis=2,
                 ).astype(np.uint8)
                 blobs.append(P.encode_png(arr))
@@ -295,3 +307,54 @@ def attach_png_media(
     return df.select(F.col(id_col).alias("id")).mapInPandas(
         gen, schema=PNG_MEDIA_SCHEMA
     )
+
+
+PHASH_SCHEMA = "id bigint, phash bigint"
+
+
+def average_hash_media(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual image fingerprint (average-hash): decode the PNG,
+    grayscale, nearest-resample to ``grid``×``grid``, threshold each cell
+    against the mean → one bit per cell, packed row-major into a 64-bit
+    int (grid=8).  (id, media, …) → (id, phash).
+
+    This is the image twin of SimHash text dedup: near-identical images
+    (recompressions, small crops/recolors — anything that preserves the
+    coarse luminance layout) collapse to equal or Hamming-close hashes,
+    so *visual* dedup becomes the same cheap pipeline as text near-dedup:
+    map-side fingerprint (this seam, binary never shuffles), then
+    group-by-hash or band-LSH + Hamming verify on 8-byte keys.  aHash
+    trades a little robustness vs the DCT pHash for zero extra deps and
+    total determinism; the seam is codec-agnostic so a DCT variant is a
+    drop-in.  Classic scheme; see e.g. the pHash project's public docs.
+    """
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from advanced_etl_pipelines_spark.functions import png as P
+
+        weights = np.array([0.299, 0.587, 0.114])
+        for pdf in batches:
+            hashes = []
+            for media in pdf["media"]:
+                arr = P.decode_png(bytes(media))
+                if arr.ndim == 3:
+                    gray = arr[:, :, :3].astype(np.float64) @ weights
+                else:
+                    gray = arr.astype(np.float64)
+                h, w = gray.shape
+                ys = (np.arange(grid) * h // grid).clip(0, h - 1)
+                xs = (np.arange(grid) * w // grid).clip(0, w - 1)
+                small = gray[np.ix_(ys, xs)]
+                bits = (small > small.mean()).ravel()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # map into signed-64 range for a BIGINT column
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                hashes.append(val)
+            yield pd.DataFrame({"id": pdf["id"], "phash": hashes})
+
+    return df.select("id", "media").mapInPandas(hash_batch, schema=PHASH_SCHEMA)

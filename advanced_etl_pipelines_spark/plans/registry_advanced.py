@@ -192,16 +192,16 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Suri & Vassilvitskii, WWW'11) next to pagerank_copurchase's
     iterative workload.
 
-    Scale shape: edges are canonically oriented s < d, so each triangle
-    is generated exactly once by the two-hop join (e1.d = e2.s) closed
-    by an edge-existence semi-probe (e3) — never the 6x duplication of
-    an unoriented join, and never an n² candidate set.  All three joins
-    are hash equi-joins on node keys; at 100 TB the standard refinement
-    is degree-based orientation (point edges low-degree -> high-degree)
-    which bounds the two-hop fanout by sqrt(|E|) per node — the
-    orientation column swap is one expression, the plan is unchanged.
-    The edge list is materialized once (persist) and reused by all
-    three legs."""
+    Scale shape (Suri–Vassilvitskii degree orientation): edges are
+    re-pointed low-degree -> high-degree endpoint (ties by id), which
+    makes every node's OUT-degree O(sqrt(|E|)) — the two-hop join
+    (e1.d = e2.s) then generates at most |E|^1.5 wedges total instead
+    of sum(deg²) (catastrophic under skew: one hub part in every order
+    yields |orders|² wedges under naive s<d orientation).  Each
+    triangle has exactly one source under ANY acyclic orientation, so
+    the count is unchanged and the s<d SQL oracle stays valid.  The
+    closing probe (e3) is a hash equi-join on the oriented edge pair;
+    the degree frame is node-sized and broadcast."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -219,15 +219,47 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.d") == F.col("e2.s"))
-        .join(
-            e3,
-            (F.col("e3.s") == F.col("e1.s"))
-            & (F.col("e3.d") == F.col("e2.d")),
+    # degree orientation: (deg, id) is a total order, so exactly one
+    # directed copy per undirected edge and one generator per triangle
+    ds = nodes.select(
+        F.col("node").alias("s"), F.col("deg").alias("deg_s")
+    )
+    dd = nodes.select(
+        F.col("node").alias("d"), F.col("deg").alias("deg_d")
+    )
+    keep_fwd = (F.col("deg_s") < F.col("deg_d")) | (
+        (F.col("deg_s") == F.col("deg_d")) & (F.col("s") < F.col("d"))
+    )
+    oriented = (
+        pairs.join(F.broadcast(ds), "s")
+        .join(F.broadcast(dd), "d")
+        .select(
+            F.when(keep_fwd, F.col("s")).otherwise(F.col("d")).alias("s"),
+            F.when(keep_fwd, F.col("d")).otherwise(F.col("s")).alias("d"),
         )
-        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .persist()
+    )
+    # edge-iterator with out-adjacency arrays: each triangle a<b<c (in
+    # the total order) is counted exactly once, at its lowest edge
+    # (a,b), as |out-adj(a) ∩ out-adj(b)| ∋ c.  This never materializes
+    # the wedge set through a shuffle (sum out-deg² rows — ~70M on this
+    # graph); instead it ships each node's bounded out-adjacency array
+    # (≤ O(sqrt|E|) by the orientation) to its edges and intersects
+    # JVM-side per row.
+    adj = oriented.groupBy("s").agg(F.collect_list("d").alias("adj"))
+    tri = (
+        oriented.join(
+            adj.select(F.col("s").alias("u"), F.col("adj").alias("adj_u")),
+            F.col("s") == F.col("u"),
+        )
+        .join(
+            adj.select(F.col("s").alias("v"), F.col("adj").alias("adj_v")),
+            F.col("d") == F.col("v"),
+        )
+        .select(
+            F.size(F.array_intersect("adj_u", "adj_v")).alias("t")
+        )
+        .agg(F.sum("t").alias("n_tri"))
     )
     wed = nodes.agg(
         F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("n_wedges")
@@ -375,6 +407,83 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         r4(F.avg("ppl")).alias("avg_ppl"),
+    )
+
+
+@query(
+    "pit_join_state_at_purchase",
+    """
+    WITH nonp AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE event_type <> 'purchase'),
+    ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM nonp),
+    chg AS (
+      SELECT user_id, event_type, ts FROM (
+        SELECT user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM ordered WHERE prev IS NULL OR prev <> event_type) t
+      WHERE rn = 1),
+    p AS (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase'),
+    j AS (
+      SELECT p.value, c.event_type AS state_at
+      FROM p ASOF LEFT JOIN chg c
+        ON p.user_id = c.user_id AND p.ts >= c.ts)
+    SELECT COALESCE(state_at, 'none') AS state_at_purchase,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(1e-9 + AVG(value), 4) AS avg_value
+    FROM j GROUP BY 1
+    """,
+)
+def q_pit_join_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) feature join — the feature-store primitive:
+    for every purchase, attach the dimension state that was valid AT the
+    purchase timestamp, with zero look-ahead leakage.  Here the
+    dimension is the user's activity state (the SCD2 change stream of
+    scd2_user_state, built from non-purchase events), and the output is
+    conversion volume by preceding state — last-activity attribution.
+
+    Composition, not new machinery: the change stream comes from the
+    same lag-window change detection as scd2_user_state; the temporal
+    match is ``operators/timeseries.asof_join`` (union + one
+    user-partitioned window — NO range join, NO per-fact scan of the
+    dimension history); DuckDB's native ASOF JOIN is the oracle.  Both
+    sides dedupe change rows at tied (user, ts) by keeping the latest
+    event_id, so the as-of match is well-defined.  Every shuffle is a
+    hash exchange on user_id — the plan you'd want at 100 TB."""
+    from advanced_etl_pipelines_spark.operators.timeseries import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    nonp = ev.where(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wd = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    chg = (
+        nonp.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("state"), "ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(
+        purchases, chg, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["state"],
+    )
+    return (
+        j.groupBy(
+            F.coalesce("asof_state", F.lit("none")).alias("state_at_purchase")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            r4(F.avg("value")).alias("avg_value"),
+        )
     )
 
 

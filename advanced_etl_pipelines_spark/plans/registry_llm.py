@@ -600,6 +600,38 @@ def q_multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_phash_dedup")  # pixel-space fingerprint — rows-only
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VISUAL near-dedup over real decoded pixels: every doc row gets an
+    actual encoded PNG, ``average_hash_media`` decodes and fingerprints
+    it (grayscale → 8×8 average-hash → 64-bit int), and duplicates are
+    the groups sharing a hash — the image analogue of SimHash text
+    dedup, end to end on real codec output.
+
+    Scale shape: the hash is a map-side Arrow seam over the binary
+    column (media bytes never shuffle); the dedup exchange carries only
+    (8-byte hash, id).  The id-seeded gradient images differ in their
+    constant blue channel and ±8px dimensions — luminance *layout* is
+    shared, so aHash collapses them into a few large clusters, which is
+    exactly the recompression/recolor dup class the operator exists to
+    catch.  Output: one row per distinct hash with its cluster size and
+    the min id kept (stable row count, exercises every blob).
+    patterns=4 gives the corpus 4 distinct luminance layouts (gradient
+    flips), so the expected result is 4 big clusters — dedup that
+    actually discriminates, not one degenerate bucket."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.attach_png_media(docs, "doc_id", patterns=4)
+    hashed = M.average_hash_media(media, grid=8)
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("id").alias("keep_id"),
+        )
+        .orderBy(F.desc("n_images"), F.asc("phash"))
+    )
+
+
 @query(
     "dedup_cluster_components",
     f"""

@@ -131,3 +131,31 @@ def test_salted_agg_two_exchanges(spark, queries):
     (event_type, salt) before the final exchange on event_type."""
     plan = _plan(queries["salted_hot_key_agg"](spark, SF))
     assert plan.count("Exchange hashpartitioning") >= 2
+
+
+def test_average_hash_clusters_and_determinism(spark):
+    """Identical luminance layouts must collide; flipped layouts must
+    not.  patterns=4 on sequential ids yields exactly 4 hash clusters."""
+    from advanced_etl_pipelines_spark.operators import multimodal as M
+
+    base = spark.range(64).select(F.col("id").alias("doc_id"))
+    media = M.attach_png_media(base, "doc_id", patterns=4)
+    hashed = M.average_hash_media(media, grid=8)
+    rows = hashed.collect()
+    by_pattern: dict[int, set] = {}
+    for r in rows:
+        by_pattern.setdefault(r.id % 4, set()).add(r.phash)
+    # each pattern family collapses to ONE hash despite ±8px size and
+    # per-id blue-channel jitter ...
+    assert all(len(v) == 1 for v in by_pattern.values())
+    # ... and the 4 families are mutually distinct
+    assert len({next(iter(v)) for v in by_pattern.values()}) == 4
+
+
+def test_pit_join_no_lookahead(spark, queries):
+    """PIT states must come only from non-purchase events (no label
+    leakage): every state value is a real non-purchase event type."""
+    rows = queries["pit_join_state_at_purchase"](spark, SF).collect()
+    states = {r.state_at_purchase for r in rows}
+    assert "purchase" not in states
+    assert states
