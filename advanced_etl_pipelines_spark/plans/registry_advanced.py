@@ -529,3 +529,234 @@ def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.sum("ps")).alias("sum_value"),
         r4(F.sum("ps") / F.sum("pn")).alias("avg_value"),
     )
+
+
+@query(
+    "embedding_label_centroids",
+    """
+    WITH c AS (
+      SELECT label, i AS pos, AVG(CAST(embedding[i] AS DOUBLE)) AS v
+      FROM embeddings, range(1, 65) t(i)
+      WHERE label IS NOT NULL GROUP BY label, i),
+    n AS (SELECT label, SQRT(SUM(v * v)) AS nrm FROM c GROUP BY label),
+    p AS (
+      SELECT a.label AS label_a, b.label AS label_b, SUM(a.v * b.v) AS dot
+      FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2)
+    SELECT label_a, label_b,
+           ROUND(1e-9 + dot / (na.nrm * nb.nrm), 4) AS centroid_cos
+    FROM p JOIN n na ON na.label = p.label_a
+           JOIN n nb ON nb.label = p.label_b
+    """,
+)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids and their pairwise cosine — the
+    cluster-separation diagnostic run before using labels for filtering
+    or stratification (nearly-parallel centroids mean the classes are
+    not separable in this embedding space).
+
+    Scale shape: posexplode to (label, dim, value), ONE hash aggregate
+    keyed by (label, dim) — the map-side partial reduces each
+    partition's vectors to k×d sums, so the exchange carries k×d×P
+    doubles, never the vectors.  Everything after (norms, pairwise
+    dots) runs on the k×d centroid frame — dashboard-sized.  This is
+    the same partial-moment trick as the PCA/k-means operators
+    (operators/linalg.py) expressed in pure SQL."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("label").isNotNull())
+    c = (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "fv"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.avg(F.col("fv").cast("double")).alias("v"))
+    )
+    n = c.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("dot"))
+    )
+    na = n.select(F.col("label").alias("label_a"), F.col("nrm").alias("na"))
+    nb = n.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb"))
+    return (
+        p.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            r4(F.col("dot") / (F.col("na") * F.col("nb"))).alias(
+                "centroid_cos"
+            ),
+        )
+    )
+
+
+@query(
+    "dedup_incremental_against_base",
+    """
+    WITH tagged AS (
+      SELECT doc_id, source, text,
+             (((doc_id % 2147483648) * 2654435761) % 4294967296)
+               / 4294967296.0 < 0.7 AS is_base
+      FROM documents),
+    base_texts AS (SELECT DISTINCT text FROM tagged WHERE is_base),
+    inc AS (SELECT doc_id, source, text FROM tagged WHERE NOT is_base),
+    rn AS (
+      SELECT doc_id, source, text,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM inc),
+    cls AS (
+      SELECT r.source,
+             CASE WHEN b.text IS NOT NULL THEN 'dup_vs_base'
+                  WHEN r.rn > 1 THEN 'dup_within_batch'
+                  ELSE 'new' END AS status
+      FROM rn r LEFT JOIN base_texts b ON r.text = b.text)
+    SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM cls GROUP BY source, status
+    """,
+)
+def q_dedup_incremental_against_base(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental (daily-ingest) exact dedup: classify each NEW batch
+    document as new / duplicate-of-the-existing-corpus /
+    duplicate-within-batch — the operational form of dedup_exact_stats
+    (a real pipeline never re-dedups 100 TB from scratch; it checks the
+    day's increment against the standing digest index).  The base/
+    increment split is the deterministic unit_hash (70% base), so the
+    scenario is reproducible and oracle-checkable.
+
+    Scale shape: both the base index and the batch shuffle their 64-bit
+    ``xxhash64`` text digests, never the document bodies (the oracle
+    joins on raw text — identical counts absent hash collisions, the
+    same digest discipline as operators/dedup.py).  The base side of
+    the anti-probe is digest-distinct — at 100 TB it is the standing
+    dedup index you'd keep as a bucketed table, making the probe a
+    shuffle-free bucket join."""
+    docs = _t(spark, sf_dir, "documents")
+    from advanced_etl_pipelines_spark.operators.sampling import unit_hash
+
+    tagged = docs.select(
+        "doc_id",
+        "source",
+        F.xxhash64("text").alias("digest"),
+        (unit_hash("doc_id") < 0.7).alias("is_base"),
+    )
+    base = tagged.where("is_base").select("digest").distinct()
+    inc = tagged.where(~F.col("is_base"))
+    w = Window.partitionBy("digest").orderBy(F.asc("doc_id"))
+    rn = inc.withColumn("rn", F.row_number().over(w))
+    cls = rn.join(
+        base.withColumn("in_base", F.lit(True)), "digest", "left"
+    ).select(
+        "source",
+        F.when(F.col("in_base"), "dup_vs_base")
+        .when(F.col("rn") > 1, "dup_within_batch")
+        .otherwise("new")
+        .alias("status"),
+    )
+    return cls.groupBy("source", "status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+@query(
+    "span_corruption_pairs",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    m AS (SELECT doc_id, len(toks) AS n,
+      COALESCE(array_to_string(list_filter(list_transform(
+        range(1, len(toks) + 1),
+        i -> CASE WHEN (i-1) % 15 >= 12 THEN
+               CASE WHEN (i-1) % 15 = 12
+                    THEN '<extra_id_' || CAST((i-1) // 15 AS VARCHAR) || '>'
+                    ELSE '' END
+             ELSE toks[i] END), x -> x <> ''), ' '), '') AS input_text,
+      COALESCE(array_to_string(list_filter(list_transform(
+        range(1, len(toks) + 1),
+        i -> CASE WHEN (i-1) % 15 >= 12 THEN
+               CASE WHEN (i-1) % 15 = 12
+                    THEN '<extra_id_' || CAST((i-1) // 15 AS VARCHAR)
+                         || '> ' || toks[i]
+                    ELSE toks[i] END
+             ELSE '' END), x -> x <> ''), ' '), '') AS target_text
+      FROM tk)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, input_text, target_text
+    FROM m WHERE n > 0
+    """,
+)
+def q_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pair generation: mask the last 3 tokens
+    of every 15-token stride, replace each masked span with a sentinel
+    ``<extra_id_k>`` in the input, and emit the sentinel-prefixed
+    masked spans as the target — (input, target) pairs ready for
+    denoising pretraining (Raffel et al. 2020 §3.1.4 objective shape,
+    with a deterministic mask so the pairs are reproducible and
+    oracle-checkable; swapping in a seeded-hash mask keeps the plan
+    identical).
+
+    Scale shape: pure per-row higher-order array functions — tokenize
+    once, two transform/filter/join passes, ZERO shuffle and zero
+    Python; the whole operator pipelines inside one codegen stage over
+    the scan.  String assembly is exact integer/string arithmetic, so
+    the oracle match is bit-exact, not rounded."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", T.word_tokens("text").alias("toks"))
+
+    def sentinel(i):
+        return F.concat(
+            F.lit("<extra_id_"),
+            F.floor(i / 15).cast("long").cast("string"),
+            F.lit(">"),
+        )
+
+    def build_input(toks):
+        return F.array_join(
+            F.filter(
+                F.transform(
+                    toks,
+                    lambda x, i: F.when(
+                        i % 15 >= 12,
+                        F.when(i % 15 == 12, sentinel(i)).otherwise(F.lit("")),
+                    ).otherwise(x),
+                ),
+                lambda x: x != F.lit(""),
+            ),
+            " ",
+        )
+
+    def build_target(toks):
+        return F.array_join(
+            F.filter(
+                F.transform(
+                    toks,
+                    lambda x, i: F.when(
+                        i % 15 >= 12,
+                        F.when(
+                            i % 15 == 12,
+                            F.concat(sentinel(i), F.lit(" "), x),
+                        ).otherwise(x),
+                    ).otherwise(F.lit("")),
+                ),
+                lambda x: x != F.lit(""),
+            ),
+            " ",
+        )
+
+    return (
+        tok.where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            T.bind_once(F.col("toks"), build_input).alias("input_text"),
+            T.bind_once(F.col("toks"), build_target).alias("target_text"),
+        )
+    )

@@ -159,3 +159,62 @@ def test_pit_join_no_lookahead(spark, queries):
     states = {r.state_at_purchase for r in rows}
     assert "purchase" not in states
     assert states
+
+
+def test_span_corruption_shuffle_free(spark, queries):
+    """Pure per-row HOF pipeline: no Exchange anywhere in the plan."""
+    plan = _plan(queries["span_corruption_pairs"](spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_span_corruption_roundtrip(spark, queries):
+    """Interleaving target spans back into the input at the sentinels
+    must reconstruct the original token stream."""
+    rows = queries["span_corruption_pairs"](spark, SF).limit(50).collect()
+    import re
+
+    from advanced_etl_pipelines_spark.functions.text import WORD_SPLIT_RE  # noqa: F401
+
+    for r in rows:
+        inp, tgt = r.input_text.split(), r.target_text.split()
+        # parse target into span_id -> tokens
+        spans: dict[str, list[str]] = {}
+        cur = None
+        for t in tgt:
+            if re.fullmatch(r"<extra_id_\d+>", t):
+                cur = t
+                spans[cur] = []
+            else:
+                assert cur is not None
+                spans[cur].append(t)
+        rebuilt: list[str] = []
+        for t in inp:
+            if re.fullmatch(r"<extra_id_\d+>", t):
+                rebuilt.extend(spans[t])
+            else:
+                rebuilt.append(t)
+        assert len(rebuilt) == r.n_tokens
+
+
+def test_incremental_dedup_partitions_cover_corpus(spark, queries):
+    """new + dup_vs_base + dup_within_batch = the whole increment."""
+    from advanced_etl_pipelines_spark.operators.sampling import unit_hash
+    from advanced_etl_pipelines_spark.plans.registry import _t
+
+    rows = queries["dedup_incremental_against_base"](spark, SF).collect()
+    total = sum(r.n_docs for r in rows)
+    docs = _t(spark, SF, "documents")
+    n_inc = docs.where(~(unit_hash("doc_id") < 0.7)).count()
+    assert total == n_inc
+    assert {r.status for r in rows} <= {
+        "new", "dup_vs_base", "dup_within_batch"
+    }
+
+
+def test_label_centroid_cos_bounds(spark, queries):
+    rows = queries["embedding_label_centroids"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1.0001 <= r.centroid_cos <= 1.0001
+        assert r.label_a < r.label_b
