@@ -760,3 +760,90 @@ def q_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.bind_once(F.col("toks"), build_target).alias("target_text"),
         )
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+      SELECT s_suppkey, s_acctbal, s_name, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    costs AS (
+      SELECT p.p_partkey, ps.supplycost, e.s_acctbal, e.s_name, e.n_name
+      FROM part p JOIN ps ON p.p_partkey = ps.l_partkey
+      JOIN eu e ON ps.l_suppkey = e.s_suppkey
+      WHERE p.p_size = 15),
+    mn AS (SELECT p_partkey AS mk, MIN(supplycost) AS min_cost
+           FROM costs GROUP BY p_partkey)
+    SELECT ROUND(1e-9 + c.s_acctbal, 2) AS s_acctbal,
+           c.s_name, c.n_name, c.p_partkey,
+           ROUND(1e-9 + c.supplycost, 4) AS supplycost
+    FROM costs c JOIN mn ON c.p_partkey = mn.mk
+                         AND c.supplycost = mn.min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20
+    """,
+)
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minus partsupp, which the driver schema lacks —
+    lineitem stands in as the part-supplier cost relation, supplycost =
+    min unit price observed): for each size-15 part, the EUROPEAN
+    supplier offering it at minimum cost, top-20 by account balance.
+    Completes the 22-query TPC-H suite (Q1, Q3-Q22 already registered).
+
+    The interesting part is the correlated subquery
+    (supplycost = MIN(supplycost) per part): expressed as a groupBy +
+    self-equi-join rather than a per-part subquery, which is exactly
+    how Catalyst decorrelates it — one hash aggregate and one hash join
+    keyed by p_partkey, both parallel.  The region/nation/supplier dim
+    chain broadcasts; the float-equality join is sound because both
+    sides compute the same IEEE division and MIN picks a member of the
+    same value set."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey"), F.col("l_suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "supplycost"
+        )
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    costs = (
+        part.join(ps, part.p_partkey == ps.l_partkey)
+        .join(eu, ps.l_suppkey == eu.s_suppkey)
+        .select("p_partkey", "supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    c = costs.alias("c")
+    mn = (
+        costs.groupBy("p_partkey")
+        .agg(F.min("supplycost").alias("min_cost"))
+        .select(F.col("p_partkey").alias("mk"), "min_cost")
+    )
+    out = c.join(
+        mn,
+        (F.col("c.p_partkey") == F.col("mk"))
+        & (F.col("c.supplycost") == F.col("min_cost")),
+    ).select(
+        r2(F.col("c.s_acctbal")).alias("s_acctbal"),
+        F.col("c.s_name").alias("s_name"),
+        F.col("c.n_name").alias("n_name"),
+        F.col("c.p_partkey").alias("p_partkey"),
+        r4(F.col("c.supplycost")).alias("supplycost"),
+    )
+    return out.orderBy(
+        F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+        F.asc("p_partkey"),
+    ).limit(20)
