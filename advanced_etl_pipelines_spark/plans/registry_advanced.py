@@ -847,3 +847,103 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
         F.asc("p_partkey"),
     ).limit(20)
+
+
+@query(
+    "char_coverage_table",
+    """
+    WITH ch AS (SELECT unnest(string_split(text, '')) AS c FROM documents),
+    cnt AS (SELECT c, COUNT(*) AS n FROM ch GROUP BY c),
+    tot AS (SELECT SUM(n) AS t FROM cnt),
+    r AS (SELECT c, n, SUM(n) OVER (ORDER BY n DESC, c) AS cum FROM cnt)
+    SELECT c AS ch, CAST(n AS BIGINT) AS n_occurrences,
+           ROUND(1e-9 + cum * 100.0 / t, 4) AS cum_pct
+    FROM r, tot ORDER BY n_occurrences DESC, ch LIMIT 30
+    """,
+)
+def q_char_coverage_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-coverage table — the SentencePiece vocabulary-design
+    input: every character by frequency with cumulative coverage, so a
+    tokenizer build can pick the alphabet that covers e.g. 99.95% of
+    corpus characters and map the tail to <unk>.
+
+    Scale shape: explode-to-characters feeds a hash aggregate whose
+    map-side partial is ALPHABET-sized per partition (a few hundred
+    keys even for CJK corpora), so the exchange carries ~|alphabet| x
+    n_partitions rows regardless of corpus bytes; every window after
+    runs on the alphabet-sized frame.  The explode itself never
+    shuffles — it pipelines into the partial aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split("text", "")).alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.agg(F.sum("n").alias("t"))
+    w = Window.orderBy(F.desc("n"), F.asc("c"))
+    r = cnt.withColumn("cum", F.sum("n").over(w))
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("c").alias("ch"),
+            F.col("n").cast("bigint").alias("n_occurrences"),
+            r4(F.col("cum") * 100.0 / F.col("t")).alias("cum_pct"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("ch"))
+        .limit(30)
+    )
+
+
+@query(
+    "duplicated_ngram_fraction",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 3),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+      FROM tk WHERE len(toks) >= 5),
+    cnt AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram),
+    j AS (SELECT g.doc_id, cnt.n_docs FROM g JOIN cnt USING (gram))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND(1e-9 + AVG(CASE WHEN n_docs > 1 THEN 1.0 ELSE 0.0 END), 4)
+             AS dup_gram_frac
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-text fraction (the RefinedWeb /
+    MassiveText "duplicated 5-gram" quality signal): for each document,
+    the share of its distinct word 5-grams that also appear in at least
+    one OTHER document.  High values mark boilerplate/templated docs
+    that survive exact dedup but poison training.
+
+    Scale shape: per-doc distinct grams are map-side HOFs; the only
+    shuffles are the gram-count aggregate and the join back — and in
+    the Spark plan both carry 64-bit ``xxhash64(gram)`` digests, never
+    gram strings (the oracle joins raw grams; counts are identical
+    absent collisions — the dedup-family digest discipline).  Postings
+    are bounded by corpus token count, identical to the inverted-index
+    Jaccard operator."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", T.word_tokens("text").alias("toks"))
+    g = (
+        tk.where(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(T.word_ngrams(F.col("toks"), 5))
+            ).alias("gram"),
+        )
+        .select("doc_id", F.xxhash64("gram").alias("gh"))
+    )
+    cnt = g.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+    j = g.join(cnt, "gh")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        r4(
+            F.avg(F.when(F.col("n_docs") > 1, 1.0).otherwise(0.0))
+        ).alias("dup_gram_frac"),
+    )
