@@ -358,3 +358,75 @@ def average_hash_media(df: DataFrame, grid: int = 8) -> DataFrame:
             yield pd.DataFrame({"id": pdf["id"], "phash": hashes})
 
     return df.select("id", "media").mapInPandas(hash_batch, schema=PHASH_SCHEMA)
+
+
+WAV_MEDIA_SCHEMA = "id bigint, media binary, media_type string"
+AUDIO_FEATURES_SCHEMA = (
+    "id bigint, sample_rate int, duration_s double, rms double, "
+    "peak double, zcr double, centroid_hz double"
+)
+
+
+def attach_wav_media(
+    df: DataFrame, id_col: str, sample_rate: int = 8000
+) -> DataFrame:
+    """Real-WAV media column: every row gets an actual 16-bit PCM RIFF
+    blob (an id-seeded sine + harmonic mix, 0.05-0.3s so durations
+    vary), produced with the pure-stdlib codec (functions/wav.py) — the
+    audio twin of ``attach_png_media``, for exercising the REAL audio
+    decode path end-to-end with bytes any player opens."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from advanced_etl_pipelines_spark.functions import wav as W
+
+        for pdf in batches:
+            blobs = []
+            for i in pdf["id"]:
+                i = int(i)
+                n = int(sample_rate * (0.05 + (i % 6) * 0.05))
+                t = np.arange(n) / sample_rate
+                f0 = 110.0 * (1 + i % 16)
+                x = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.3 * np.sin(
+                    2 * np.pi * 2 * f0 * t
+                )
+                blobs.append(W.encode_wav(x, sample_rate=sample_rate))
+            yield pd.DataFrame(
+                {"id": pdf["id"], "media": blobs, "media_type": "audio"}
+            )
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        gen, schema=WAV_MEDIA_SCHEMA
+    )
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode + clip-level features through the Arrow seam:
+    (id, media) WAV bytes → duration / RMS / peak / zero-crossing rate /
+    spectral centroid (functions/wav.py; stdlib ``wave`` + numpy rFFT,
+    no soundfile dependency).  Same scale contract as every media
+    operator here: bytes stay inside the batch, features (a few doubles
+    per clip) are all that ever shuffles; a wav2vec-style embedding
+    model binds at exactly this seam."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from advanced_etl_pipelines_spark.functions import wav as W
+
+        for pdf in batches:
+            out = {
+                "id": [], "sample_rate": [], "duration_s": [], "rms": [],
+                "peak": [], "zcr": [], "centroid_hz": [],
+            }
+            for i, media in zip(pdf["id"], pdf["media"]):
+                x, sr = W.decode_wav(bytes(media))
+                f = W.audio_features(x, sr)
+                out["id"].append(i)
+                out["sample_rate"].append(sr)
+                for k in ("duration_s", "rms", "peak", "zcr", "centroid_hz"):
+                    out[k].append(f[k])
+            yield pd.DataFrame(out)
+
+    return df.select("id", "media").mapInPandas(
+        feats, schema=AUDIO_FEATURES_SCHEMA
+    )

@@ -600,6 +600,33 @@ def q_multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_audio_features")  # real WAV decode — rows-only
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: every doc row gets an actual
+    16-bit PCM WAV blob (id-seeded sine mix, varying duration/pitch),
+    and ``extract_audio_features`` decodes the waveform back through
+    the Arrow seam (stdlib ``wave`` + numpy — functions/wav.py) into
+    clip-level features: duration, RMS, peak, zero-crossing rate,
+    spectral centroid.  The audio twin of ``multimodal_decode``'s PNG
+    path — no fake bytes anywhere.  Output aggregates features per
+    duration bucket (stable row count, exercises every blob); at scale
+    the same seam hosts a wav2vec featurizer with bytes never leaving
+    the Arrow batch."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.attach_wav_media(docs, "doc_id", sample_rate=8000)
+    feats = M.extract_audio_features(media)
+    return (
+        feats.groupBy("duration_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            r4(F.avg("rms")).alias("avg_rms"),
+            r4(F.avg("zcr")).alias("avg_zcr"),
+            r4(F.avg("centroid_hz")).alias("avg_centroid_hz"),
+        )
+        .orderBy("duration_s")
+    )
+
+
 @query("multimodal_phash_dedup")  # pixel-space fingerprint — rows-only
 def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VISUAL near-dedup over real decoded pixels: every doc row gets an

@@ -208,3 +208,76 @@ def test_resize_media_png_codec_real_pixels(spark):
         assert arr.shape == (6, 10, 3)
         want = resize_nearest(decode_png(src[r["id"]]), 10, 6)
         assert (arr == want).all()
+
+
+def test_wav_codec_roundtrip():
+    """encode→decode is lossless up to int16 quantization."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions.wav import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-0.9, 0.9, 800)
+    data = encode_wav(x, sample_rate=8000)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    y, sr = decode_wav(data)
+    assert sr == 8000
+    # quantization error: x*32767/32768 scale skew (+~3e-5 at |x|=0.9)
+    # plus the half-LSB truncation
+    assert np.max(np.abs(x - y)) < 1.0 / 10000
+    f = audio_features(y, sr)
+    assert abs(f["duration_s"] - 0.1) < 1e-9
+    assert 0 < f["rms"] < 1 and 0 < f["peak"] <= 1
+
+
+def test_wav_codec_rejects_non_16bit():
+    import io
+    import wave
+
+    import numpy as np
+    import pytest
+
+    from advanced_etl_pipelines_spark.functions.wav import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit
+        w.setframerate(8000)
+        w.writeframes(np.zeros(10, dtype=np.uint8).tobytes())
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_wav(buf.getvalue())
+
+
+def test_audio_features_pitch_ordering(spark):
+    """Spectral centroid must rank clips by their synthesized pitch —
+    the decode is real, so physics holds: higher f0 → higher centroid."""
+    from pyspark.sql import functions as F
+
+    from advanced_etl_pipelines_spark.operators import multimodal as M
+
+    base = spark.range(16).select(F.col("id").alias("doc_id"))
+    media = M.attach_wav_media(base, "doc_id", sample_rate=8000)
+    feats = M.extract_audio_features(media).collect()
+    by_id = {r.id: r for r in feats}
+    # f0 = 110 * (1 + id % 16): id=0 lowest pitch, id=15 highest
+    assert by_id[0].centroid_hz < by_id[7].centroid_hz < by_id[15].centroid_hz
+    for r in feats:
+        assert r.sample_rate == 8000
+        assert r.duration_s > 0 and r.rms > 0
+
+
+def test_multimodal_audio_features_query(spark):
+    import __spark_entry__ as e
+
+    rows = e.queries()["multimodal_audio_features"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    # 6 duration buckets by construction (id % 6)
+    assert len(rows) == 6
+    assert all(r.n_clips > 0 for r in rows)
