@@ -430,3 +430,92 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return df.select("id", "media").mapInPandas(
         feats, schema=AUDIO_FEATURES_SCHEMA
     )
+
+
+def attach_png_video(
+    df: DataFrame, id_col: str, base_frames: int = 4
+) -> DataFrame:
+    """Real-bytes video column: each row gets an MJPEG-style container —
+    a concatenation of REAL encoded PNG frames (id-seeded moving
+    gradient, ``base_frames + id%4`` frames) — completing the triad
+    next to ``attach_png_media`` (image) and ``attach_wav_media``
+    (audio).  Every frame is independently decodable by any PNG viewer;
+    the container is split on the PNG signature, the same way an MJPEG
+    demuxer splits on JPEG SOI markers."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from advanced_etl_pipelines_spark.functions import png as P
+
+        for pdf in batches:
+            blobs = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 16 + i % 4, 12 + i % 3
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = []
+                for f in range(base_frames + i % 4):
+                    arr = np.stack(
+                        [
+                            (xx * 255 // max(w - 1, 1) + 13 * f) % 256,
+                            (yy * 255 // max(h - 1, 1)) % 256,
+                            np.full((h, w), (i + 7 * f) % 256),
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    frames.append(P.encode_png(arr))
+                blobs.append(b"".join(frames))
+            yield pd.DataFrame(
+                {"id": pdf["id"], "media": blobs, "media_type": "video"}
+            )
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        gen, schema=PNG_MEDIA_SCHEMA
+    )
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "id bigint, frame_idx int, width int, height int, mean_luma double"
+)
+
+
+def decode_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame demux + decode: split the concatenated-PNG container
+    on the PNG signature (the MJPEG-demux pattern), fully decode every
+    ``every_n``-th frame, and emit per-frame dimensions + mean
+    grayscale luminance — the shot-boundary / keyframe-selection
+    signal.  Row-expanding Arrow seam like ``sample_frames``, but the
+    bytes are real and a corrupt frame raises instead of passing
+    through."""
+
+    def demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from advanced_etl_pipelines_spark.functions import png as P
+
+        weights = np.array([0.299, 0.587, 0.114])
+        for pdf in batches:
+            out = {
+                "id": [], "frame_idx": [], "width": [], "height": [],
+                "mean_luma": [],
+            }
+            for vid, media in zip(pdf["id"], pdf["media"]):
+                data = bytes(media)
+                # split on the 8-byte PNG signature; first chunk is empty
+                parts = data.split(P.PNG_MAGIC)[1:]
+                for fi, body in enumerate(parts):
+                    if fi % every_n:
+                        continue
+                    arr = P.decode_png(P.PNG_MAGIC + body)
+                    gray = arr[:, :, :3].astype(np.float64) @ weights
+                    out["id"].append(vid)
+                    out["frame_idx"].append(fi)
+                    out["height"].append(arr.shape[0])
+                    out["width"].append(arr.shape[1])
+                    out["mean_luma"].append(float(gray.mean()))
+            yield pd.DataFrame(out)
+
+    return df.select("id", "media").mapInPandas(
+        demux, schema=VIDEO_FRAMES_SCHEMA
+    )

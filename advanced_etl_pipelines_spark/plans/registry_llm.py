@@ -627,6 +627,29 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_video_frames")  # real PNG-container demux — rows-only
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path end-to-end: each doc row gets an MJPEG-style
+    container of concatenated real PNG frames; ``decode_video_frames``
+    demuxes on the PNG signature and fully decodes every 2nd frame into
+    per-frame dimensions + mean luminance (the keyframe/shot-boundary
+    signal).  Completes the triad — real image (multimodal_decode),
+    real audio (multimodal_audio_features), real video — all on
+    stdlib-only codecs.  Output: per-video sampled-frame count and
+    luminance spread (row-expanding seam + reaggregate, stable rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.attach_png_video(docs, "doc_id")
+    frames = M.decode_video_frames(media, every_n=2)
+    return (
+        frames.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled_frames"),
+            r4(F.avg("mean_luma")).alias("avg_luma"),
+            r4(F.max("mean_luma") - F.min("mean_luma")).alias("luma_spread"),
+        )
+    )
+
+
 @query("multimodal_phash_dedup")  # pixel-space fingerprint — rows-only
 def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VISUAL near-dedup over real decoded pixels: every doc row gets an

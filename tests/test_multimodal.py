@@ -281,3 +281,37 @@ def test_multimodal_audio_features_query(spark):
     # 6 duration buckets by construction (id % 6)
     assert len(rows) == 6
     assert all(r.n_clips > 0 for r in rows)
+
+
+def test_video_container_demux_decode(spark):
+    """Frame count = base + id%4; every frame decodes with the expected
+    per-id dimensions; luminance varies across frames (moving gradient)."""
+    from pyspark.sql import functions as F
+
+    from advanced_etl_pipelines_spark.operators import multimodal as M
+
+    base = spark.range(8).select(F.col("id").alias("doc_id"))
+    media = M.attach_png_video(base, "doc_id", base_frames=4)
+    frames = M.decode_video_frames(media, every_n=1).collect()
+    by_id: dict[int, list] = {}
+    for r in frames:
+        by_id.setdefault(r.id, []).append(r)
+    for i, rs in by_id.items():
+        assert len(rs) == 4 + i % 4
+        for r in rs:
+            assert r.width == 16 + i % 4
+            assert r.height == 12 + i % 3
+            assert 0.0 <= r.mean_luma <= 255.0
+        lumas = {round(r.mean_luma, 6) for r in rs}
+        assert len(lumas) > 1  # frames actually differ
+
+
+def test_video_frame_sampling_stride(spark):
+    from pyspark.sql import functions as F
+
+    from advanced_etl_pipelines_spark.operators import multimodal as M
+
+    base = spark.range(4).select(F.col("id").alias("doc_id"))
+    media = M.attach_png_video(base, "doc_id", base_frames=6)
+    frames = M.decode_video_frames(media, every_n=2).collect()
+    assert all(r.frame_idx % 2 == 0 for r in frames)
