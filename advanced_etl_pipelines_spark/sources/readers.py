@@ -135,3 +135,19 @@ def write_xml(
         .mode("overwrite")
         .save(path)
     )
+
+
+def read_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet read: ``mergeSchema=true``
+    unions the footers of every file, so batches written before a
+    column existed surface it as NULL instead of failing or silently
+    dropping it (Spark's default reads ONE footer — whichever file it
+    samples — and returns a schema that depends on file listing order).
+
+    The lakehouse append contract this enables: producers may ADD
+    nullable columns over time; readers always see the superset schema.
+    Scale note: footer merging is a driver-side metadata operation over
+    file count, not data size — pair with ``compact_small_files`` to
+    keep file counts sane; at petabyte scale a table format (Delta/
+    Iceberg) moves this merge into the transaction log, same contract."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -401,3 +401,24 @@ def test_python_udtf_lateral_parse(spark):
         ).collect()
     }
     assert got == {(1, "a", "1"), (1, "b", "2"), (2, "c", "3")}
+
+
+def test_read_evolving_merges_added_column(spark, tmp_path):
+    """Files written before a column existed surface it as NULL; the
+    merged schema is the superset regardless of file order."""
+    from pyspark.sql import functions as F
+
+    from advanced_etl_pipelines_spark.sources.readers import read_evolving
+
+    path = str(tmp_path / "evolving")
+    spark.range(5).select("id").write.mode("append").parquet(path)
+    spark.range(5, 10).select(
+        "id", (F.col("id") * 2).alias("added")
+    ).write.mode("append").parquet(path)
+
+    df = read_evolving(spark, path)
+    assert set(df.columns) == {"id", "added"}
+    rows = {r.id: r.added for r in df.collect()}
+    assert len(rows) == 10
+    assert all(rows[i] is None for i in range(5))
+    assert all(rows[i] == 2 * i for i in range(5, 10))
