@@ -947,3 +947,194 @@ def q_duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("n_docs") > 1, 1.0).otherwise(0.0))
         ).alias("dup_gram_frac"),
     )
+
+
+@query(
+    "rfm_segments",
+    """
+    WITH ref AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    base AS (
+      SELECT o_custkey,
+             DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                       CAST(ANY_VALUE(mx) AS DATE)) AS recency_days,
+             COUNT(*) AS frequency,
+             ROUND(1e-9 + SUM(o_totalprice), 2) AS monetary
+      FROM orders, ref GROUP BY o_custkey),
+    cut AS (
+      SELECT PERCENTILE_CONT(0.2) WITHIN GROUP (ORDER BY recency_days) AS r20,
+             PERCENTILE_CONT(0.4) WITHIN GROUP (ORDER BY recency_days) AS r40,
+             PERCENTILE_CONT(0.6) WITHIN GROUP (ORDER BY recency_days) AS r60,
+             PERCENTILE_CONT(0.8) WITHIN GROUP (ORDER BY recency_days) AS r80,
+             PERCENTILE_CONT(0.2) WITHIN GROUP (ORDER BY frequency) AS f20,
+             PERCENTILE_CONT(0.4) WITHIN GROUP (ORDER BY frequency) AS f40,
+             PERCENTILE_CONT(0.6) WITHIN GROUP (ORDER BY frequency) AS f60,
+             PERCENTILE_CONT(0.8) WITHIN GROUP (ORDER BY frequency) AS f80,
+             PERCENTILE_CONT(0.2) WITHIN GROUP (ORDER BY monetary) AS m20,
+             PERCENTILE_CONT(0.4) WITHIN GROUP (ORDER BY monetary) AS m40,
+             PERCENTILE_CONT(0.6) WITHIN GROUP (ORDER BY monetary) AS m60,
+             PERCENTILE_CONT(0.8) WITHIN GROUP (ORDER BY monetary) AS m80
+      FROM base),
+    scored AS (
+      SELECT CASE WHEN recency_days <= r20 THEN 5
+                  WHEN recency_days <= r40 THEN 4
+                  WHEN recency_days <= r60 THEN 3
+                  WHEN recency_days <= r80 THEN 2 ELSE 1 END AS r_score,
+             CASE WHEN frequency <= f20 THEN 1
+                  WHEN frequency <= f40 THEN 2
+                  WHEN frequency <= f60 THEN 3
+                  WHEN frequency <= f80 THEN 4 ELSE 5 END AS f_score,
+             CASE WHEN monetary <= m20 THEN 1
+                  WHEN monetary <= m40 THEN 2
+                  WHEN monetary <= m60 THEN 3
+                  WHEN monetary <= m80 THEN 4 ELSE 5 END AS m_score,
+             monetary
+      FROM base, cut)
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(1e-9 + AVG(monetary), 2) AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    canonical retail cohorting operator: quintile-score each customer on
+    days-since-last-order, order count, and lifetime spend, then report
+    segment sizes and value.
+
+    Scale shape: one customer-keyed hash aggregate builds the base
+    frame; the 12 quintile cut points are ONE global percentile
+    aggregate (an agg, not an ordered window — no global sort), whose
+    1-row result broadcasts back over the base for pure-CASE scoring.
+    Cross-engine determinism: monetary is rounded to cents BEFORE
+    cutting/scoring, so thresholds and comparisons see identical
+    doubles in both engines (unrounded sums differ in the last ULP and
+    can flip a boundary customer's quintile)."""
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("mx"))
+    base = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.to_date(F.any_value("mx")), F.to_date(F.max("o_orderdate"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            r2(F.sum("o_totalprice")).alias("monetary"),
+        )
+    )
+    cut = base.agg(
+        *[
+            F.percentile("recency_days", F.lit(p / 100)).alias(f"r{p}")
+            for p in (20, 40, 60, 80)
+        ],
+        *[
+            F.percentile("frequency", F.lit(p / 100)).alias(f"f{p}")
+            for p in (20, 40, 60, 80)
+        ],
+        *[
+            F.percentile("monetary", F.lit(p / 100)).alias(f"m{p}")
+            for p in (20, 40, 60, 80)
+        ],
+    )
+
+    def band(c, cuts, scores):
+        expr = F.lit(scores[-1])
+        for cutcol, s in zip(reversed(cuts), reversed(scores[:-1])):
+            expr = F.when(c <= F.col(cutcol), F.lit(s)).otherwise(expr)
+        return expr
+
+    scored = base.crossJoin(F.broadcast(cut)).select(
+        band(
+            F.col("recency_days"), ["r20", "r40", "r60", "r80"], [5, 4, 3, 2, 1]
+        ).alias("r_score"),
+        band(
+            F.col("frequency"), ["f20", "f40", "f60", "f80"], [1, 2, 3, 4, 5]
+        ).alias("f_score"),
+        band(
+            F.col("monetary"), ["m20", "m40", "m60", "m80"], [1, 2, 3, 4, 5]
+        ).alias("m_score"),
+        "monetary",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        r2(F.avg("monetary")).alias("avg_monetary"),
+    )
+
+
+@query(
+    "association_rules_pairs",
+    """
+    WITH n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    item AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    icnt AS (SELECT l_partkey, COUNT(*) AS c FROM item GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS c2
+      FROM item a JOIN item b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    r AS (
+      SELECT x, y, c2,
+             c2 * 1.0 / n_orders AS support,
+             c2 * 1.0 / cx.c AS confidence,
+             c2 * 1.0 * n_orders / (cx.c * cy.c) AS lift
+      FROM pair
+      JOIN icnt cx ON cx.l_partkey = x
+      JOIN icnt cy ON cy.l_partkey = y
+      CROSS JOIN n
+      WHERE c2 >= 3)
+    SELECT x, y, CAST(c2 AS BIGINT) AS pair_orders,
+           ROUND(1e-9 + support, 6) AS support,
+           ROUND(1e-9 + confidence, 4) AS confidence,
+           ROUND(1e-9 + lift, 4) AS lift
+    FROM r ORDER BY lift DESC, x, y LIMIT 20
+    """,
+)
+def q_association_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules for item pairs: support,
+    confidence, and lift of {x}→{y} over co-purchase baskets, top-20 by
+    lift with a min-support floor — the Apriori first level as three
+    hash aggregates and two joins (no candidate-generation loop needed
+    at k=2).
+
+    Scale shape: the basket self-join is keyed by order (bounded
+    fanout, same as the graph edge build); item counts broadcast back
+    onto the pair frame; the min-support filter (c2 >= 3) prunes the
+    long tail BEFORE the metric joins, which is what keeps the rule
+    frame dashboard-sized at 100 TB (raise the floor with scale — the
+    statistics only get better).  All metrics are exact integer ratios,
+    so cross-engine parity is arithmetic, not accumulation-order."""
+    li = _t(spark, sf_dir, "lineitem")
+    item = li.select("l_orderkey", "l_partkey").distinct()
+    n = item.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    icnt = item.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = item.alias("a"), item.alias("b")
+    pair = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .where(F.col("c2") >= 3)
+    )
+    cx = icnt.select(F.col("l_partkey").alias("x"), F.col("c").alias("cx"))
+    cy = icnt.select(F.col("l_partkey").alias("y"), F.col("c").alias("cy"))
+    r = (
+        pair.join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            F.col("c2").cast("bigint").alias("pair_orders"),
+            F.round(
+                F.lit(1e-9) + F.col("c2") * 1.0 / F.col("n_orders"), 6
+            ).alias("support"),
+            r4(F.col("c2") * 1.0 / F.col("cx")).alias("confidence"),
+            r4(
+                F.col("c2") * 1.0 * F.col("n_orders")
+                / (F.col("cx") * F.col("cy"))
+            ).alias("lift"),
+        )
+    )
+    return r.orderBy(F.desc("lift"), F.asc("x"), F.asc("y")).limit(20)

@@ -218,3 +218,30 @@ def test_label_centroid_cos_bounds(spark, queries):
     for r in rows:
         assert -1.0001 <= r.centroid_cos <= 1.0001
         assert r.label_a < r.label_b
+
+
+def test_rfm_scores_partition_customers(spark, queries):
+    from advanced_etl_pipelines_spark.plans.registry import _t
+
+    rows = queries["rfm_segments"](spark, SF).collect()
+    assert rows
+    n_customers = sum(r.n_customers for r in rows)
+    base = _t(spark, SF, "orders").select("o_custkey").distinct().count()
+    assert n_customers == base
+    for r in rows:
+        assert 1 <= r.r_score <= 5
+        assert 1 <= r.f_score <= 5
+        assert 1 <= r.m_score <= 5
+
+
+def test_association_rules_metric_bounds(spark, queries):
+    rows = queries["association_rules_pairs"](spark, SF).collect()
+    for r in rows:
+        assert 0 < r.support <= 1
+        assert 0 < r.confidence <= 1
+        assert r.lift > 0
+        assert r.pair_orders >= 3
+        assert r.x < r.y
+    # sorted by lift desc
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
