@@ -1138,3 +1138,109 @@ def q_association_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return r.orderBy(F.desc("lift"), F.asc("x"), F.asc("y")).limit(20)
+
+
+@query(
+    "dedup_simhash_portable",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    h AS (SELECT doc_id,
+            list_transform(toks, t -> {_POLY_HASH_SQL.format(s='t')}) AS hs
+          FROM tk),
+    s AS (SELECT doc_id,
+            list_sum(list_transform(range(0, 16), b ->
+              CASE WHEN list_sum(list_transform(hs, x ->
+                     CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                   THEN 1 << b ELSE 0 END)) AS simhash
+          FROM h)
+    SELECT doc_id, CAST(COALESCE(simhash, 0) AS BIGINT) AS simhash FROM s
+    """,
+)
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash with the ENGINE-PORTABLE polynomial hash — the
+    oracle-checked twin of ``dedup_simhash`` (whose 63-bit xxhash64
+    signatures no other engine reproduces, so the driver records it
+    rows-only), the same upgrade ``dedup_minhash_portable`` gave
+    MinHash.  Bit b of the signature is 1 iff the sign-sum over tokens
+    of bit b of poly_hash(token) is positive.
+
+    Same shuffle-free per-row fold as the production form: one
+    ``aggregate`` over the token array accumulates all 16 sign-sums
+    (each token hashed exactly once via ``bind_once``), then the long
+    reassembles map-side — zero exchange for the signature itself; the
+    value-hash parity against DuckDB pins every bit of every row."""
+    from advanced_etl_pipelines_spark.functions.text import bind_once
+
+    docs = _t(spark, sf_dir, "documents")
+    masks = F.lit([1 << b for b in range(16)])
+    bit_idx = F.sequence(F.lit(1), F.lit(16))
+
+    def fold(tokens):
+        init = F.array_repeat(F.lit(0).cast("bigint"), 16)
+
+        def step(acc, t):
+            bits = bind_once(
+                poly_hash(t),
+                lambda h: F.transform(
+                    bit_idx,
+                    lambda b: F.when(
+                        h.bitwiseAND(F.element_at(masks, b)) != 0, F.lit(1)
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("bigint"),
+                ),
+            )
+            return F.zip_with(acc, bits, lambda a, x: a + x)
+
+        sums = F.aggregate(tokens, init, step)
+        return F.aggregate(
+            F.zip_with(
+                sums,
+                masks,
+                lambda s, m: F.when(s > 0, m).otherwise(
+                    F.lit(0).cast("bigint")
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+
+    return docs.select(
+        "doc_id",
+        T.bind_once(T.word_tokens("text"), fold).alias("simhash"),
+    )
+
+
+@query(
+    "text_fingerprint_portable",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, t -> {_POLY_HASH_SQL.format(s='t')})),
+             (acc, h) -> (acc * 131 + h) % 1000000007) AS fingerprint
+    FROM tk
+    """,
+)
+def q_text_fingerprint_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-SENSITIVE rolling document fingerprint with the portable
+    hash family — the oracle-checked twin of ``text_fingerprint``
+    (xxhash64 chain, rows-only).  fp = fold (acc*131 + poly(token))
+    mod 1e9+7 over tokens in order, so reordered tokens change the
+    fingerprint while the per-token hashes stay cacheable.  Pure
+    per-row fold — zero shuffle; intermediate values stay below
+    131*(1e9+7)+1e9+7 < 2^63, so ANSI overflow checking never fires."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def fold(tokens):
+        return F.aggregate(
+            tokens,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: (acc * F.lit(131) + poly_hash(t)) % F.lit(POLY_P),
+        )
+
+    return docs.select(
+        "doc_id",
+        T.bind_once(T.word_tokens("text"), fold).alias("fingerprint"),
+    )

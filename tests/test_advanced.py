@@ -245,3 +245,55 @@ def test_association_rules_metric_bounds(spark, queries):
     # sorted by lift desc
     lifts = [r.lift for r in rows]
     assert lifts == sorted(lifts, reverse=True)
+
+
+def test_simhash_portable_shuffle_free_and_near_dup_property(spark, queries):
+    """Signature query has no Exchange; near-identical docs get
+    Hamming-close signatures while different docs differ."""
+    plan = _plan(queries["dedup_simhash_portable"](spark, SF))
+    assert "Exchange" not in plan
+
+    from advanced_etl_pipelines_spark.plans.registry_advanced import (
+        q_dedup_simhash_portable,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base + "extra tail token"
+    far = "completely different content about spark shuffles " * 8
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("_sim_docs")
+    # reuse the fold by monkey-calling the query against a temp sf dir is
+    # overkill; compute directly through the registered function's logic
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/documents.parquet")
+        rows = {
+            r.doc_id: r.simhash
+            for r in q_dedup_simhash_portable(spark, d).collect()
+        }
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(rows[0], rows[1]) <= 4
+    assert ham(rows[0], rows[2]) > ham(rows[0], rows[1])
+
+
+def test_fingerprint_portable_order_sensitive(spark):
+    from advanced_etl_pipelines_spark.plans.registry_advanced import (
+        q_text_fingerprint_portable,
+    )
+    import tempfile
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/documents.parquet")
+        rows = {
+            r.doc_id: r.fingerprint
+            for r in q_text_fingerprint_portable(spark, d).collect()
+        }
+    assert rows[0] == rows[2]  # same order -> same fp
+    assert rows[0] != rows[1]  # reorder -> different fp
