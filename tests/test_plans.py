@@ -246,3 +246,30 @@ def test_heavy_hitters_two_level_prune(spark, queries):
     plan = _plan(queries["heavy_hitters_cumshare"](spark, SF))
     assert "__pid" in plan
     assert "lcum" in plan
+
+
+def test_gini_uses_distributed_prefix_sum(spark, queries):
+    """gini_revenue_concentration: the global revenue rank must come
+    from the range-partitioned prefix-sum (__pid windows), never a
+    single-partition row_number over all customers."""
+    plan = _plan(queries["gini_revenue_concentration"](spark, SF))
+    assert "__pid" in plan
+    assert "ntile" not in plan.lower()
+
+
+def test_quality_bands_window_on_distinct_scores(spark, queries):
+    """quality_percentile_bands: the CDF window must run over the
+    (lang, score) aggregate — a partial_count HashAggregate appears
+    below the window and the window spec is partitioned by lang."""
+    plan = _plan(queries["quality_percentile_bands"](spark, SF))
+    assert "windowspecdefinition(lang" in plan
+    # the aggregate (distinct-score counts) feeds the window, so a
+    # HashAggregate on (lang, score) must appear in the plan
+    assert "partial_count" in plan
+
+
+def test_corr_matrix_single_scan(spark, queries):
+    """corr_matrix_lineitem: all six co-moments in ONE pass — exactly
+    one parquet scan in the plan (vs the oracle's six readable scans)."""
+    plan = _plan(queries["corr_matrix_lineitem"](spark, SF))
+    assert plan.count("Scan parquet") == 1
