@@ -1563,3 +1563,297 @@ def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.avg("n_tokens")).alias("avg_tokens"),
         )
     )
+
+
+@query(
+    "cdc_snapshot_from_changelog",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op
+      FROM events),
+    r AS (SELECT user_id, ts, op, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+          FROM log)
+    SELECT user_id, ts AS last_ts, ROUND(1e-9 + value, 4) AS last_value,
+           CAST(n_ops AS BIGINT) AS n_ops
+    FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_snapshot_from_changelog(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC changelog -> snapshot: compact an insert/update/delete event
+    stream (Debezium-shaped, here simulated from event_type: signup=I,
+    error=D, rest=U) into current state — last write wins per key, and a
+    key whose LAST op is a delete is absent from the snapshot.  This is
+    the batch replay that bootstraps a MERGE-maintained table
+    (sources/sinks.py upsert) from a log backfill.
+
+    Per-key ordering lives in a window PARTITIONED BY user_id — one
+    shuffle on the key, each group sorted independently, no global sort.
+    At 100 TB the same plan applies per day-partition of the log, and
+    day snapshots chain via the same last-write-wins merge (associative,
+    so the compaction is re-aggregable)."""
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_ops", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        )
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            r4(F.col("value")).alias("last_value"),
+            F.col("n_ops").cast("bigint").alias("n_ops"),
+        )
+    )
+
+
+@query(
+    "lang_temperature_sampling",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n_docs
+               FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n_docs) AS n_min FROM c),
+    r AS (SELECT lang, n_docs,
+                 SQRT(CAST(n_min AS DOUBLE) / n_docs) AS rate
+          FROM c, m),
+    k AS (SELECT d.lang, COUNT(*) AS n_kept
+          FROM documents d JOIN r ON d.lang = r.lang
+          WHERE (((d.doc_id % 2147483648) * 2654435761) % 4294967296)
+                / 4294967296.0 < r.rate
+          GROUP BY d.lang)
+    SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs,
+           ROUND(1e-9 + r.rate, 4) AS keep_rate,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM r LEFT JOIN k ON r.lang = k.lang
+    """,
+)
+def q_lang_temperature_sampling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled language rebalancing (the mC4/multilingual-T5
+    alpha-sampling recipe at alpha=0.5): keep-rate per language =
+    sqrt(n_rarest / n_lang), so the rarest language keeps everything and
+    a language 4x larger keeps half — flattening the distribution
+    between proportional (alpha=1) and uniform (alpha=0).  alpha=0.5 is
+    deliberate: the rate reduces to a SQRT of a count ratio, which IEEE
+    requires to be correctly rounded, so the keep decisions are
+    bit-identical across engines (a pow(x, 0.3) would be libm-dependent)
+    — same portability argument as operators/sampling.py::unit_hash.
+
+    Two scans: a tiny per-lang count (broadcast back), then a map-side
+    hash-vs-rate Bernoulli keep — no corpus-scale shuffle, rerun-stable
+    keep set."""
+    from advanced_etl_pipelines_spark.operators.sampling import unit_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_docs",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_docs")).alias(
+            "rate"
+        ),
+    )
+    kept = (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .filter(unit_hash("doc_id") < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "lang", "left_outer").select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        r4(F.col("rate")).alias("keep_rate"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+@query(
+    "substring_dedup_coverage",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, i, array_to_string(toks[i:i+9], ' ') AS gram
+          FROM tk, UNNEST(range(1, LEN(toks) - 8)) AS t(i)
+          WHERE LEN(toks) >= 10),
+    dup AS (SELECT gram FROM g
+            GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (SELECT DISTINCT doc_id, p
+            FROM g JOIN dup USING (gram),
+                 UNNEST(range(i, i + 10)) AS u(p)),
+    per AS (SELECT doc_id, COUNT(*) AS covered FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(LEN(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.covered, 0) AS BIGINT) AS covered_tokens,
+           ROUND(1e-9 + COALESCE(p.covered, 0) * 1.0
+                 / GREATEST(LEN(t.toks), 1), 4) AS dup_frac
+    FROM tk t LEFT JOIN per p USING (doc_id)
+    """,
+)
+def q_substring_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup coverage (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    the fraction of token POSITIONS covered by some window-gram (10
+    tokens here; 50 in the paper) that also occurs in another document.
+    This is the per-doc removal mask of suffix-array substring dedup,
+    computed relationally: windows that appear in >= 2 distinct docs
+    mark every position they span; overlapping windows merge via the
+    position-level DISTINCT, which is exactly the union of intervals.
+
+    Differs from ``duplicated_ngram_fraction`` (share of distinct grams
+    duplicated) by measuring the REMOVABLE SPAN — what a dedup pass
+    would actually cut.
+
+    Scale shape: windows explode map-side; the only corpus-scale
+    shuffles key on the gram (duplicate detection) and on (doc_id,
+    position) (interval union) — both equi-joins/aggregates, no
+    all-pairs anywhere.  At 100 TB the gram key should be
+    ``xxhash64(gram)`` so exchanges carry 8 bytes/window instead of the
+    string (collision odds at 64 bits are ~n^2/2^65 — negligible);
+    the string form is registered because the oracle must reproduce
+    keys exactly, and the plan is identical either way."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", T.word_tokens("text").alias("toks")
+    )
+    g = (
+        tk.where(F.size("toks") >= 10)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 9),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.array_join(
+                            F.slice("toks", i, F.lit(10)), " "
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.i").alias("i"), F.col("s.gram").alias("gram"))
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    cov = (
+        g.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + 9)
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    per = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("covered"))
+    return (
+        tk.join(per, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.coalesce("covered", F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            r4(
+                F.coalesce("covered", F.lit(0))
+                / F.greatest(F.size("toks"), F.lit(1))
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@query(
+    "decile_mobility_matrix",
+    """
+    WITH y1 AS (SELECT o_custkey, SUM(o_totalprice) AS s1 FROM orders
+                WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+                GROUP BY o_custkey),
+    y2 AS (SELECT o_custkey, SUM(o_totalprice) AS s2 FROM orders
+           WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+           GROUP BY o_custkey),
+    j AS (SELECT y1.o_custkey, s1, s2
+          FROM y1 JOIN y2 ON y1.o_custkey = y2.o_custkey),
+    n AS (SELECT COUNT(*) AS nn FROM j),
+    r AS (SELECT o_custkey,
+                 ROW_NUMBER() OVER (ORDER BY s1, o_custkey) AS r1,
+                 ROW_NUMBER() OVER (ORDER BY s2, o_custkey) AS r2
+          FROM j)
+    SELECT CAST((10 * r1 + nn - 1) // nn AS INT) AS decile_from,
+           CAST((10 * r2 + nn - 1) // nn AS INT) AS decile_to,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM r, n GROUP BY 1, 2
+    """,
+)
+def q_decile_mobility_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-decile transition matrix between consecutive years — the
+    customer-mobility report (how many decile-1 spenders of 1995 stayed
+    decile-1 in 1996?).  Decile of a customer = ceil(10 * rank / n)
+    with rank by (spend, custkey) — exact integer arithmetic on a
+    deterministic total order, so both engines agree bit-for-bit.
+
+    Both global ranks come from ``global_running_sums``' distributed
+    prefix-sum (range partition -> per-partition window -> broadcast
+    offsets), chained: the second pass range-partitions the output of
+    the first on the second year's spend.  No single-partition sort at
+    any size; the matrix aggregate is 100 cells."""
+    from advanced_etl_pipelines_spark.operators.scale import (
+        global_running_sums,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+
+    def spend(year: int, alias: str) -> DataFrame:
+        return (
+            orders.where(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias(alias))
+        )
+
+    j = spend(1995, "s1").join(spend(1996, "s2"), "o_custkey")
+    n = j.agg(F.count(F.lit(1)).alias("nn"))
+    r1 = global_running_sums(
+        j.withColumn("one", F.lit(1)), ["s1", "o_custkey"], ["one"]
+    ).withColumnRenamed("cum_one", "r1")
+    r2 = global_running_sums(
+        r1, ["s2", "o_custkey"], ["one"]
+    ).withColumnRenamed("cum_one", "r2")
+    return (
+        r2.crossJoin(F.broadcast(n))
+        .select(
+            F.expr("CAST((10 * r1 + nn - 1) DIV nn AS INT)").alias(
+                "decile_from"
+            ),
+            F.expr("CAST((10 * r2 + nn - 1) DIV nn AS INT)").alias(
+                "decile_to"
+            ),
+        )
+        .groupBy("decile_from", "decile_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )

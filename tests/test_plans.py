@@ -273,3 +273,20 @@ def test_corr_matrix_single_scan(spark, queries):
     one parquet scan in the plan (vs the oracle's six readable scans)."""
     plan = _plan(queries["corr_matrix_lineitem"](spark, SF))
     assert plan.count("Scan parquet") == 1
+
+
+def test_mobility_matrix_uses_prefix_sum_ranks(spark, queries):
+    """decile_mobility_matrix: both year ranks come from the chained
+    distributed prefix-sum — __pid partitioned windows, no NTILE and no
+    single-partition row_number over customers."""
+    plan = _plan(queries["decile_mobility_matrix"](spark, SF))
+    assert "__pid" in plan
+    assert "ntile" not in plan.lower()
+
+
+def test_substring_coverage_no_cartesian(spark, queries):
+    """substring_dedup_coverage: duplicate-window detection must be an
+    equi-join on the gram key, never an all-pairs product."""
+    plan = _plan(queries["substring_dedup_coverage"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
