@@ -1857,3 +1857,189 @@ def q_decile_mobility_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile_from", "decile_to")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+
+
+@query(
+    "corpus_curation_e2e",
+    f"""
+    WITH RECURSIVE tk AS (
+      SELECT doc_id, lang, text, {_TOKENS_SQL} AS toks FROM documents),
+    feat AS (
+      SELECT doc_id, lang, text, toks, LEN(toks) AS n,
+             list_sum(list_transform(toks, t -> LENGTH(t))) * 1.0
+               / GREATEST(LEN(toks), 1) AS mwl,
+             LEN(list_distinct(toks)) * 1.0 / GREATEST(LEN(toks), 1)
+               AS uniq
+      FROM tk),
+    passq AS (
+      SELECT * FROM feat
+      WHERE n BETWEEN 25 AND 90 AND uniq >= 0.4
+        AND mwl BETWEEN 4.0 AND 5.0),
+    exact AS (SELECT MIN(doc_id) AS doc_id FROM passq GROUP BY md5(text)),
+    surv1 AS (SELECT p.* FROM passq p JOIN exact e ON p.doc_id = e.doc_id),
+    g AS (SELECT doc_id, lang,
+                 list_distinct(list_transform(range(1, LEN(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS grams
+          FROM surv1 WHERE LEN(toks) >= 3),
+    prs AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+            FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE LEN(list_distinct(list_intersect(a.grams, b.grams))) * 1.0
+                  / LEN(list_distinct(list_concat(a.grams, b.grams)))
+                  >= 0.15),
+    edges AS (SELECT ia AS a, ib AS b FROM prs
+              UNION SELECT ib, ia FROM prs),
+    reach(node, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node),
+    labels AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node),
+    keepnd AS (
+      SELECT component, node AS doc_id FROM (
+        SELECT l.component, l.node,
+               ROW_NUMBER() OVER (PARTITION BY l.component
+                                  ORDER BY s.uniq DESC, l.node ASC) AS rn
+        FROM labels l JOIN surv1 s ON s.doc_id = l.node) WHERE rn = 1),
+    surv2 AS (
+      SELECT s.* FROM surv1 s
+      WHERE s.doc_id NOT IN (SELECT node FROM labels)
+         OR s.doc_id IN (SELECT doc_id FROM keepnd)),
+    c AS (SELECT lang, COUNT(*) AS n_docs FROM surv2 GROUP BY lang),
+    m AS (SELECT MIN(n_docs) AS n_min FROM c),
+    rt AS (SELECT lang, SQRT(CAST(n_min AS DOUBLE) / n_docs) AS rate
+           FROM c, m),
+    final AS (
+      SELECT s.lang, s.n FROM surv2 s JOIN rt ON s.lang = rt.lang
+      WHERE (((s.doc_id % 2147483648) * 2654435761) % 4294967296)
+            / 4294967296.0 < rt.rate),
+    s0 AS (SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY lang),
+    s1 AS (SELECT lang, COUNT(*) AS n_quality FROM passq GROUP BY lang),
+    s2 AS (SELECT lang, COUNT(*) AS n_exact FROM surv1 GROUP BY lang),
+    s3 AS (SELECT lang, COUNT(*) AS n_neardup FROM surv2 GROUP BY lang),
+    s4 AS (SELECT lang, COUNT(*) AS n_final,
+                  SUM(n) AS tokens_final FROM final GROUP BY lang)
+    SELECT s0.lang,
+           CAST(s0.n_raw AS BIGINT) AS n_raw,
+           CAST(COALESCE(s1.n_quality, 0) AS BIGINT) AS n_quality,
+           CAST(COALESCE(s2.n_exact, 0) AS BIGINT) AS n_exact,
+           CAST(COALESCE(s3.n_neardup, 0) AS BIGINT) AS n_neardup,
+           CAST(COALESCE(s4.n_final, 0) AS BIGINT) AS n_final,
+           CAST(COALESCE(s4.tokens_final, 0) AS BIGINT) AS tokens_final
+    FROM s0
+    LEFT JOIN s1 ON s0.lang = s1.lang
+    LEFT JOIN s2 ON s0.lang = s2.lang
+    LEFT JOIN s3 ON s0.lang = s3.lang
+    LEFT JOIN s4 ON s0.lang = s4.lang
+    """,
+)
+def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data curation funnel as ONE declarative plan —
+    the flagship composition proving the operators chain: Gopher-style
+    quality gate -> exact dedup (keep-first per md5 digest) -> near-dup
+    clusters (exact n-gram Jaccard >= 0.15 + connected components) with
+    keep-BEST-quality policy -> temperature-scaled language rebalancing
+    (alpha=0.5).  Output: per-language survivor counts at every stage
+    plus final token budget — the funnel report a data team reviews
+    before a training run.
+
+    Every stage reuses the registry's audited building blocks
+    (corpus_quality_filter rules, dedup_exact_keep_first digest-groupBy,
+    dedup_cluster_keep_best policy, lang_temperature_sampling rates), so
+    the e2e result is oracle-checked end to end — the composition, not
+    just the parts.  Scale: each stage is the scale-shape already pinned
+    for its standalone query (digest shuffle carries 16-byte keys,
+    posting-list join instead of all-pairs, component windows bounded by
+    cluster size, broadcast rates); the funnel inherits those bounds
+    because it IS those plans composed."""
+    from advanced_etl_pipelines_spark.operators import dedup as D
+    from advanced_etl_pipelines_spark.operators.graph import (
+        connected_components,
+    )
+    from advanced_etl_pipelines_spark.operators.sampling import unit_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        T.bind_once(
+            T.word_tokens("text"),
+            lambda t: F.struct(
+                F.size(t).alias("n"),
+                (
+                    F.aggregate(
+                        t, F.lit(0), lambda acc, x: acc + F.length(x)
+                    ).cast("double")
+                    / F.greatest(F.size(t), F.lit(1))
+                ).alias("mwl"),
+                (
+                    F.size(F.array_distinct(t)).cast("double")
+                    / F.greatest(F.size(t), F.lit(1))
+                ).alias("uniq"),
+            ),
+        ).alias("s"),
+    ).select("doc_id", "lang", "text", "s.n", "s.mwl", "s.uniq")
+    passq = feat.where(
+        F.col("n").between(25, 90)
+        & (F.col("uniq") >= 0.4)
+        & F.col("mwl").between(4.0, 5.0)
+    ).localCheckpoint(eager=False)
+    exact = passq.groupBy(F.md5("text").alias("__d")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv1 = passq.join(
+        exact.select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
+    pairs = D.ngram_jaccard_pairs(
+        surv1, "text", "doc_id", "lang", n=3, threshold=0.15
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    wkeep = Window.partitionBy("component").orderBy(
+        F.col("uniq").desc(), F.col("node").asc()
+    )
+    ranked = comp.join(
+        surv1.select(F.col("doc_id").alias("node"), "uniq"), "node"
+    ).withColumn("rn", F.row_number().over(wkeep))
+    drop_ids = ranked.where(F.col("rn") > 1).select(
+        F.col("node").alias("doc_id")
+    )
+    surv2 = surv1.join(drop_ids, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    counts = surv2.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_docs")).alias(
+            "rate"
+        ),
+    )
+    final = surv2.join(F.broadcast(rates), "lang").where(
+        unit_hash("doc_id") < F.col("rate")
+    )
+
+    def stage(df: DataFrame, name: str, tokens: bool = False) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("bigint").alias(name)]
+        if tokens:
+            aggs.append(
+                F.sum("n").cast("bigint").alias("tokens_final")
+            )
+        return df.groupBy("lang").agg(*aggs)
+
+    out = (
+        stage(docs, "n_raw")
+        .join(stage(passq, "n_quality"), "lang", "left_outer")
+        .join(stage(surv1, "n_exact"), "lang", "left_outer")
+        .join(stage(surv2, "n_neardup"), "lang", "left_outer")
+        .join(stage(final, "n_final", tokens=True), "lang", "left_outer")
+    )
+    fill = lambda c: F.coalesce(c, F.lit(0)).cast("bigint").alias(c)  # noqa: E731
+    return out.select(
+        "lang",
+        "n_raw",
+        fill("n_quality"),
+        fill("n_exact"),
+        fill("n_neardup"),
+        fill("n_final"),
+        fill("tokens_final"),
+    )
