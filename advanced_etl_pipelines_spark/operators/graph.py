@@ -175,3 +175,49 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def k_core(
+    edges: DataFrame, src: str, dst: str, k: int, max_iter: int = 30
+) -> DataFrame:
+    """Edges of the k-core: the maximal subgraph where every node has
+    degree >= k, by iterative peeling (remove under-degree nodes, and
+    with them their edges, until fixpoint).
+
+    Input edges are treated as UNDIRECTED and deduplicated; the return
+    is the surviving directed-both-ways edge frame (so degree = per-'a'
+    row count).  Each round is one aggregate + two semi-joins on node
+    ids, localCheckpoint()ed to cut lineage; rounds are bounded by the
+    peel depth (the graph's degeneracy ordering height), which is
+    O(log n) for power-law graphs in practice — same driver-side
+    convergence loop as ``connected_components``.  The per-round
+    ``count()`` is a cheap fixpoint probe on an already-materialized
+    frame, not a data collect.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    cur = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_cur = cur.count()
+    for _ in range(max_iter):
+        keep = (
+            cur.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("a")
+        )
+        nxt = (
+            cur.join(keep, "a", "left_semi")
+            .join(
+                keep.select(F.col("a").alias("b")), "b", "left_semi"
+            )
+            .localCheckpoint()
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            break
+        cur, n_cur = nxt, n_nxt
+    return cur

@@ -2043,3 +2043,193 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         fill("n_final"),
         fill("tokens_final"),
     )
+
+
+@query("kcore_copurchase")
+def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-purchase graph — the dense backbone left
+    after iteratively peeling parts co-purchased with fewer than 3
+    others (the standard community-detection / spam-subgraph
+    preprocessing step; completes the graph family next to components,
+    PageRank, and triangles).
+
+    No SQL oracle: peel-to-fixpoint needs aggregate-per-round
+    iteration, which recursive CTEs cannot express — the operator is
+    pinned instead by tests/test_graph.py's hand-computed cores
+    and by the degree floor asserted in-row here (min_degree >= 3 by
+    construction).  Same scale shape as connected_components: each
+    round is an aggregate + two semi-joins keyed on node ids."""
+    from advanced_etl_pipelines_spark.operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("s"),
+            F.col("b.l_partkey").alias("d"),
+        )
+        .distinct()
+    )
+    core = k_core(pairs, "s", "d", k=3)
+    deg = core.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_core_nodes"),
+        (F.sum("deg") / 2).cast("bigint").alias("n_core_edges"),
+        F.min("deg").cast("bigint").alias("min_degree"),
+    )
+
+
+@query(
+    "mom_revenue_growth",
+    """
+    WITH rev AS (
+      SELECT n.n_name, strftime(o.o_orderdate, '%Y-%m') AS month,
+             SUM(o.o_totalprice) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2)
+    SELECT n_name, month,
+           ROUND(1e-9 + revenue, 2) AS revenue,
+           ROUND(1e-9 + (revenue - LAG(revenue) OVER w)
+                 / LAG(revenue) OVER w, 4) AS mom_growth
+    FROM rev
+    WINDOW w AS (PARTITION BY n_name ORDER BY month)
+    """,
+)
+def q_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per customer nation — the
+    period-over-period KPI report.  LAG runs in a window partitioned by
+    nation over ~months rows (the PRE-AGGREGATED frame): at 100 TB the
+    windowed input is |nations| x |months| regardless of order volume,
+    so the only data-scale work is the grouped aggregate underneath.
+    Dimension joins broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return rev.select(
+        "n_name",
+        "month",
+        r2(F.col("revenue")).alias("revenue"),
+        r4((F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )
+
+
+@query(
+    "impute_group_mean",
+    """
+    WITH base AS (
+      SELECT event_type, user_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END
+               AS measured
+      FROM events),
+    um AS (SELECT user_id, AVG(measured) AS user_mean
+           FROM base GROUP BY user_id),
+    gm AS (SELECT AVG(measured) AS global_mean FROM base)
+    SELECT b.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN b.measured IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing,
+           ROUND(1e-9 + AVG(COALESCE(b.measured, u.user_mean,
+                                     g.global_mean)), 4) AS avg_imputed
+    FROM base b
+    JOIN um u ON b.user_id = u.user_id
+    CROSS JOIN gm g
+    GROUP BY b.event_type
+    """,
+)
+def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical mean imputation — the standard missing-value repair
+    (fill with the entity's own mean, fall back to the global mean when
+    the entity has no observations).  Missingness is simulated
+    deterministically: error events carry no measurement.
+
+    One shuffle: the per-user mean is a window aggregate partitioned by
+    user_id computed in the same pass as the output, the global mean is
+    a broadcast scalar — no second scan, no driver round-trip."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("measured"),
+    )
+    user_mean = F.avg("measured").over(Window.partitionBy("user_id"))
+    gm = base.agg(F.avg("measured").alias("global_mean"))
+    return (
+        base.withColumn("user_mean", user_mean)
+        .crossJoin(F.broadcast(gm))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.col("measured").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_missing"),
+            r4(
+                F.avg(
+                    F.coalesce(
+                        "measured", "user_mean", "global_mean"
+                    )
+                )
+            ).alias("avg_imputed"),
+        )
+    )
+
+
+@query(
+    "regr_slope_by_nation",
+    """
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(1e-9 + regr_slope(l.l_extendedprice, l.l_quantity), 4)
+             AS slope,
+           ROUND(1e-9 + regr_intercept(l.l_extendedprice, l.l_quantity), 4)
+             AS intercept,
+           ROUND(1e-9 + regr_r2(l.l_extendedprice, l.l_quantity), 4)
+             AS r2
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_regr_slope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier-nation price~quantity regression line via the ANSI
+    regr_* aggregate family (slope, intercept, R²) — grouped OLS as a
+    pure aggregate, the declarative sibling of ols2_fit_score's
+    closed-form fit.  One scan, broadcast dimension joins, co-moments
+    combine map-side like any algebraic aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            r4(F.regr_slope("l_extendedprice", "l_quantity")).alias(
+                "slope"
+            ),
+            r4(
+                F.regr_intercept("l_extendedprice", "l_quantity")
+            ).alias("intercept"),
+            r4(F.regr_r2("l_extendedprice", "l_quantity")).alias("r2"),
+        )
+    )

@@ -91,3 +91,38 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for v in ids:
         assert abs(got[v] - r[idx[v]]) < 1e-12, v
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def _core_nodes(spark, edges, k):
+    from advanced_etl_pipelines_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(edges, "s long, d long")
+    return {r.a for r in k_core(df, "s", "d", k).collect()}
+
+
+def test_kcore_peels_pendant_tail(spark):
+    # triangle 1-2-3 with pendant 3-4: 2-core is the triangle, 4 peels
+    got = _core_nodes(spark, [(1, 2), (2, 3), (1, 3), (3, 4)], k=2)
+    assert got == {1, 2, 3}
+
+
+def test_kcore_cascading_peel(spark):
+    # chain 1-2-3-4: removing endpoints leaves nodes at degree 1 again,
+    # so the 2-core must peel to EMPTY (needs the iterative fixpoint)
+    got = _core_nodes(spark, [(1, 2), (2, 3), (3, 4)], k=2)
+    assert got == set()
+
+
+def test_kcore_k3_keeps_clique_drops_bridge(spark):
+    # K4 clique {1,2,3,4} + bridge 4-5-6: 3-core = the clique only
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    got = _core_nodes(spark, k4 + [(4, 5), (5, 6)], k=3)
+    assert got == {1, 2, 3, 4}
+
+
+def test_kcore_duplicate_and_reversed_edges_ignored(spark):
+    # duplicates and reversals must not inflate degree
+    got = _core_nodes(
+        spark, [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3), (3, 1)], k=2
+    )
+    assert got == {1, 2, 3}
