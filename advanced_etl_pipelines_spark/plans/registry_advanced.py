@@ -2233,3 +2233,279 @@ def q_regr_slope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.regr_r2("l_extendedprice", "l_quantity")).alias("r2"),
         )
     )
+
+
+@query(
+    "local_clustering_topk",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    nodes AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT s AS node FROM pairs
+        UNION ALL
+        SELECT d AS node FROM pairs) t GROUP BY node),
+    tri3 AS (
+      SELECT e1.s AS x, e1.d AS y, e2.d AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e1.d = e2.s
+      JOIN pairs e3 ON e3.s = e1.s AND e3.d = e2.d),
+    tn AS (SELECT node, COUNT(*) AS tri
+           FROM tri3, UNNEST([x, y, z]) AS u(node) GROUP BY node),
+    cc AS (
+      SELECT n.node, n.deg, COALESCE(t.tri, 0) AS tri,
+             COALESCE(t.tri, 0) * 2.0 / (n.deg * (n.deg - 1)) AS lcc
+      FROM nodes n LEFT JOIN tn t ON n.node = t.node
+      WHERE n.deg >= 2),
+    r AS (SELECT node, deg, tri, lcc,
+                 ROW_NUMBER() OVER (ORDER BY lcc DESC, node ASC) AS rnk
+          FROM cc)
+    SELECT node, CAST(deg AS BIGINT) AS deg, CAST(tri AS BIGINT) AS tri,
+           ROUND(1e-9 + lcc, 4) AS lcc, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 20
+    """,
+)
+def q_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-NODE local clustering coefficient, top 20 — which parts sit
+    in the most tightly-knit co-purchase neighborhoods (the node-level
+    refinement of triangle_count_copurchase's global coefficient, used
+    for community seeds and recommendation anchors).
+
+    Same degree-oriented edge-iterator as the global count, but the
+    per-edge adjacency intersection EXPLODES its witnesses so every
+    triangle credits all three corners: the third corner from the
+    intersection array, the edge endpoints by its size — 3 rows per
+    triangle, never the wedge set.  lcc = 2*tri / (deg*(deg-1)).  The
+    top-20 runs through operators/scale.py::top_k_global (per-partition
+    prune, then a rank over <= 20 x n_partitions survivors)."""
+    from advanced_etl_pipelines_spark.operators.scale import top_k_global
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        pairs.select(F.col("s").alias("node"))
+        .unionAll(pairs.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ds = nodes.select(F.col("node").alias("s"), F.col("deg").alias("deg_s"))
+    dd = nodes.select(F.col("node").alias("d"), F.col("deg").alias("deg_d"))
+    keep_fwd = (F.col("deg_s") < F.col("deg_d")) | (
+        (F.col("deg_s") == F.col("deg_d")) & (F.col("s") < F.col("d"))
+    )
+    oriented = (
+        pairs.join(F.broadcast(ds), "s")
+        .join(F.broadcast(dd), "d")
+        .select(
+            F.when(keep_fwd, F.col("s")).otherwise(F.col("d")).alias("s"),
+            F.when(keep_fwd, F.col("d")).otherwise(F.col("s")).alias("d"),
+        )
+        .persist()
+    )
+    adj = oriented.groupBy("s").agg(F.collect_list("d").alias("adj"))
+    witnessed = (
+        oriented.join(
+            adj.select(F.col("s").alias("u"), F.col("adj").alias("adj_u")),
+            F.col("s") == F.col("u"),
+        )
+        .join(
+            adj.select(F.col("s").alias("v"), F.col("adj").alias("adj_v")),
+            F.col("d") == F.col("v"),
+        )
+        .select(
+            "s", "d", F.array_intersect("adj_u", "adj_v").alias("ws")
+        )
+        .where(F.size("ws") > 0)
+        .persist()
+    )
+    corners = (
+        witnessed.select(F.explode("ws").alias("node"), F.lit(1).alias("c"))
+        .unionAll(
+            witnessed.select(
+                F.col("s").alias("node"), F.size("ws").alias("c")
+            )
+        )
+        .unionAll(
+            witnessed.select(
+                F.col("d").alias("node"), F.size("ws").alias("c")
+            )
+        )
+    )
+    tn = corners.groupBy("node").agg(F.sum("c").alias("tri"))
+    cc = (
+        nodes.join(tn, "node", "left_outer")
+        .where(F.col("deg") >= 2)
+        .select(
+            "node",
+            F.col("deg").cast("bigint").alias("deg"),
+            F.coalesce("tri", F.lit(0)).cast("bigint").alias("tri"),
+            (
+                F.coalesce("tri", F.lit(0))
+                * 2.0
+                / (F.col("deg") * (F.col("deg") - 1))
+            ).alias("lcc"),
+        )
+    )
+    top = top_k_global(cc, [F.desc("lcc"), F.asc("node")], 20)
+    return top.select(
+        "node",
+        "deg",
+        "tri",
+        r4(F.col("lcc")).alias("lcc"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
+
+
+@query(
+    "chisq_independence",
+    """
+    WITH obs AS (
+      SELECT event_type, isodow(ts) - 1 AS wd, COUNT(*) AS o
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    rowt AS (SELECT event_type, SUM(o) AS rt FROM obs GROUP BY 1),
+    colt AS (SELECT wd, SUM(o) AS ct FROM obs GROUP BY 1)
+    SELECT ROUND(1e-9 + SUM(POWER(o - rt * ct * 1.0 / n, 2)
+                            / (rt * ct * 1.0 / n)), 4) AS chi2,
+           CAST((COUNT(DISTINCT obs.event_type) - 1)
+                * (COUNT(DISTINCT obs.wd) - 1) AS BIGINT) AS dof,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM obs
+    JOIN rowt USING (event_type)
+    JOIN colt USING (wd)
+    CROSS JOIN tot
+    """,
+)
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and ISO
+    weekday — the categorical-association screen (is traffic mix
+    day-of-week dependent?).  chi2 = sum (O-E)^2/E over the contingency
+    table with E = row_total * col_total / n.
+
+    The contingency table is a tiny grouped aggregate (|types| x 7
+    cells); margins join back onto it broadcast-style, so the only
+    data-scale work is the first count.  Weekday is ISO (0=Monday) on
+    both engines — Spark weekday() and DuckDB isodow()-1 — because the
+    default dayofweek() numberings disagree (Sunday=1 vs Sunday=0)."""
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.weekday("ts").alias("wd")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    rowt = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    colt = obs.groupBy("wd").agg(F.sum("o").alias("ct"))
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    return (
+        obs.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "wd")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            r4(F.sum(F.pow(F.col("o") - e, 2) / e)).alias("chi2"),
+            (
+                (F.countDistinct("event_type") - 1)
+                * (F.countDistinct("wd") - 1)
+            )
+            .cast("bigint")
+            .alias("dof"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+@query(
+    "mannwhitney_u_value",
+    """
+    WITH pool AS (
+      SELECT value, (event_type = 'purchase') AS is_a FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+    d AS (SELECT value, COUNT(*) AS cnt,
+                 SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS cnt_a
+          FROM pool GROUP BY value),
+    w AS (SELECT cnt, cnt_a,
+                 SUM(cnt) OVER (ORDER BY value) - cnt AS cum_lt
+          FROM d),
+    s AS (SELECT SUM(cnt_a * (cum_lt + (cnt + 1) / 2.0)) AS r_a,
+                 SUM(cnt_a) AS n_a, SUM(cnt - cnt_a) AS n_b,
+                 SUM(cnt) AS n,
+                 SUM(POWER(cnt, 3) - cnt) AS ties
+          FROM w)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(1e-9 + r_a - n_a * (n_a + 1) / 2.0, 4) AS u_stat,
+           ROUND(1e-9 + (r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+                 / SQRT(n_a * n_b / 12.0
+                        * ((n + 1) - ties / (n * (n - 1.0)))), 4)
+             AS z_stat
+    FROM s
+    """,
+)
+def q_mannwhitney_u_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing the 'value'
+    distributions of purchase vs click events — the nonparametric
+    two-sample test beside drift_ks_value's KS: rank-based, so it
+    detects stochastic dominance without normality assumptions.
+    Midranks handle ties (rank of a tied block = cum_lt + (t+1)/2) and
+    the z-statistic carries the standard tie correction
+    sum(t^3 - t) / (n(n-1)).
+
+    Ranks are computed at DISTINCT-value granularity (the tie-safe
+    form ADVICE r1 mandated for KS) and the running count underneath
+    comes from the distributed prefix-sum — range-partitioned windows,
+    no single-partition sort over events at any scale."""
+    from advanced_etl_pipelines_spark.operators.scale import (
+        global_running_sums,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    pool = ev.where(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    ).select(
+        "value", (F.col("event_type") == "purchase").alias("is_a")
+    )
+    d = pool.groupBy("value").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("cnt_a"),
+    )
+    w = global_running_sums(d, ["value"], ["cnt"]).select(
+        "cnt",
+        "cnt_a",
+        (F.col("cum_cnt") - F.col("cnt")).alias("cum_lt"),
+    )
+    s = w.agg(
+        F.sum(
+            F.col("cnt_a") * (F.col("cum_lt") + (F.col("cnt") + 1) / 2.0)
+        ).alias("r_a"),
+        F.sum("cnt_a").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).alias("n_b"),
+        F.sum("cnt").alias("n"),
+        F.sum(F.pow("cnt", 3) - F.col("cnt")).alias("ties"),
+    )
+    u = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    sigma = F.sqrt(
+        F.col("n_a")
+        * F.col("n_b")
+        / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("ties") / (F.col("n") * (F.col("n") - 1.0))
+        )
+    )
+    return s.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        r4(u).alias("u_stat"),
+        r4(
+            (u - F.col("n_a") * F.col("n_b") / 2.0) / sigma
+        ).alias("z_stat"),
+    )
