@@ -2509,3 +2509,36 @@ def q_mannwhitney_u_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             (u - F.col("n_a") * F.col("n_b") / 2.0) / sigma
         ).alias("z_stat"),
     )
+
+
+@query("attribution_markov_removal")
+def q_attribution_markov_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov removal-effect attribution over user journeys — the
+    data-driven complement to attribution_last_touch: credit a channel
+    by how much end-to-end conversion probability drops when its
+    transitions are redirected to the null state (Anderl et al. 2014).
+
+    Transition counting (the data-scale part) is one LAG window
+    partitioned by user plus a grouped count; the absorbing-chain solve
+    runs driver-side on the (|event_types|+3)^2 matrix — a bounded
+    reduction like the k-means centroid step, NOT a data collect.  No
+    SQL oracle (matrix solve); pinned by tests/test_attribution.py's
+    hand-solvable chains and the all-paths-through-one-channel
+    invariant."""
+    from advanced_etl_pipelines_spark.operators.attribution import (
+        journey_transitions,
+        markov_removal_effects,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    trans = journey_transitions(
+        ev, "user_id", "ts", "event_type", "purchase",
+        order_cols=["event_id"],
+    )
+    rows = markov_removal_effects(trans)
+    return spark.createDataFrame(
+        [(c, round(e + 1e-9, 4), round(a + 1e-9, 4)) for c, e, a in rows],
+        "channel string, removal_effect double, attribution double",
+    )
