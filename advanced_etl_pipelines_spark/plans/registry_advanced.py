@@ -2542,3 +2542,218 @@ def q_attribution_markov_removal(
         [(c, round(e + 1e-9, 4), round(a + 1e-9, 4)) for c, e, a in rows],
         "channel string, removal_effect double, attribution double",
     )
+
+
+@query(
+    "importance_weight_ess",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, lang, unnest({_TOKENS_SQL}) AS token
+      FROM documents),
+    vocab AS (
+      SELECT token, COUNT(*) AS c_raw,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+      FROM tok GROUP BY token),
+    tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt,
+                   COUNT(*) AS v FROM vocab),
+    per_doc AS (
+      SELECT t.doc_id, t.source,
+             AVG(LN((vb.c_tgt + 1.0) / (tot.n_tgt + tot.v))
+               - LN((vb.c_raw + 1.0) / (tot.n_raw + tot.v))) AS w
+      FROM tok t JOIN vocab vb USING (token) CROSS JOIN tot
+      GROUP BY t.doc_id, t.source)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(1e-9 + POWER(SUM(EXP(w)), 2) / SUM(EXP(2 * w))
+                 / COUNT(*), 4) AS ess_frac
+    FROM per_doc GROUP BY source
+    """,
+)
+def q_importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the DSIR importance weights, per source:
+    ESS = (sum w)^2 / sum w^2 over w = exp(log-weight), normalized by n.
+    THE diagnostic before importance RESAMPLING — ess_frac near 1 means
+    the weights are flat (resampling is safe), near 0 means a few
+    documents dominate and the resampled corpus would collapse onto
+    them.  Same broadcast-model scoring pass as
+    ``dsir_importance_weights``; ESS adds only two more algebraic
+    aggregates on the per-doc frame."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(T.word_tokens("text")).alias("token"),
+    )
+    vocab = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias(
+            "c_tgt"
+        ),
+    )
+    tot = vocab.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    w_term = F.log(
+        (F.col("c_tgt") + 1.0) / (F.col("n_tgt") + F.col("v"))
+    ) - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + F.col("v")))
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(F.avg(w_term).alias("w"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        r4(
+            F.pow(F.sum(F.exp("w")), 2)
+            / F.sum(F.exp(2 * F.col("w")))
+            / F.count(F.lit(1))
+        ).alias("ess_frac"),
+    )
+
+
+_CATALOG_TABLES = [
+    ("region", 2), ("nation", 3), ("customer", 5), ("supplier", 4),
+    ("part", 6), ("orders", 6), ("lineitem", 11), ("events", 6),
+    ("documents", 5), ("embeddings", 3),
+]
+
+
+@query(
+    "catalog_table_stats",
+    "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" {c} AS n_cols FROM {t}"
+        for t, c in _CATALOG_TABLES
+    ),
+)
+def q_catalog_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style catalog sweep: row and column counts for every
+    table the engine serves — the freshness/health report a catalog
+    keeps per snapshot.  COUNT(*) over parquet is footer-metadata work
+    (row-group counts), no data scan at any scale; the per-table counts
+    union into one frame."""
+    parts = []
+    for t, c in _CATALOG_TABLES:
+        parts.append(
+            _t(spark, sf_dir, t).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows")
+            ).select(
+                F.lit(t).alias("table_name"),
+                "n_rows",
+                F.lit(c).alias("n_cols"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@query(
+    "minhash_vs_exact_calibration",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, LEN(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              AS grams
+          FROM tk WHERE LEN(toks) >= 3),
+    sig AS (SELECT doc_id,
+            list_transform(range(0, 16), i ->
+              list_min(list_transform(grams, s ->
+                ((2*i+1) * list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(s, ''),
+                                    c -> CAST(ascii(c) AS BIGINT))),
+                     (acc, c) -> (acc * 131 + c) % 1000000007)
+                 + i * 40503) % 1000000007))) AS sg
+          FROM g),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             LEN(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) / 16.0
+               AS est
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE LEN(list_filter(range(0, 8),
+                bd -> a.sg[2*bd+1] = b.sg[2*bd+1]
+                  AND a.sg[2*bd+2] = b.sg[2*bd+2])) > 0),
+    pb AS (
+      SELECT c.est,
+             LEN(list_distinct(list_intersect(ga.grams, gb.grams))) * 1.0
+               / LEN(list_distinct(list_concat(ga.grams, gb.grams)))
+               AS exact
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.id_a
+      JOIN g gb ON gb.doc_id = c.id_b)
+    SELECT ROUND(1e-9 + est, 4) AS est_jaccard,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(1e-9 + AVG(exact), 4) AS avg_exact,
+           ROUND(1e-9 + AVG(CASE WHEN exact >= 0.25 THEN 1.0 ELSE 0.0 END),
+                 4) AS frac_true_dup
+    FROM pb GROUP BY est
+    """,
+)
+def q_minhash_vs_exact_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash calibration curve: for every LSH CANDIDATE pair, the
+    signature-agreement estimate vs the exact n-gram Jaccard — grouped
+    by estimate value (k/16), reporting mean exact similarity and the
+    true-duplicate rate at the 0.25 policy threshold.  This is the
+    measurement that justifies (or retunes) the band/row configuration
+    before a production dedup run: the est->exact curve IS the LSH
+    S-curve, observed in-engine on real data.
+
+    Exact Jaccard is evaluated ONLY on candidate pairs (bucket
+    collisions), so the verification cost scales with candidates, not
+    pairs; gram arrays join back by doc id (8-byte keys).  Uses the
+    portable hash family end to end, hence fully oracle-checked —
+    the engine-native xxhash64 path gets the same diagnostic via
+    tests/test_similarity.py's recall floor."""
+    from advanced_etl_pipelines_spark.operators.dedup import (
+        minhash_portable_pairs,
+        word_ngrams,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_portable_pairs(
+        docs, "text", "doc_id", num_perm=16, bands=8, threshold=0.0
+    ).select("id_a", "id_b", F.col("est_jaccard").alias("est"))
+    g = docs.select(
+        "doc_id",
+        F.array_distinct(
+            word_ngrams(T.word_tokens("text"), 3)
+        ).alias("grams"),
+    ).where(F.size("grams") > 0)
+    both = (
+        cand.join(
+            g.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("grams").alias("ga"),
+            ),
+            "id_a",
+        )
+        .join(
+            g.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("grams").alias("gb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "est",
+            (
+                F.size(F.array_intersect("ga", "gb")).cast("double")
+                / F.size(F.array_union("ga", "gb"))
+            ).alias("exact"),
+        )
+    )
+    return both.groupBy(r4(F.col("est")).alias("est_jaccard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        r4(F.avg("exact")).alias("avg_exact"),
+        r4(
+            F.avg(F.when(F.col("exact") >= 0.25, 1.0).otherwise(0.0))
+        ).alias("frac_true_dup"),
+    )
