@@ -227,3 +227,63 @@ def grouped_ols_arrow(
 
     out_schema = f"{key} string, n bigint, slope double, intercept double"
     return df.groupBy(key).applyInArrow(fit, out_schema)
+
+
+def holt_linear_arrow(
+    df: DataFrame,
+    key: str,
+    t: str,
+    y: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 7,
+) -> DataFrame:
+    """Per-series Holt linear (double exponential) smoothing through the
+    ``applyInArrow`` seam: level/trend recurrences
+    l_i = a*y_i + (1-a)(l_{i-1}+b_{i-1}); b_i = g(l_i-l_{i-1}) + (1-g)b_{i-1}
+    initialized l_0=y_0, b_0=y_1-y_0, plus an h-step-ahead forecast
+    l_n + h*b_n and the one-step-ahead SSE.
+
+    The recurrence is INHERENTLY sequential per series — no window or
+    aggregate expresses it — which is exactly the sanctioned use of the
+    Arrow seam (SCALE.md §1): one shuffle on the series key, each
+    series smoothed in a single columnar batch, one row out per series.
+    Deterministic: plain float64 arithmetic in input order (rows are
+    sorted by ``t`` inside the batch)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fit(tbl: "pa.Table") -> "pa.Table":
+        idx = pa.compute.sort_indices(tbl, sort_keys=[(t, "ascending")])
+        tbl = tbl.take(idx)
+        ys = tbl.column(y).to_numpy(zero_copy_only=False).astype("float64")
+        n = int(ys.size)
+        if n >= 2:
+            lvl, trd = ys[0], ys[1] - ys[0]
+            sse = 0.0
+            for i in range(1, n):
+                pred = lvl + trd
+                sse += (ys[i] - pred) ** 2
+                new_lvl = alpha * ys[i] + (1 - alpha) * (lvl + trd)
+                trd = beta * (new_lvl - lvl) + (1 - beta) * trd
+                lvl = new_lvl
+            fc = lvl + horizon * trd
+        else:
+            lvl = ys[0] if n else float("nan")
+            trd, sse, fc = float("nan"), float("nan"), float("nan")
+        return pa.table(
+            {
+                key: pa.array([tbl.column(key)[0].as_py()]),
+                "n": pa.array([n], type=pa.int64()),
+                "level": pa.array([float(lvl)], type=pa.float64()),
+                "trend": pa.array([float(trd)], type=pa.float64()),
+                "forecast": pa.array([float(fc)], type=pa.float64()),
+                "sse": pa.array([float(sse)], type=pa.float64()),
+            }
+        )
+
+    out_schema = (
+        f"{key} string, n bigint, level double, trend double,"
+        " forecast double, sse double"
+    )
+    return df.groupBy(key).applyInArrow(fit, out_schema)

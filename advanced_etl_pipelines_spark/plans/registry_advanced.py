@@ -2757,3 +2757,36 @@ def q_minhash_vs_exact_calibration(
             F.avg(F.when(F.col("exact") >= 0.25, 1.0).otherwise(0.0))
         ).alias("frac_true_dup"),
     )
+
+
+@query("holt_winters_daily")
+def q_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double exponential) smoothing of the per-type daily
+    value series, with a 7-day-ahead forecast and one-step SSE — the
+    trend-aware sibling of ewma_daily_value (which smooths level only).
+    The level/trend recurrence is inherently sequential per series, so
+    this is a sanctioned Arrow-seam op (operators/timeseries.py::
+    holt_linear_arrow): the per-day pre-aggregate is the only
+    data-scale work, then one shuffle on event_type and one columnar
+    batch per series.  No SQL oracle (sequential recurrence); pinned by
+    tests/test_timeseries.py hand-computed recurrences and the
+    constant-series/linear-series invariants."""
+    from advanced_etl_pipelines_spark.operators.timeseries import (
+        holt_linear_arrow,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    out = holt_linear_arrow(
+        daily, "event_type", "day", "v", alpha=0.5, beta=0.3, horizon=7
+    )
+    return out.select(
+        "event_type",
+        "n",
+        r4(F.col("level")).alias("level"),
+        r4(F.col("trend")).alias("trend"),
+        r4(F.col("forecast")).alias("forecast"),
+        r4(F.col("sse")).alias("sse"),
+    )

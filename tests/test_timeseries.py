@@ -87,3 +87,55 @@ def test_band_join_half_open_boundaries(spark):
     got = sorted((r.v, r.band) for r in out.collect())
     # 20.0 falls in no band (exclusive hi) -> dropped by inner join
     assert got == [(0.0, "lo"), (9.999, "lo"), (10.0, "hi"), (19.999, "hi")]
+
+
+def test_holt_linear_hand_recurrence(spark):
+    from advanced_etl_pipelines_spark.operators.timeseries import (
+        holt_linear_arrow,
+    )
+
+    # series 1, 3, 4 with alpha=0.5, beta=0.3, init l=1, b=2:
+    # i=1: pred=3, sse=0;   l=0.5*3+0.5*3=3,   b=0.3*2+0.7*2=2
+    # i=2: pred=5, sse=1;   l=0.5*4+0.5*5=4.5, b=0.3*1.5+0.7*2=1.85
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 3.0), ("a", 3, 4.0)],
+        "k string, t long, y double",
+    )
+    r = holt_linear_arrow(df, "k", "t", "y", 0.5, 0.3, horizon=2).collect()[0]
+    assert r.n == 3
+    assert abs(r.level - 4.5) < 1e-12
+    assert abs(r.trend - 1.85) < 1e-12
+    assert abs(r.forecast - (4.5 + 2 * 1.85)) < 1e-12
+    assert abs(r.sse - 1.0) < 1e-12
+
+
+def test_holt_linear_is_exact_on_linear_series(spark):
+    from advanced_etl_pipelines_spark.operators.timeseries import (
+        holt_linear_arrow,
+    )
+
+    # y = 2t: every one-step prediction is exact; forecast extrapolates
+    df = spark.createDataFrame(
+        [("a", t, 2.0 * t) for t in range(1, 11)],
+        "k string, t long, y double",
+    )
+    r = holt_linear_arrow(df, "k", "t", "y", 0.5, 0.3, horizon=5).collect()[0]
+    assert abs(r.sse) < 1e-12
+    assert abs(r.trend - 2.0) < 1e-12
+    assert abs(r.forecast - (20.0 + 5 * 2.0)) < 1e-12
+
+
+def test_holt_linear_unsorted_input_sorted_in_batch(spark):
+    from advanced_etl_pipelines_spark.operators.timeseries import (
+        holt_linear_arrow,
+    )
+
+    rows = [("a", t, 2.0 * t) for t in range(1, 8)]
+    import random
+
+    rng = random.Random(7)
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    df = spark.createDataFrame(shuffled, "k string, t long, y double")
+    r = holt_linear_arrow(df, "k", "t", "y", 0.5, 0.3).collect()[0]
+    assert abs(r.sse) < 1e-12 and abs(r.trend - 2.0) < 1e-12
