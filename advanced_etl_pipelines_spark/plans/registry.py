@@ -1464,9 +1464,12 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) achieving the maximum quarterly revenue.
-    The scalar-subquery MAX is a rank-style window over the aggregated
-    (small) revenue view — NOT over lineitem — so the extra pass is
-    cheap; ties all surface, matching the SQL semantics."""
+    The scalar-subquery MAX is a two-pass aggregate over the (small)
+    revenue view — a global MAX broadcast back as an equality filter —
+    NOT a rank window: same tie semantics (every supplier at the max
+    surfaces), but the revenue frame never funnels through a
+    single-partition sort, so the plan holds when |suppliers| reaches
+    cluster scale."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -1476,8 +1479,12 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue_raw"
         )
     )
-    w = Window.orderBy(F.desc("total_revenue_raw"))
-    top = revenue.withColumn("rnk", F.rank().over(w)).where(F.col("rnk") == 1)
+    mx = revenue.agg(F.max("total_revenue_raw").alias("__mx"))
+    top = (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue_raw") == F.col("__mx"))
+        .drop("__mx")
+    )
     supp = _t(spark, sf_dir, "supplier")
     return (
         supp.join(F.broadcast(top), supp.s_suppkey == F.col("supplier_no"))

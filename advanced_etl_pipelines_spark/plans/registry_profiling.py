@@ -95,26 +95,52 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ranking-window family (rank / dense_rank / percent_rank /
-    cume_dist) over per-customer spend.  The global window runs on the
-    AGGREGATED frame (one row per customer), not the fact — at scale
-    pre-aggregate first, exactly as here, or the total order becomes
-    the bottleneck."""
+    cume_dist) over per-customer spend, top 25 — WITHOUT the global
+    window: every rank metric is a closed form over cumulative counts
+    at DISTINCT-spend granularity (ties are peers, so the whole family
+    is a function of the tie-block's cumulative position):
+
+      rank         = cum_rows - block_rows + 1
+      dense_rank   = cum_distinct_blocks
+      percent_rank = (rank - 1) / (n - 1)
+      cume_dist    = cum_rows / n
+
+    The cumulative sums come from the distributed prefix-sum
+    (range-partitioned, broadcast offsets) and the 25 output customers
+    from the two-level top-k — no single-partition sort anywhere, which
+    is the form that survives |customers| at 100 TB.  Oracle = the
+    plain window SQL, pinning the closed forms to the ANSI
+    definitions."""
+    from advanced_etl_pipelines_spark.operators.scale import (
+        global_running_sums,
+        top_k_global,
+    )
+
     orders = _t(spark, sf_dir, "orders")
     agg = orders.groupBy("o_custkey").agg(
         r2(F.sum("o_totalprice")).alias("spend")
     )
-    w = Window.orderBy(F.desc("spend"))
-    return (
-        agg.select(
-            "o_custkey",
-            "spend",
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            r4(F.percent_rank().over(w)).alias("pct_rank"),
-            r4(F.cume_dist().over(w)).alias("cume"),
-        )
-        .orderBy(F.desc("spend"), F.asc("o_custkey"))
-        .limit(25)
+    d = agg.groupBy("spend").agg(
+        F.count(F.lit(1)).alias("c"), F.lit(1).alias("one")
+    )
+    run = global_running_sums(d, [F.desc("spend")], ["c", "one"])
+    n = agg.agg(F.count(F.lit(1)).alias("n"))
+    metrics = run.crossJoin(F.broadcast(n)).select(
+        "spend",
+        (F.col("cum_c") - F.col("c") + 1).alias("rnk"),
+        F.col("cum_one").alias("drnk"),
+        r4(
+            (F.col("cum_c") - F.col("c"))
+            / F.greatest(F.col("n") - 1, F.lit(1))
+        ).alias("pct_rank"),
+        r4(F.col("cum_c") / F.col("n")).alias("cume"),
+    )
+    top = top_k_global(
+        agg, [F.desc("spend"), F.asc("o_custkey")], 25
+    ).drop("rnk")
+    # broadcast the 25-row side; the metrics frame is |distinct spends|
+    return metrics.join(F.broadcast(top), "spend").select(
+        "o_custkey", "spend", "rnk", "drnk", "pct_rank", "cume"
     )
 
 

@@ -290,3 +290,21 @@ def test_substring_coverage_no_cartesian(spark, queries):
     plan = _plan(queries["substring_dedup_coverage"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q15_max_filter_no_window(spark, queries):
+    """tpch_q15: the scalar-subquery MAX must be an aggregate broadcast
+    back as a filter — no rank window anywhere in the plan."""
+    plan = _plan(queries["tpch_q15_top_supplier"](spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rank_family_uses_prefix_sum(spark, queries):
+    """window_rank_family: all four rank metrics are closed forms over
+    the distributed prefix-sum — __pid windows present, no
+    customer-frame global rank()/percent_rank() window."""
+    plan = _plan(queries["window_rank_family"](spark, SF))
+    assert "__pid" in plan
+    assert "percent_rank(" not in plan
+    assert "dense_rank(" not in plan
