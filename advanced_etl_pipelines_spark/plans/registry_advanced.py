@@ -2790,3 +2790,166 @@ def q_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("forecast")).alias("forecast"),
         r4(F.col("sse")).alias("sse"),
     )
+
+
+@query(
+    "hard_negative_mining",
+    """
+    WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id,
+             c.vec_id AS neighbor_id,
+             (q.label = c.label) AS same,
+             list_cosine_similarity(q.qv, c.cv) AS cs
+      FROM q JOIN c ON q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, same, cs,
+             ROW_NUMBER() OVER (PARTITION BY query_id, same
+                                ORDER BY cs DESC, neighbor_id ASC) AS rn
+      FROM scored)
+    SELECT query_id,
+           MAX(CASE WHEN same THEN neighbor_id END) AS pos_id,
+           ROUND(1e-9 + MAX(CASE WHEN same THEN cs END), 4) AS pos_cos,
+           MAX(CASE WHEN NOT same THEN neighbor_id END) AS neg_id,
+           ROUND(1e-9 + MAX(CASE WHEN NOT same THEN cs END), 4) AS neg_cos
+    FROM ranked WHERE rn = 1 GROUP BY query_id
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: for each anchor vector, the
+    closest SAME-label neighbor (positive) and the closest
+    DIFFERENT-label neighbor (the hard negative — high-similarity,
+    wrong class, exactly the pair contrastive/triplet losses need).
+    Complements span_corruption_pairs (text pairs) and pack_* (batch
+    shaping) on the training-data side.
+
+    Plan: anchors broadcast (bounded query set), corpus scans once with
+    hoisted norms — one fold per pair; the per-(anchor, polarity) top-1
+    is a window over the anchor's candidate rows.  At 100 TB swap the
+    scan side for the IVF/LSH candidate route (knn_ivf_topk) and keep
+    the same polarity split."""
+    from advanced_etl_pipelines_spark.functions import vectors as V
+
+    emb = _t(spark, sf_dir, "embeddings")
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        V.as_double("embedding").alias("cv"),
+    ).withColumn("cn", V.l2_norm(F.col("cv")))
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        V.as_double("embedding").alias("qv"),
+    ).withColumn("qn", V.l2_norm(F.col("qv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("q_label") == F.col("n_label")).alias("same"),
+            (
+                V.dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id", "same").orderBy(
+        F.desc("cs"), F.asc("neighbor_id")
+    )
+    picked = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return picked.groupBy("query_id").agg(
+        F.max(F.when(F.col("same"), F.col("neighbor_id"))).alias("pos_id"),
+        r4(F.max(F.when(F.col("same"), F.col("cs")))).alias("pos_cos"),
+        F.max(F.when(~F.col("same"), F.col("neighbor_id"))).alias("neg_id"),
+        r4(F.max(F.when(~F.col("same"), F.col("cs")))).alias("neg_cos"),
+    )
+
+
+@query(
+    "watermark_lag_profile",
+    """
+    WITH b AS (
+      SELECT event_type, event_id // 100 AS bkt, ts,
+             EXTRACT(EPOCH FROM ts) AS sec
+      FROM events),
+    bmax AS (SELECT event_type, bkt, MAX(sec) AS bmax_sec
+             FROM b GROUP BY 1, 2),
+    runmax AS (
+      SELECT event_type, bkt,
+             MAX(bmax_sec) OVER (PARTITION BY event_type ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS seen_max
+      FROM bmax),
+    late AS (
+      SELECT b.event_type,
+             GREATEST(r.seen_max - b.sec, 0) AS lag_sec
+      FROM b JOIN runmax r
+        ON b.event_type = r.event_type AND b.bkt = r.bkt
+      WHERE r.seen_max IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(1e-9 + quantile_cont(lag_sec, 0.5), 4) AS p50_lag_sec,
+           ROUND(1e-9 + quantile_cont(lag_sec, 0.95), 4) AS p95_lag_sec,
+           ROUND(1e-9 + MAX(lag_sec), 4) AS max_lag_sec,
+           ROUND(1e-9 + AVG(CASE WHEN lag_sec > 3600 THEN 1.0 ELSE 0.0
+                            END), 4) AS frac_over_1h
+    FROM late GROUP BY event_type
+    """,
+)
+def q_watermark_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder profile — the measurement that picks a
+    Structured Streaming watermark delay (`withWatermark`): how far
+    behind the high-water mark do events arrive, per type, using
+    event_id as the arrival proxy.  Lateness of an event = the max
+    event-time of all PRIOR arrival buckets minus its own event-time
+    (clamped at 0); p50/p95/max and the fraction beyond 1h are exactly
+    the numbers that justify "withWatermark('1 hour')" vs dropping data.
+
+    Scale: arrival order is bucketed (100 events/bucket here; minutes
+    or files in production) so the running max windows over the BUCKET
+    frame — 1/100th the rows, and at 100 TB the bucket is sized so the
+    frame stays millions, not billions; the per-event join back is an
+    equi-join on (type, bucket).  Exact per-type percentiles on the
+    lag are a grouped aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        (F.col("event_id") / 100).cast("bigint").alias("bkt"),
+        F.unix_timestamp("ts").cast("double").alias("sec"),
+    )
+    bmax = b.groupBy("event_type", "bkt").agg(
+        F.max("sec").alias("bmax_sec")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runmax = bmax.select(
+        "event_type", "bkt", F.max("bmax_sec").over(w).alias("seen_max")
+    )
+    late = (
+        b.join(runmax, ["event_type", "bkt"])
+        .where(F.col("seen_max").isNotNull())
+        .select(
+            "event_type",
+            F.greatest(
+                F.col("seen_max") - F.col("sec"), F.lit(0.0)
+            ).alias("lag_sec"),
+        )
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        r4(F.percentile("lag_sec", F.lit(0.5))).alias("p50_lag_sec"),
+        r4(F.percentile("lag_sec", F.lit(0.95))).alias("p95_lag_sec"),
+        r4(F.max("lag_sec")).alias("max_lag_sec"),
+        r4(
+            F.avg(F.when(F.col("lag_sec") > 3600, 1.0).otherwise(0.0))
+        ).alias("frac_over_1h"),
+    )
