@@ -2953,3 +2953,133 @@ def q_watermark_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("lag_sec") > 3600, 1.0).otherwise(0.0))
         ).alias("frac_over_1h"),
     )
+
+
+@query(
+    "weekday_seasonality_index",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, isodow(ts) - 1 AS wd,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2, 3),
+    wk AS (SELECT event_type, wd, AVG(cnt) AS wd_avg
+           FROM daily GROUP BY 1, 2),
+    ov AS (SELECT event_type, AVG(cnt) AS all_avg
+           FROM daily GROUP BY 1)
+    SELECT w.event_type, w.wd,
+           ROUND(1e-9 + w.wd_avg, 4) AS wd_avg,
+           ROUND(1e-9 + w.wd_avg / o.all_avg, 4) AS seasonality_index
+    FROM wk w JOIN ov o ON w.event_type = o.event_type
+    """,
+)
+def q_weekday_seasonality_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly seasonality index per event type: average daily volume on
+    each ISO weekday over the type's all-days average (index 1.2 =
+    "Mondays run 20% hot") — the multiplicative seasonal factor that
+    complements holt_winters_daily's level+trend (Holt-Winters' missing
+    third component, computed the ratio-to-average way).  Two cascaded
+    tiny aggregates off one scan; the join-back is broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.weekday("ts").alias("wd"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wk = daily.groupBy("event_type", "wd").agg(
+        F.avg("cnt").alias("wd_avg")
+    )
+    ov = daily.groupBy("event_type").agg(F.avg("cnt").alias("all_avg"))
+    return wk.join(F.broadcast(ov), "event_type").select(
+        "event_type",
+        "wd",
+        r4(F.col("wd_avg")).alias("wd_avg"),
+        r4(F.col("wd_avg") / F.col("all_avg")).alias("seasonality_index"),
+    )
+
+
+@query(
+    "item_item_similarity_topk",
+    """
+    WITH pairs AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS d, COUNT(*) AS co
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    deg AS (
+      SELECT l_partkey AS node, COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem GROUP BY 1),
+    scored AS (
+      SELECT p.s, p.d, p.co,
+             p.co / SQRT(da.n_orders * 1.0 * db.n_orders) AS cos_sim
+      FROM pairs p
+      JOIN deg da ON p.s = da.node
+      JOIN deg db ON p.d = db.node),
+    r AS (SELECT s, d, co, cos_sim,
+                 ROW_NUMBER() OVER (ORDER BY cos_sim DESC, s ASC, d ASC)
+                   AS rnk
+          FROM scored)
+    SELECT s AS item_a, d AS item_b, CAST(co AS BIGINT) AS n_co_orders,
+           ROUND(1e-9 + cos_sim, 4) AS cos_sim,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 20
+    """,
+)
+def q_item_item_similarity_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Item-item collaborative similarity from co-purchase counts:
+    cosine over binary order-membership vectors = co_count /
+    sqrt(n_orders_a * n_orders_b) — the classic implicit-feedback
+    neighborhood recommender ("customers who bought A also bought B"),
+    top-20 pairs.
+
+    The co-occurrence join is the same order-key self-join as the
+    co-purchase graph (skew bound: co-counts grow with basket size, not
+    catalog); degree normalization joins per-item counts back by 8-byte
+    keys, and the top-20 goes through the two-level top-k — no global
+    sort over the pair space."""
+    from advanced_etl_pipelines_spark.operators.scale import top_k_global
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("s"),
+            F.col("b.l_partkey").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    deg = li.groupBy(F.col("l_partkey").alias("node")).agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    scored = (
+        pairs.join(deg.withColumnsRenamed({"node": "s", "n_orders": "na"}), "s")
+        .join(deg.withColumnsRenamed({"node": "d", "n_orders": "nb"}), "d")
+        .select(
+            "s",
+            "d",
+            "co",
+            (
+                F.col("co")
+                / F.sqrt(F.col("na") * 1.0 * F.col("nb"))
+            ).alias("cos_sim"),
+        )
+    )
+    top = top_k_global(
+        scored, [F.desc("cos_sim"), F.asc("s"), F.asc("d")], 20
+    )
+    return top.select(
+        F.col("s").alias("item_a"),
+        F.col("d").alias("item_b"),
+        F.col("co").cast("bigint").alias("n_co_orders"),
+        r4(F.col("cos_sim")).alias("cos_sim"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )

@@ -200,3 +200,74 @@ def test_statistical_invariants_sf0001(spark):
     lift_avg = sum(r["n"] * r["lift"] for r in rows) / n_tot
     assert abs(lift_avg - 1.0) < 0.02
     assert overall > 0
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50), finite
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_prefix_sum_matches_single_partition_window(spark, rows):
+    """global_running_sums == the single-partition running-sum window,
+    for ANY frame with a unique order key — the distributed
+    decomposition must be invisible in the values."""
+    from pyspark.sql.window import Window
+
+    from advanced_etl_pipelines_spark.operators.scale import (
+        global_running_sums,
+    )
+
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = {
+        r.k: r.cum_v
+        for r in global_running_sums(df, ["k"], ["v"], n_parts=3).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.k: r.cum_v
+        for r in df.select("k", F.sum("v").over(w).alias("cum_v")).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-9, abs_tol=1e-9)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.integers(min_value=2, max_value=3),
+)
+def test_kcore_degree_floor_and_idempotence(spark, edges, k):
+    """Every node in the k-core has degree >= k WITHIN the core, and
+    re-running k_core on the core is a fixpoint (idempotence)."""
+    from advanced_etl_pipelines_spark.operators.graph import k_core
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "s long, d long")
+    core = k_core(df, "s", "d", k)
+    rows = [(r.a, r.b) for r in core.collect()]
+    if not rows:
+        return
+    deg: dict = {}
+    for a, _b in rows:
+        deg[a] = deg.get(a, 0) + 1
+    assert min(deg.values()) >= k
+    again = k_core(
+        spark.createDataFrame(rows, "a long, b long"), "a", "b", k
+    )
+    assert {(r.a, r.b) for r in again.collect()} == set(rows)
