@@ -229,3 +229,64 @@ def kmeans_lloyd(
 
     out = src.mapInPandas(assign, "id long, cluster int")
     return cent.tolist(), out
+
+
+def kcenter_select(
+    df: DataFrame, vec_col: str, id_col: str, k: int
+) -> list[tuple[int, int, float]]:
+    """Greedy k-center (farthest-point) selection — the coreset /
+    diversity-sampling primitive data-pruning pipelines use to pick a
+    maximally-spread subset: start from the minimum-id vector, then
+    repeatedly take the point FARTHEST from the chosen set.  The greedy
+    is a 2-approximation of the optimal k-center cover (Gonzalez 1985),
+    and the coverage radius after each pick is monotonically
+    non-increasing — that invariant is the test.
+
+    Each round is ONE distributed pass: the running min-distance column
+    updates against the newly chosen vector (broadcast as a literal,
+    folded with zip_with — no Python), then an aggregate takes the
+    (max distance, min id) argmax.  Driver traffic per round is one
+    vector + one scalar; the frame is localCheckpoint()ed so lineage
+    stays flat over rounds.  Deterministic for any partitioning: ties
+    break on id, and distances are exact squared-L2 folds.
+
+    Returns [(rank, chosen_id, radius_after)] — radius_after is the
+    max remaining distance AFTER the pick (coverage of the set so far).
+    """
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        as_double(vec_col).alias("v"),
+    ).where(F.col("v").isNotNull())
+
+    first = src.orderBy("id").limit(1).collect()
+    if not first:
+        raise ValueError("kcenter_select: empty input")
+    chosen_id, chosen_vec = first[0]["id"], list(first[0]["v"])
+
+    def sqdist_to(vec: list[float]):
+        lit = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cur = src.withColumn("d2", sqdist_to(chosen_vec)).localCheckpoint()
+    out = []
+    for rank in range(1, k + 1):
+        agg = cur.agg(
+            F.max("d2").alias("radius"),
+            F.max_by(
+                F.struct("id", "v"),
+                F.struct(F.col("d2"), -F.col("id")),
+            ).alias("far"),
+        ).collect()[0]
+        out.append((rank, int(chosen_id), float(agg["radius"])))
+        if rank == k:
+            break
+        chosen_id = agg["far"]["id"]
+        nxt_vec = list(agg["far"]["v"])
+        cur = cur.withColumn(
+            "d2", F.least(F.col("d2"), sqdist_to(nxt_vec))
+        ).localCheckpoint()
+    return out

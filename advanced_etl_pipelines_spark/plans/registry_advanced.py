@@ -3083,3 +3083,27 @@ def q_item_item_similarity_topk(
         r4(F.col("cos_sim")).alias("cos_sim"),
         F.col("rnk").cast("bigint").alias("rnk"),
     )
+
+
+@query("kcenter_coreset_sample")
+def q_kcenter_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus: 16 maximally
+    spread representatives plus the coverage radius after each pick —
+    the diversity-sampling step of data-pruning pipelines (pick the
+    spread-out exemplars, drop redundant neighborhoods), complementing
+    SemDeDup's remove-the-redundant direction.  No SQL oracle
+    (iterative argmax selection); pinned by
+    tests/test_similarity.py::test_kcenter_* — greedy picks the
+    farthest point every round and the radius decreases monotonically.
+    Each round is one distributed pass (operators/linalg.py::
+    kcenter_select); driver traffic is one vector per round."""
+    from advanced_etl_pipelines_spark.operators.linalg import (
+        kcenter_select,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = kcenter_select(emb, "embedding", "vec_id", k=16)
+    return spark.createDataFrame(
+        [(r, i, round(d + 1e-9, 4)) for r, i, d in rows],
+        "rank int, vec_id bigint, radius_after double",
+    )

@@ -162,3 +162,39 @@ def test_pq_deterministic_and_exact_scores(emb, spark):
     for pair, cs in a.items():
         if pair in bf:
             assert abs(cs - bf[pair]) < 1e-9
+
+
+def test_kcenter_greedy_picks_farthest_each_round(spark):
+    from advanced_etl_pipelines_spark.operators.linalg import kcenter_select
+
+    # 1-D line embedded in 2-D: 0, 1, 10, 21 -> start at id 0 (x=0),
+    # then greedy must take x=21 (id 3), then x=10 (id 2), then x=1
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [10.0, 0.0]),
+         (3, [21.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = kcenter_select(df, "embedding", "vec_id", k=4)
+    assert [t[1] for t in out] == [0, 3, 2, 1]
+    radii = [t[2] for t in out]
+    assert radii == sorted(radii, reverse=True)
+    # after all points chosen, coverage radius is 0
+    assert radii[-1] == 0.0
+
+
+def test_kcenter_radius_monotone_on_real_vectors(spark):
+    from advanced_etl_pipelines_spark.operators.linalg import kcenter_select
+
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = kcenter_select(df, "embedding", "vec_id", k=6)
+    radii = [t[2] for t in out]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert len({t[1] for t in out}) == 6
