@@ -46,3 +46,23 @@ def test_drift_ks_bucketed_parity_with_exact(spark):
     approx = qs["drift_ks_bucketed"](spark, sf).collect()[0]["ks_stat"]
     assert approx <= exact + 1e-9
     assert abs(exact - approx) < 0.05
+
+
+def test_lineage_extraction_known_queries(spark):
+    """Plan-derived lineage matches the known table sets for a star
+    join, a documents query, and a generator-only query."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from scripts.lineage import tables_of
+
+    sf = "/root/testdata/sf0.001"
+    q = e.queries()
+    assert tables_of(q["tpch_q3_top_revenue"](spark, sf), sf) == [
+        "customer", "lineitem", "orders",
+    ]
+    assert tables_of(q["text_stats"](spark, sf), sf) == ["documents"]
+    assert tables_of(q["mom_revenue_growth"](spark, sf), sf) == [
+        "customer", "nation", "orders",
+    ]
