@@ -3107,3 +3107,144 @@ def q_kcenter_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, i, round(d + 1e-9, 4)) for r, i, d in rows],
         "rank int, vec_id bigint, radius_after double",
     )
+
+
+@query(
+    "anomaly_seasonal_adjusted",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, isodow(ts) - 1 AS wd,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2, 3),
+    wk AS (SELECT event_type, wd, AVG(cnt) AS wd_avg
+           FROM daily GROUP BY 1, 2),
+    adj AS (
+      SELECT d.event_type, d.d, d.cnt,
+             d.cnt / w.wd_avg AS ratio
+      FROM daily d JOIN wk w
+        ON d.event_type = w.event_type AND d.wd = w.wd),
+    st AS (SELECT event_type, AVG(ratio) AS mu, STDDEV_SAMP(ratio) AS sd
+           FROM adj GROUP BY event_type)
+    SELECT a.event_type, STRFTIME(a.d, '%Y-%m-%d') AS day,
+           CAST(a.cnt AS BIGINT) AS cnt,
+           ROUND(1e-9 + a.ratio, 4) AS seasonal_ratio,
+           ROUND(1e-9 + (a.ratio - s.mu) / s.sd, 4) AS zscore
+    FROM adj a JOIN st s ON a.event_type = s.event_type
+    WHERE ABS((a.ratio - s.mu) / s.sd) > 2.0
+    """,
+)
+def q_anomaly_seasonal_adjusted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonally-adjusted volume anomalies: each day's count is first
+    normalized by its type's WEEKDAY average (the seasonality index
+    base), then z-scored — so "busy Monday" is normal and "Monday-level
+    traffic on a Sunday" flags.  Catches exactly what raw z-scores
+    (anomaly_zscore_daily) miss under weekly seasonality.  Three
+    cascaded tiny aggregates off one scan; join-backs broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.weekday("ts").alias("wd"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wk = daily.groupBy("event_type", "wd").agg(
+        F.avg("cnt").alias("wd_avg")
+    )
+    adj = daily.join(F.broadcast(wk), ["event_type", "wd"]).select(
+        "event_type",
+        "d",
+        "cnt",
+        (F.col("cnt") / F.col("wd_avg")).alias("ratio"),
+    )
+    st = adj.groupBy("event_type").agg(
+        F.avg("ratio").alias("mu"), F.stddev_samp("ratio").alias("sd")
+    )
+    z = (F.col("ratio") - F.col("mu")) / F.col("sd")
+    return (
+        adj.join(F.broadcast(st), "event_type")
+        .where(F.abs(z) > 2.0)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            r4(F.col("ratio")).alias("seasonal_ratio"),
+            r4(z).alias("zscore"),
+        )
+    )
+
+
+@query(
+    "decile_rate_wilson",
+    """
+    WITH scored AS (
+      SELECT value, (event_type = 'purchase') AS actual
+      FROM events WHERE value IS NOT NULL),
+    d AS (
+      SELECT value, COUNT(*) AS c,
+             SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS conv
+      FROM scored GROUP BY value),
+    tot AS (SELECT SUM(c) AS nn FROM d),
+    cum AS (SELECT value, c, conv,
+                   SUM(c) OVER (ORDER BY value DESC) AS cum_c
+            FROM d),
+    dec AS (
+      SELECT CAST((10 * cum_c + nn - 1) // nn AS INT) AS decile,
+             SUM(c) AS n, SUM(conv) AS k
+      FROM cum, tot GROUP BY 1)
+    SELECT decile, CAST(n AS BIGINT) AS n,
+           ROUND(1e-9 + k * 1.0 / n, 4) AS rate,
+           ROUND(1e-9 + ((k * 1.0 / n) + 1.9208 / n
+                 - 1.96 * SQRT((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                               + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 4) AS wilson_lo,
+           ROUND(1e-9 + ((k * 1.0 / n) + 1.9208 / n
+                 + 1.96 * SQRT((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                               + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 4) AS wilson_hi
+    FROM dec
+    """,
+)
+def q_decile_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile conversion rate with 95% WILSON score intervals — the
+    uncertainty band lift_deciles omits, which is what separates "top
+    decile converts 2x" from "top decile n is too small to say".
+    Wilson (not Wald) keeps coverage near-nominal at small n and
+    extreme rates; the z=1.96 closed form uses only +-*/ and SQRT, all
+    IEEE-exact or correctly rounded, so both engines agree bit-for-bit
+    at 4 decimals.  Deciles are the distinct-score prefix-sum form
+    (lift_deciles' scale shape)."""
+    from advanced_etl_pipelines_spark.operators.scale import (
+        global_running_sums,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    scored = ev.select(
+        "value", (F.col("event_type") == "purchase").alias("actual")
+    )
+    d = scored.groupBy("value").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("actual"), 1).otherwise(0)).alias("conv"),
+    )
+    tot = d.agg(F.sum("c").alias("nn"))
+    cum = global_running_sums(d, [F.desc("value")], ["c"])
+    dec = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr("CAST((10 * cum_c + nn - 1) DIV nn AS INT)").alias(
+                "decile"
+            )
+        )
+        .agg(F.sum("c").alias("n"), F.sum("conv").alias("k"))
+    )
+    p = F.col("k") * 1.0 / F.col("n")
+    n = F.col("n")
+    half = 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    denom = 1 + 3.8416 / n
+    return dec.select(
+        "decile",
+        F.col("n").cast("bigint").alias("n"),
+        r4(p).alias("rate"),
+        r4((p + 1.9208 / n - half) / denom).alias("wilson_lo"),
+        r4((p + 1.9208 / n + half) / denom).alias("wilson_hi"),
+    )
