@@ -2921,7 +2921,7 @@ def q_watermark_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ev.select(
         "event_type",
         (F.col("event_id") / 100).cast("bigint").alias("bkt"),
-        F.unix_timestamp("ts").cast("double").alias("sec"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6).alias("sec"),
     )
     bmax = b.groupBy("event_type", "bkt").agg(
         F.max("sec").alias("bmax_sec")
@@ -3247,4 +3247,60 @@ def q_decile_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(p).alias("rate"),
         r4((p + 1.9208 / n - half) / denom).alias("wilson_lo"),
         r4((p + 1.9208 / n + half) / denom).alias("wilson_hi"),
+    )
+
+
+@query(
+    "funnel_latency_percentiles",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS first_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    p AS (SELECT e.user_id,
+                 MIN(EXTRACT(EPOCH FROM e.ts)
+                     - EXTRACT(EPOCH FROM v.first_view)) AS lag_sec
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+          GROUP BY e.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+           ROUND(1e-9 + quantile_cont(lag_sec, 0.5), 4) AS p50_sec,
+           ROUND(1e-9 + quantile_cont(lag_sec, 0.9), 4) AS p90_sec,
+           ROUND(1e-9 + MAX(lag_sec), 4) AS max_sec
+    FROM p
+    """,
+)
+def q_funnel_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from FIRST view
+    to the first subsequent purchase; p50/p90/max over converters — the
+    latency half of the funnel that funnel_view_click_purchase's
+    conversion counts omit (how MANY convert vs how LONG they take).
+    Two grouped aggregates on the user key plus one equi-join; exact
+    percentiles on the per-user lag frame (one row per converter)."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("first_view").cast("timestamp"))
+                )
+                / 1e6
+            ).alias("lag_sec")
+        )
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+        r4(F.percentile("lag_sec", F.lit(0.5))).alias("p50_sec"),
+        r4(F.percentile("lag_sec", F.lit(0.9))).alias("p90_sec"),
+        r4(F.max("lag_sec")).alias("max_sec"),
     )
