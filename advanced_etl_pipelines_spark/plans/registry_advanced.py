@@ -3304,3 +3304,101 @@ def q_funnel_latency_percentiles(
         r4(F.percentile("lag_sec", F.lit(0.9))).alias("p90_sec"),
         r4(F.max("lag_sec")).alias("max_sec"),
     )
+
+
+@query(
+    "top_session_paths",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN prev_ts IS NULL
+                        OR EXTRACT(EPOCH FROM ts - prev_ts) > 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS sess
+      FROM o),
+    r AS (
+      SELECT user_id, sess, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                                ORDER BY ts, event_id) AS rn
+      FROM s),
+    paths AS (
+      SELECT user_id, sess,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id, sess),
+    agg AS (
+      SELECT path, COUNT(*) AS n_sessions,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM paths GROUP BY path),
+    rk AS (
+      SELECT path, n_sessions, n_users,
+             ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC)
+               AS rnk
+      FROM agg)
+    SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions, n_users,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= 10
+    """,
+)
+def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session-opening paths (first three event types per
+     30-min-gap session) — the Sankey/top-paths view of how sessions
+    begin, built on the same gap sessionization as sessionize_events.
+    Per-user windows do the sessionizing (one shuffle on user_id); the
+    first-3 truncation is a rank-limit inside the (user, session)
+    partition; the global top-10 goes through the two-level top-k."""
+    from advanced_etl_pipelines_spark.operators.scale import top_k_global
+
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("ts").over(wu).alias("prev_ts"),
+    )
+    gap = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+    ) / 1e6
+    s = o.withColumn(
+        "sess",
+        F.sum(
+            F.when(
+                F.col("prev_ts").isNull() | (gap > 1800), 1
+            ).otherwise(0)
+        ).over(wu),
+    )
+    ws = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    r = s.withColumn("rn", F.row_number().over(ws)).where(F.col("rn") <= 3)
+    paths = (
+        r.groupBy("user_id", "sess")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    agg = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    top = top_k_global(agg, [F.desc("n_sessions"), F.asc("path")], 10)
+    return top.select(
+        "path",
+        F.col("n_sessions").cast("bigint").alias("n_sessions"),
+        "n_users",
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
