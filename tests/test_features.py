@@ -121,3 +121,51 @@ def test_aqi_non_numeric_string_coerces_to_unknown(spark):
     # reference: float(v) failure -> "Unknown"; Spark cast returns NULL -> Unknown
     out = _eval(spark, aqi_category_pm25("v"), ["abc", "42"], in_type="string")
     assert out == ["Unknown", "Good"]
+
+
+def test_sql_udfs_match_column_api(spark):
+    """The SQL front door's feature UDFs agree with the Column API on
+    every boundary value, and their bodies inline (no Python in plan)."""
+    from advanced_etl_pipelines_spark.functions.features import (
+        aqi_category_pm25,
+        feels_like_c,
+        risk_class_from_severity,
+        severity_score,
+        temp_category,
+    )
+    from advanced_etl_pipelines_spark.functions.sql_udfs import (
+        register_sql_udfs,
+    )
+
+    assert register_sql_udfs(spark) == [
+        "aqi_category", "feels_like_c", "risk_class",
+        "severity_score", "temp_category",
+    ]
+    vals = [None, -150.0, -100.0, 0.0, 10.0, 20.0, 30.0, 50.0, 50.5,
+            51.0, 100.0, 100.5, 101.0, 200.0, 201.0, 300.0, 300.5,
+            400.0, 401.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    df.createOrReplaceTempView("__vals")
+    got = spark.sql(
+        """SELECT v, aqi_category(v) AS a, risk_class(v) AS r,
+                  temp_category(v) AS t,
+                  severity_score(v, v, NULL, v, NULL, v) AS s,
+                  feels_like_c(v, 50.0) AS f
+           FROM __vals"""
+    ).collect()
+    want = df.select(
+        "v",
+        aqi_category_pm25("v").alias("a"),
+        risk_class_from_severity("v").alias("r"),
+        temp_category("v").alias("t"),
+        severity_score("v", "v", F.lit(None), "v", F.lit(None), "v")
+        .alias("s"),
+        feels_like_c("v", F.lit(50.0)).alias("f"),
+    ).collect()
+    assert sorted(map(tuple, got), key=str) == sorted(
+        map(tuple, want), key=str
+    )
+    plan = spark.sql(
+        "SELECT aqi_category(v) FROM __vals"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
