@@ -3402,3 +3402,215 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.col("rnk").cast("bigint").alias("rnk"),
     )
+
+
+@query(
+    "rolling_corr_7d",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             SUM(l_extendedprice) AS rev, SUM(l_quantity) AS qty
+      FROM lineitem GROUP BY 1)
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+           ROUND(1e-9 + corr(rev, qty) OVER (
+             ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+             AS corr_7d,
+           CAST(COUNT(*) OVER (
+             ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_days
+    FROM daily
+    """,
+)
+def q_rolling_corr_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day correlation between daily revenue and daily
+    quantity — the rolling co-movement signal (decoupling = mix shift
+    or pricing drift).  corr is an algebraic aggregate, so it runs as a
+    WINDOW function over the per-day frame: the window sees |days|
+    rows regardless of fact volume (same bounded-frame contract as
+    cusum/char-coverage), and the daily aggregate underneath is the
+    only data-scale work."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.sum("l_extendedprice").alias("rev"),
+        F.sum("l_quantity").alias("qty"),
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        r4(F.corr("rev", "qty").over(w)).alias("corr_7d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_days"),
+    )
+
+
+@query(
+    "cross_source_dup_matrix",
+    f"""
+    WITH tk AS (SELECT doc_id, lang, source, {_TOKENS_SQL} AS toks
+                FROM documents),
+    g AS (SELECT doc_id, lang, source,
+                 list_distinct(list_transform(range(1, LEN(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS grams
+          FROM tk WHERE LEN(toks) >= 3),
+    prs AS (SELECT a.source AS sa, b.source AS sb
+            FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE LEN(list_distinct(list_intersect(a.grams, b.grams)))
+                  * 1.0
+                  / LEN(list_distinct(list_concat(a.grams, b.grams)))
+                  >= 0.15)
+    SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM prs GROUP BY 1, 2
+    """,
+)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-overlap contamination matrix over NEAR-duplicate pairs
+    (exact n-gram Jaccard >= 0.15): diagonal cells = near-dup pressure
+    WITHIN a source, off-diagonal = pairs of sources that mirror each
+    other's content — the CommonCrawl-vs-C4 overlap audit that decides
+    which source to drop before training.  (Exact-digest overlap is the
+    degenerate case; this corpus — like most real ones post exact-dedup
+    — only has fuzzy overlap.)  Pair generation reuses the
+    posting-list Jaccard join (never all-pairs); sources attach to the
+    pair ids by 8-byte-key lookups and the matrix aggregate is
+    |sources|² cells."""
+    from advanced_etl_pipelines_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang", n=3, threshold=0.15
+    )
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.withColumnsRenamed(
+                {"doc_id": "id_a", "source": "sa"}
+            ),
+            "id_a",
+        )
+        .join(
+            src.withColumnsRenamed(
+                {"doc_id": "id_b", "source": "sb"}
+            ),
+            "id_b",
+        )
+    )
+    return j.groupBy(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+
+
+@query(
+    "token_fertility_by_lang",
+    f"""
+    WITH tk AS (
+      SELECT lang, n_chars, LEN({_TOKENS_SQL}) AS n_tokens
+      FROM documents)
+    SELECT lang,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(1e-9 + SUM(n_chars) * 1.0 / SUM(n_tokens), 4)
+             AS chars_per_token,
+           ROUND(1e-9 + SUM(n_tokens) * 100.0 / SUM(n_chars), 4)
+             AS tokens_per_100_chars
+    FROM tk GROUP BY lang
+    """,
+)
+def q_token_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility per language: characters per token and
+    tokens per 100 characters — the compression-rate table that decides
+    whether a tokenizer (here the whitespace/alnum reference tokenizer)
+    treats each language fairly; high fertility = a language pays more
+    sequence length for the same text.  One map-side token count into a
+    per-lang aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    n_toks = T.bind_once(T.word_tokens("text"), F.size)
+    return (
+        docs.select("lang", "n_chars", n_toks.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            r4(F.sum("n_chars") / F.sum("n_tokens")).alias(
+                "chars_per_token"
+            ),
+            r4(F.sum("n_tokens") * 100.0 / F.sum("n_chars")).alias(
+                "tokens_per_100_chars"
+            ),
+        )
+    )
+
+
+@query(
+    "interarrival_stats",
+    """
+    WITH g AS (
+      SELECT user_id,
+             EXTRACT(EPOCH FROM ts - LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_sec
+      FROM events)
+    SELECT CAST(COUNT(gap_sec) AS BIGINT) AS n_gaps,
+           ROUND(1e-9 + quantile_cont(gap_sec, 0.5), 4) AS p50_sec,
+           ROUND(1e-9 + quantile_cont(gap_sec, 0.95), 4) AS p95_sec,
+           ROUND(1e-9 + AVG(gap_sec), 4) AS mean_sec
+    FROM g WHERE gap_sec IS NOT NULL
+    """,
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival time distribution (p50/p95/mean seconds
+    between consecutive events) — the activity-cadence profile that
+    calibrates session gaps (the 30-min cut in sessionize_events /
+    top_session_paths should sit far right of p95) and retention
+    windows.  One LAG window partitioned by user, then a global
+    aggregate with exact percentiles."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    ) / 1e6
+    g = ev.select(gap.alias("gap_sec")).where(
+        F.col("gap_sec").isNotNull()
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        r4(F.percentile("gap_sec", F.lit(0.5))).alias("p50_sec"),
+        r4(F.percentile("gap_sec", F.lit(0.95))).alias("p95_sec"),
+        r4(F.avg("gap_sec")).alias("mean_sec"),
+    )
+
+
+@query(
+    "basket_size_stats",
+    """
+    WITH b AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+             SUM(l_extendedprice) AS order_value
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT CAST(n_lines AS BIGINT) AS basket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(1e-9 + AVG(order_value), 2) AS avg_order_value,
+           ROUND(1e-9 + AVG(order_value / n_lines), 2) AS avg_line_value
+    FROM b GROUP BY n_lines
+    """,
+)
+def q_basket_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: orders per line-count with average
+    order and per-line value — the AOV-by-basket-size curve behind
+    cross-sell analysis (and the degree profile of the co-purchase
+    graph family).  Two cascaded aggregates keyed on the order key."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("l_extendedprice").alias("order_value"),
+    )
+    return b.groupBy(
+        F.col("n_lines").cast("bigint").alias("basket_size")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        r2(F.avg("order_value")).alias("avg_order_value"),
+        r2(F.avg(F.col("order_value") / F.col("n_lines"))).alias(
+            "avg_line_value"
+        ),
+    )
