@@ -3614,3 +3614,242 @@ def q_basket_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_line_value"
         ),
     )
+
+
+@query(
+    "attribution_position_based",
+    """
+    WITH j AS (
+      SELECT user_id, ts, event_id, event_type,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prior_convs
+      FROM events),
+    path AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM j
+      WHERE prior_convs = 0 AND event_type <> 'purchase'
+        AND user_id IN (SELECT DISTINCT user_id FROM events
+                        WHERE event_type = 'purchase')),
+    pos AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM path),
+    credit AS (
+      SELECT event_type,
+             CASE WHEN n = 1 THEN 1.0
+                  WHEN n = 2 THEN 0.5
+                  WHEN rn = 1 THEN 0.4
+                  WHEN rn = n THEN 0.4
+                  ELSE 0.2 / (n - 2) END AS w
+      FROM pos)
+    SELECT event_type AS channel,
+           ROUND(1e-9 + SUM(w), 4) AS credit,
+           CAST(COUNT(*) AS BIGINT) AS n_touches
+    FROM credit GROUP BY event_type
+    """,
+)
+def q_attribution_position_based(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) attribution — the third
+    standard model beside attribution_last_touch (rule: last wins) and
+    attribution_markov_removal (data-driven): on each converting user's
+    pre-conversion path, the first and last touch get 40% credit each
+    and the middle touches split 20%; single-touch paths take 100%,
+    two-touch paths 50/50.  Everything is windows partitioned by user
+    plus a grouped sum — one shuffle on the user key."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    j = ev.withColumn(
+        "prior_convs",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(wu.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    converters = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    path = (
+        j.where(
+            (F.col("prior_convs") == 0)
+            & (F.col("event_type") != "purchase")
+        )
+        .join(converters, "user_id", "left_semi")
+    )
+    pos = path.select(
+        "event_type",
+        F.row_number().over(wu).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    w = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(F.col("rn") == 1, F.lit(0.4))
+        .when(F.col("rn") == F.col("n"), F.lit(0.4))
+        .otherwise(0.2 / (F.col("n") - 2))
+    )
+    return (
+        pos.select(F.col("event_type").alias("channel"), w.alias("w"))
+        .groupBy("channel")
+        .agg(
+            r4(F.sum("w")).alias("credit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        )
+    )
+
+
+@query(
+    "vocab_coverage_curve",
+    f"""
+    WITH tok AS (
+      SELECT unnest({_TOKENS_SQL}) AS token FROM documents),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    ranked AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rnk
+      FROM vocab),
+    tot AS (SELECT SUM(cnt) AS n_tokens, COUNT(*) AS v_size FROM ranked)
+    SELECT CAST(v AS BIGINT) AS vocab_size,
+           ROUND(1e-9 + (SELECT SUM(cnt) FROM ranked WHERE rnk <= v)
+                 * 1.0 / (SELECT n_tokens FROM tot), 4) AS coverage,
+           CAST((SELECT v_size FROM tot) AS BIGINT) AS full_vocab
+    FROM (VALUES (10), (50), (100), (500), (1000)) t(v)
+    """,
+)
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of all token occurrences
+    covered by the top-V vocabulary at V in {10,50,100,500,1000} — the
+    tokenizer-design artifact that picks a vocab size (where the curve
+    flattens, <unk> stops hurting).  Extends oov_rate_topv's single
+    cutoff to the whole curve.
+
+    Ranks come from the two-level top-k (per-partition prune, then a
+    window over <= V_max x n_partitions survivors) at the largest
+    cutoff; smaller cutoffs are filters on the same ranked frame — ONE
+    vocabulary aggregate, one prune, five curve points."""
+    from advanced_etl_pipelines_spark.operators.scale import top_k_global
+
+    cutoffs = [10, 50, 100, 500, 1000]
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.word_tokens("text")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("v_size"),
+    )
+    ranked = top_k_global(
+        vocab, [F.desc("cnt"), F.asc("token")], max(cutoffs)
+    )
+    curve = None
+    for v in cutoffs:
+        c = (
+            ranked.where(F.col("rnk") <= v)
+            .agg(F.sum("cnt").alias("cov_cnt"))
+            .select(F.lit(v).cast("bigint").alias("vocab_size"), "cov_cnt")
+        )
+        curve = c if curve is None else curve.unionAll(c)
+    return curve.crossJoin(F.broadcast(tot)).select(
+        "vocab_size",
+        r4(F.col("cov_cnt") / F.col("n_tokens")).alias("coverage"),
+        F.col("v_size").cast("bigint").alias("full_vocab"),
+    )
+
+
+@query(
+    "kneser_ney_perplexity",
+    f"""
+    WITH tk AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM tk WHERE len(toks) >= 2),
+    ctx AS (SELECT doc_id, lang, bigram,
+                   string_split(bigram, ' ')[1] AS w1,
+                   string_split(bigram, ' ')[2] AS w2
+            FROM bg),
+    c2 AS (SELECT bigram, COUNT(*) AS n2 FROM bg GROUP BY bigram),
+    c1 AS (SELECT w1, COUNT(*) AS n1,
+                  COUNT(DISTINCT w2) AS nfoll
+           FROM ctx GROUP BY w1),
+    cont AS (SELECT w2, COUNT(DISTINCT w1) AS nprec
+             FROM ctx GROUP BY w2),
+    bt AS (SELECT COUNT(*) AS n_types FROM c2),
+    scored AS (
+      SELECT c.doc_id, c.lang,
+             -LOG2(GREATEST(n2 - 0.75, 0) / n1
+                   + (0.75 * nfoll / n1) * (nprec * 1.0 / n_types))
+               AS nll
+      FROM ctx c JOIN c2 USING (bigram) JOIN c1 USING (w1)
+      JOIN cont USING (w2) CROSS JOIN bt),
+    d AS (SELECT doc_id, lang, POW(2.0, AVG(nll)) AS ppl
+          FROM scored GROUP BY doc_id, lang)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(1e-9 + AVG(ppl), 4) AS avg_ppl
+    FROM d GROUP BY lang
+    """,
+)
+def q_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity per language — the
+    smoothing KenLM actually uses (absolute discount d=0.75 backed off
+    to the CONTINUATION unigram: how many distinct contexts a word
+    follows, not how often it occurs — 'Francisco' is frequent but only
+    ever follows 'San', so KN correctly refuses to predict it
+    elsewhere).  Upgrades bigram_lm_perplexity's add-k to the
+    production-grade estimator:
+
+      P(w2|w1) = max(c12 - d, 0)/c1 + (d * N1+(w1,.)/c1) * Pcont(w2)
+      Pcont(w2) = N1+(., w2) / |bigram types|
+
+    Scale shape identical to the add-k form: four count frames by hash
+    aggregation (bigram, context, follower-diversity, continuation),
+    scoring joins on 8-byte-ish keys, everything linear in corpus
+    size; production caps the vocab so all model frames broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", "lang", T.word_tokens("text").alias("toks")
+    )
+    bg = tk.where(F.size("toks") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(T.word_ngrams(F.col("toks"), 2)).alias("bigram"),
+    )
+    ctx = bg.withColumn("w1", F.split("bigram", " ")[0]).withColumn(
+        "w2", F.split("bigram", " ")[1]
+    )
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = ctx.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.countDistinct("w2").alias("nfoll"),
+    )
+    cont = ctx.groupBy("w2").agg(
+        F.countDistinct("w1").alias("nprec")
+    )
+    bt = c2.agg(F.count(F.lit(1)).alias("n_types"))
+    p = F.greatest(F.col("n2") - 0.75, F.lit(0.0)) / F.col("n1") + (
+        0.75 * F.col("nfoll") / F.col("n1")
+    ) * (F.col("nprec") * 1.0 / F.col("n_types"))
+    scored = (
+        ctx.join(c2, "bigram")
+        .join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(bt))
+        .select("doc_id", "lang", (-F.log2(p)).alias("nll"))
+    )
+    d = scored.groupBy("doc_id", "lang").agg(
+        F.pow(F.lit(2.0), F.avg("nll")).alias("ppl")
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        r4(F.avg("ppl")).alias("avg_ppl"),
+    )
