@@ -3853,3 +3853,233 @@ def q_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         r4(F.avg("ppl")).alias("avg_ppl"),
     )
+
+
+@query(
+    "new_vs_returning_daily",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id),
+    daily AS (
+      SELECT CAST(e.ts AS DATE) AS d, e.user_id,
+             (CAST(e.ts AS DATE) = f.first_day) AS is_new
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      GROUP BY 1, 2, 3)
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+             AS returning_users
+    FROM daily GROUP BY d
+    """,
+)
+def q_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New vs returning daily actives — the growth-accounting split
+    (acquisition vs engagement) behind every DAU chart.  First-seen is
+    one per-user aggregate joined back by the 8-byte user key; the
+    daily distinct is a (day, user) aggregate.  Two shuffles on keys,
+    both data-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = (
+        ev.join(first_seen, "user_id")
+        .select(
+            F.to_date("ts").alias("d"),
+            "user_id",
+            (F.to_date("ts") == F.col("first_day")).alias("is_new"),
+        )
+        .distinct()
+    )
+    return daily.groupBy(
+        F.date_format("d", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("returning_users"),
+    )
+
+
+@query(
+    "ab_test_mde",
+    """
+    WITH assign AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    s AS (SELECT COUNT(*) AS n, SUM(converted) * 1.0 / COUNT(*) AS p
+          FROM assign)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND(1e-9 + p, 4) AS base_rate,
+           ROUND(1e-9 + (1.959964 + 0.841621)
+                 * SQRT(2 * p * (1 - p) / (n / 2.0)), 4)
+             AS mde_abs,
+           ROUND(1e-9 + (1.959964 + 0.841621)
+                 * SQRT(2 * p * (1 - p) / (n / 2.0)) / p, 4)
+             AS mde_rel
+    FROM s
+    """,
+)
+def q_ab_test_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for a 50/50 split at the CURRENT
+    sample size (alpha=0.05 two-sided, power=0.8): the pre-experiment
+    sanity check that pairs with ab_test_zstat — if the effect you hope
+    for is under mde_abs, the test as sized cannot see it.
+    MDE = (z_{a/2} + z_beta) * sqrt(2 p (1-p) / (n/2)); the z constants
+    are literals so the whole statistic is one aggregate + arithmetic
+    (SQRT only — engine-portable bit-for-bit)."""
+    ev = _t(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    s = assign.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("converted") * 1.0 / F.count(F.lit(1))).alias("p"),
+    )
+    zsum = 1.959964 + 0.841621
+    mde = zsum * F.sqrt(
+        2 * F.col("p") * (1 - F.col("p")) / (F.col("n") / 2.0)
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        r4(F.col("p")).alias("base_rate"),
+        r4(mde).alias("mde_abs"),
+        r4(mde / F.col("p")).alias("mde_rel"),
+    )
+
+
+@query(
+    "ltv_cohort_curve",
+    """
+    WITH first_seen AS (
+      SELECT user_id,
+             STRFTIME(DATE_TRUNC('month', MIN(ts)), '%Y-%m') AS cohort,
+             MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id),
+    sizes AS (SELECT cohort, COUNT(*) AS cohort_users
+              FROM first_seen GROUP BY cohort),
+    rev AS (
+      SELECT f.cohort,
+             DATEDIFF('day', f.first_day, CAST(e.ts AS DATE)) // 7
+               AS age_weeks,
+             SUM(e.value) AS wk_rev
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+        AND DATEDIFF('day', f.first_day, CAST(e.ts AS DATE))
+            BETWEEN 0 AND 27
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort, age_weeks,
+             SUM(wk_rev) OVER (PARTITION BY cohort ORDER BY age_weeks)
+               AS cum_rev
+      FROM rev)
+    SELECT c.cohort, CAST(c.age_weeks AS BIGINT) AS age_weeks,
+           ROUND(1e-9 + c.cum_rev / s.cohort_users, 4)
+             AS cum_ltv_per_user
+    FROM cum c JOIN sizes s ON c.cohort = s.cohort
+    """,
+)
+def q_ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative LTV curve per monthly signup cohort over the first
+    four weeks of life — the payback chart (does a newer cohort
+    monetize faster?).  Purchase value accumulates along cohort age;
+    the running sum windows over the (cohort x 4 weeks) frame — a few
+    hundred rows at any corpus scale — and everything underneath is
+    keyed aggregates and an 8-byte-key join back."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_format(
+            F.date_trunc("month", F.min("ts")), "yyyy-MM"
+        ).alias("cohort"),
+        F.min(F.to_date("ts")).alias("first_day"),
+    )
+    sizes = first_seen.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    age_days = F.datediff(F.to_date("ts"), F.col("first_day"))
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .where(age_days.between(0, 27))
+        .groupBy(
+            "cohort",
+            F.floor(age_days / 7).alias("age_weeks"),
+        )
+        .agg(F.sum("value").alias("wk_rev"))
+    )
+    w = Window.partitionBy("cohort").orderBy("age_weeks")
+    cum = rev.withColumn("cum_rev", F.sum("wk_rev").over(w))
+    return cum.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        F.col("age_weeks").cast("bigint").alias("age_weeks"),
+        r4(F.col("cum_rev") / F.col("cohort_users")).alias(
+            "cum_ltv_per_user"
+        ),
+    )
+
+
+@query(
+    "benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    obs AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT SUM(n) AS nn FROM obs)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           ROUND(1e-9 + n * 1.0 / nn, 4) AS observed,
+           ROUND(1e-9 + LOG10(1.0 + 1.0 / digit), 4) AS benford,
+           ROUND(1e-9 + (n * 1.0 / nn - LOG10(1.0 + 1.0 / digit))
+                 / SQRT(LOG10(1.0 + 1.0 / digit)
+                        * (1 - LOG10(1.0 + 1.0 / digit)) / nn), 4)
+             AS z_dev
+    FROM obs CROSS JOIN tot
+    """,
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the forensic
+    data-quality screen (fabricated or capped monetary data deviates
+    from the log distribution; z_dev flags which digits).  The first
+    digit comes from the INTEGER cents string, never from float
+    formatting, so both engines extract identical digits.  One grouped
+    count plus broadcast total; the expected-share LOG10 runs on the 9
+    digit literals only."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("nn"))
+    bf = F.log10(1.0 + 1.0 / F.col("digit"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        r4(F.col("n") * 1.0 / F.col("nn")).alias("observed"),
+        r4(bf).alias("benford"),
+        r4(
+            (F.col("n") * 1.0 / F.col("nn") - bf)
+            / F.sqrt(bf * (1 - bf) / F.col("nn"))
+        ).alias("z_dev"),
+    )
