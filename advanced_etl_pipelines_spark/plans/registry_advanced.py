@@ -4083,3 +4083,183 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(bf * (1 - bf) / F.col("nn"))
         ).alias("z_dev"),
     )
+
+
+@query(
+    "attribution_model_comparison",
+    """
+    WITH j AS (
+      SELECT user_id, ts, event_id, event_type,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prior_convs
+      FROM events),
+    path AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM j
+      WHERE prior_convs = 0 AND event_type <> 'purchase'
+        AND user_id IN (SELECT DISTINCT user_id FROM events
+                        WHERE event_type = 'purchase')),
+    pos AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM path)
+    SELECT event_type AS channel,
+           ROUND(1e-9 + SUM(CASE WHEN rn = n THEN 1.0 ELSE 0.0 END), 4)
+             AS last_touch,
+           ROUND(1e-9 + SUM(1.0 / n), 4) AS linear,
+           ROUND(1e-9 + SUM(
+             CASE WHEN n = 1 THEN 1.0
+                  WHEN n = 2 THEN 0.5
+                  WHEN rn = 1 THEN 0.4
+                  WHEN rn = n THEN 0.4
+                  ELSE 0.2 / (n - 2) END), 4) AS position_based
+    FROM pos GROUP BY event_type
+    """,
+)
+def q_attribution_model_comparison(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Side-by-side attribution: last-touch, LINEAR (equal split), and
+    position-based credit per channel from ONE pass over the
+    pre-conversion paths — the comparison table marketing reviews
+    before standardizing on a model (when the three disagree, the
+    journey structure matters; when they agree, any is fine).  Same
+    user-partitioned windows as attribution_position_based; the three
+    models are just different per-row weight expressions summed in one
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    j = ev.withColumn(
+        "prior_convs",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(wu.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    converters = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    path = j.where(
+        (F.col("prior_convs") == 0) & (F.col("event_type") != "purchase")
+    ).join(converters, "user_id", "left_semi")
+    pos = path.select(
+        "event_type",
+        F.row_number().over(wu).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    position = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(F.col("rn") == 1, F.lit(0.4))
+        .when(F.col("rn") == F.col("n"), F.lit(0.4))
+        .otherwise(0.2 / (F.col("n") - 2))
+    )
+    return pos.groupBy(F.col("event_type").alias("channel")).agg(
+        r4(
+            F.sum(
+                F.when(F.col("rn") == F.col("n"), 1.0).otherwise(0.0)
+            )
+        ).alias("last_touch"),
+        r4(F.sum(1.0 / F.col("n"))).alias("linear"),
+        r4(F.sum(position)).alias("position_based"),
+    )
+
+
+@query(
+    "daily_value_ribbon",
+    """
+    SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1e-9 + quantile_cont(value, 0.1), 4) AS p10,
+           ROUND(1e-9 + quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(1e-9 + quantile_cont(value, 0.9), 4) AS p90
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_daily_value_ribbon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p10/p50/p90 ribbon of event values — the monitoring chart
+    shape (median line with a spread band) that catches distribution
+    drift a daily mean hides.  Exact per-day percentiles as a grouped
+    aggregate (percentile() is partial-merge capable); at 100 TB swap
+    in approx_percentile/KLL per day if exactness isn't required —
+    same query shape."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r4(F.percentile("value", F.lit(0.1))).alias("p10"),
+        r4(F.percentile("value", F.lit(0.5))).alias("p50"),
+        r4(F.percentile("value", F.lit(0.9))).alias("p90"),
+    )
+
+
+@query(
+    "moments_by_returnflag",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             AVG(l_extendedprice) AS mu,
+             SUM(POWER(l_extendedprice, 2)) AS s2,
+             SUM(POWER(l_extendedprice, 3)) AS s3,
+             SUM(POWER(l_extendedprice, 4)) AS s4
+      FROM lineitem GROUP BY l_returnflag),
+    m AS (
+      SELECT l_returnflag, n, mu,
+             s2 / n - mu * mu AS m2,
+             s3 / n - 3 * mu * s2 / n + 2 * POWER(mu, 3) AS m3,
+             s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+               - 3 * POWER(mu, 4) AS m4
+      FROM s)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND(1e-9 + mu, 2) AS mean,
+           ROUND(1e-9 + m3 / POWER(m2, 1.5), 4) AS skewness_g1,
+           ROUND(1e-9 + m4 / (m2 * m2) - 3.0, 4) AS kurtosis_g2
+    FROM m
+    """,
+)
+def q_moments_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness (g1) and excess kurtosis (g2) of extended
+    price per return flag, from RAW POWER SUMS — deliberately not the
+    built-in skewness()/kurtosis(), whose bias conventions differ
+    between engines (Spark returns population moments, DuckDB
+    sample-corrected G1/G2); the explicit central-moment algebra is the
+    portable common ground AND the mergeable form (power sums
+    partial-aggregate map-side like any algebraic aggregate, which is
+    also how a 100 TB run wants its higher moments)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(p).alias("mu"),
+        F.sum(F.pow(p, 2)).alias("s2"),
+        F.sum(F.pow(p, 3)).alias("s3"),
+        F.sum(F.pow(p, 4)).alias("s4"),
+    )
+    mu, n = F.col("mu"), F.col("n")
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * F.col("s2") / n + 2 * F.pow(mu, 3)
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * F.col("s3") / n
+        + 6 * mu * mu * F.col("s2") / n
+        - 3 * F.pow(mu, 4)
+    )
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        r2(mu).alias("mean"),
+        r4(m3 / F.pow(m2, 1.5)).alias("skewness_g1"),
+        r4(m4 / (m2 * m2) - 3.0).alias("kurtosis_g2"),
+    )
