@@ -4263,3 +4263,183 @@ def q_moments_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(m3 / F.pow(m2, 1.5)).alias("skewness_g1"),
         r4(m4 / (m2 * m2) - 3.0).alias("kurtosis_g2"),
     )
+
+
+@query(
+    "degree_assortativity",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    nodes AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT s AS node FROM pairs
+        UNION ALL SELECT d FROM pairs) t GROUP BY node),
+    ends AS (
+      SELECT ns.deg AS ds, nd.deg AS dd
+      FROM pairs p
+      JOIN nodes ns ON p.s = ns.node
+      JOIN nodes nd ON p.d = nd.node),
+    sym AS (SELECT ds, dd FROM ends
+            UNION ALL SELECT dd, ds FROM ends)
+    SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+           ROUND(1e-9 + corr(ds, dd), 4) AS assortativity
+    FROM sym
+    """,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — Newman's r:
+    the Pearson correlation of degrees across edge endpoints,
+    symmetrized (each undirected edge contributes both orientations).
+    Positive = hubs connect to hubs (social-network-like), negative =
+    hub-and-spoke (catalog-like) — it decides whether hub-removal or
+    salting strategies matter for this graph.  Degrees join back onto
+    edges by 8-byte keys; corr is one algebraic aggregate over the
+    edge list."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("s"),
+            F.col("b.l_partkey").alias("d"),
+        )
+        .distinct()
+    )
+    nodes = (
+        pairs.select(F.col("s").alias("node"))
+        .unionAll(pairs.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ends = (
+        pairs.join(
+            nodes.withColumnsRenamed({"node": "s", "deg": "ds"}), "s"
+        )
+        .join(
+            nodes.withColumnsRenamed({"node": "d", "deg": "dd"}), "d"
+        )
+        .select("ds", "dd")
+    )
+    sym = ends.unionAll(
+        ends.select(F.col("dd").alias("ds"), F.col("ds").alias("dd"))
+    )
+    return sym.agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        r4(F.corr("ds", "dd")).alias("assortativity"),
+    )
+
+
+@query(
+    "burstiness_by_type",
+    """
+    WITH g AS (
+      SELECT event_type,
+             EXTRACT(EPOCH FROM ts - LAG(ts) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id)) AS gap
+      FROM events),
+    s AS (SELECT event_type, COUNT(gap) AS n,
+                 AVG(gap) AS mu, STDDEV_SAMP(gap) AS sd
+          FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+           ROUND(1e-9 + mu, 4) AS mean_gap_sec,
+           ROUND(1e-9 + sd / mu, 4) AS cv,
+           ROUND(1e-9 + (sd - mu) / (sd + mu), 4) AS burstiness
+    FROM s
+    """,
+)
+def q_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each event stream (Goh-Barabási B = (sigma-mu)/
+    (sigma+mu) over per-(user,type) inter-arrival gaps): B near -1 is a
+    metronome, 0 is Poisson, toward +1 is bursty — the temporal
+    signature that separates organic behavior from scripted traffic
+    and sizes streaming state (bursty streams need bigger watermark
+    slack, cf. watermark_lag_profile).  One LAG window on the
+    (user, type) key, then a per-type algebraic aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gap = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    ) / 1e6
+    g = ev.select("event_type", gap.alias("gap")).where(
+        F.col("gap").isNotNull()
+    )
+    s = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("gap").alias("mu"),
+        F.stddev_samp("gap").alias("sd"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        r4(F.col("mu")).alias("mean_gap_sec"),
+        r4(F.col("sd") / F.col("mu")).alias("cv"),
+        r4(
+            (F.col("sd") - F.col("mu")) / (F.col("sd") + F.col("mu"))
+        ).alias("burstiness"),
+    )
+
+
+@query(
+    "price_dispersion_topk",
+    """
+    WITH per AS (
+      SELECT l_partkey, l_suppkey,
+             AVG(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey),
+    disp AS (
+      SELECT l_partkey, COUNT(*) AS n_suppliers,
+             AVG(unit_price) AS mu, STDDEV_SAMP(unit_price) AS sd
+      FROM per GROUP BY l_partkey HAVING COUNT(*) >= 3),
+    r AS (
+      SELECT l_partkey, n_suppliers, sd / mu AS cv,
+             ROW_NUMBER() OVER (ORDER BY sd / mu DESC, l_partkey ASC)
+               AS rnk
+      FROM disp)
+    SELECT l_partkey, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           ROUND(1e-9 + cv, 4) AS price_cv, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 20
+    """,
+)
+def q_price_dispersion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-supplier price dispersion per part (coefficient of
+    variation of per-supplier unit price; >= 3 suppliers), top 20 —
+    the procurement-audit query (high CV = inconsistent pricing or a
+    data problem).  Two cascaded keyed aggregates; the top-20 runs
+    through the two-level top-k, never a global sort over parts."""
+    from advanced_etl_pipelines_spark.operators.scale import top_k_global
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_price"
+        )
+    )
+    disp = (
+        per.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.avg("unit_price").alias("mu"),
+            F.stddev_samp("unit_price").alias("sd"),
+        )
+        .where(F.col("n_suppliers") >= 3)
+        .select(
+            "l_partkey",
+            "n_suppliers",
+            (F.col("sd") / F.col("mu")).alias("cv"),
+        )
+    )
+    top = top_k_global(disp, [F.desc("cv"), F.asc("l_partkey")], 20)
+    return top.select(
+        "l_partkey",
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+        r4(F.col("cv")).alias("price_cv"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
