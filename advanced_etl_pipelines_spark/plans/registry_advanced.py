@@ -4443,3 +4443,163 @@ def q_price_dispersion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("cv")).alias("price_cv"),
         F.col("rnk").cast("bigint").alias("rnk"),
     )
+
+
+@query(
+    "return_rate_by_brand",
+    """
+    WITH j AS (
+      SELECT p.p_brand,
+             (l.l_returnflag = 'R') AS returned,
+             l.l_extendedprice * (1 - l.l_discount) AS net
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(1e-9 + AVG(CASE WHEN returned THEN 1.0 ELSE 0.0 END), 4)
+             AS return_rate,
+           ROUND(1e-9 + SUM(CASE WHEN returned THEN net ELSE 0 END), 2)
+             AS returned_value
+    FROM j GROUP BY p_brand
+    """,
+)
+def q_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate and value-at-risk per brand — the merchandising
+    quality screen (a brand whose return rate doubles is a supplier or
+    listing problem).  One broadcast dimension join, one grouped
+    aggregate; the returned-value sum rides the same pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        (F.col("l_returnflag") == "R").alias("returned"),
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("net"),
+    )
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        r4(
+            F.avg(F.when(F.col("returned"), 1.0).otherwise(0.0))
+        ).alias("return_rate"),
+        r2(
+            F.sum(F.when(F.col("returned"), F.col("net")).otherwise(0))
+        ).alias("returned_value"),
+    )
+
+
+@query(
+    "conversion_window_sensitivity",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS first_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    lag AS (
+      SELECT v.user_id,
+             MIN(EXTRACT(EPOCH FROM e.ts)
+                 - EXTRACT(EPOCH FROM v.first_view)) AS sec
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+      GROUP BY v.user_id),
+    n AS (SELECT COUNT(*) AS n_viewers FROM v)
+    SELECT CAST(n_viewers AS BIGINT) AS n_viewers,
+           CAST(SUM(CASE WHEN sec <= 3600 THEN 1 ELSE 0 END) AS BIGINT)
+             AS conv_1h,
+           CAST(SUM(CASE WHEN sec <= 86400 THEN 1 ELSE 0 END) AS BIGINT)
+             AS conv_24h,
+           CAST(SUM(CASE WHEN sec <= 604800 THEN 1 ELSE 0 END) AS BIGINT)
+             AS conv_7d,
+           ROUND(1e-9 + SUM(CASE WHEN sec <= 604800 THEN 1.0 ELSE 0 END)
+                 / n_viewers, 4) AS rate_7d
+    FROM lag CROSS JOIN n GROUP BY n_viewers
+    """,
+)
+def q_conversion_window_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversion-window sensitivity: how many first-view->purchase
+    conversions an attribution window of 1h / 24h / 7d would capture —
+    the table that picks a lookback window BEFORE standardizing the
+    funnel metric (too short undercounts, too long inflates).  Same
+    first-view/first-purchase join as funnel_latency_percentiles; the
+    three windows are conditional sums in one aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    lag = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(
+                        F.col("first_view").cast("timestamp")
+                    )
+                )
+                / 1e6
+            ).alias("sec")
+        )
+    )
+    n = v.agg(F.count(F.lit(1)).alias("n_viewers"))
+    return (
+        lag.crossJoin(F.broadcast(n))
+        .groupBy("n_viewers")
+        .agg(
+            F.sum(F.when(F.col("sec") <= 3600, 1).otherwise(0))
+            .cast("bigint")
+            .alias("conv_1h"),
+            F.sum(F.when(F.col("sec") <= 86400, 1).otherwise(0))
+            .cast("bigint")
+            .alias("conv_24h"),
+            F.sum(F.when(F.col("sec") <= 604800, 1).otherwise(0))
+            .cast("bigint")
+            .alias("conv_7d"),
+            r4(
+                F.sum(
+                    F.when(F.col("sec") <= 604800, 1.0).otherwise(0.0)
+                )
+                / F.col("n_viewers")
+            ).alias("rate_7d"),
+        )
+        .select(
+            F.col("n_viewers").cast("bigint").alias("n_viewers"),
+            "conv_1h",
+            "conv_24h",
+            "conv_7d",
+            "rate_7d",
+        )
+    )
+
+
+@query(
+    "priority_sla_report",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(1e-9 + AVG(o_totalprice), 2) AS avg_value,
+           ROUND(1e-9 + SUM(CASE WHEN o_orderstatus = 'F'
+                            THEN 1.0 ELSE 0.0 END) / COUNT(*), 4)
+             AS fulfilled_rate
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_priority_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order fulfillment by priority tier: volume, average value, and
+    fulfilled ('F') rate per o_orderpriority — the SLA report that
+    checks whether high-priority orders actually complete more often.
+    One grouped aggregate, conditional sums in the same pass."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        r2(F.avg("o_totalprice")).alias("avg_value"),
+        r4(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+            )
+            / F.count(F.lit(1))
+        ).alias("fulfilled_rate"),
+    )
