@@ -4603,3 +4603,134 @@ def q_priority_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("fulfilled_rate"),
     )
+
+
+@query(
+    "acctbal_spend_corr",
+    """
+    WITH spend AS (
+      SELECT o_custkey, SUM(o_totalprice) AS total_spend
+      FROM orders GROUP BY o_custkey)
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(1e-9 + corr(c.c_acctbal, s.total_spend), 4)
+             AS bal_spend_corr,
+           ROUND(1e-9 + AVG(s.total_spend), 2) AS avg_spend
+    FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_acctbal_spend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does account balance predict spend?  Pearson correlation of
+    c_acctbal vs lifetime order value per market segment — the
+    credit-vs-behavior screen (a segment where balance and spend
+    decouple prices risk wrong).  Per-customer spend aggregates once;
+    the customer dimension joins broadcast; corr is algebraic."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("total_spend")
+    )
+    j = spend.join(F.broadcast(c), spend.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        r4(F.corr("c_acctbal", "total_spend")).alias("bal_spend_corr"),
+        r2(F.avg("total_spend")).alias("avg_spend"),
+    )
+
+
+@query(
+    "segment_share_by_year",
+    """
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment,
+             EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+             SUM(o.o_totalprice) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    tot AS (SELECT yr, SUM(revenue) AS yr_total FROM rev GROUP BY yr)
+    SELECT r.segment, CAST(r.yr AS BIGINT) AS yr,
+           ROUND(1e-9 + r.revenue / t.yr_total, 4) AS share,
+           ROUND(1e-9 + r.revenue / t.yr_total
+                 - LAG(r.revenue / t.yr_total) OVER (
+                     PARTITION BY r.segment ORDER BY r.yr), 4)
+             AS share_delta
+    FROM rev r JOIN tot t ON r.yr = t.yr
+    """,
+)
+def q_segment_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment revenue share per year with year-over-year share
+    delta — the mix-shift report (is BUILDING gaining at AUTOMOBILE's
+    expense?).  The share window runs over the (segment x year) frame —
+    dozens of rows at any scale; data-scale work is one grouped
+    aggregate under a broadcast dimension join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    tot = rev.groupBy("yr").agg(F.sum("revenue").alias("yr_total"))
+    share = F.col("revenue") / F.col("yr_total")
+    w = Window.partitionBy("segment").orderBy("yr")
+    return (
+        rev.join(F.broadcast(tot), "yr")
+        .select(
+            "segment",
+            F.col("yr").cast("bigint").alias("yr"),
+            r4(share).alias("share"),
+            r4(share - F.lag(share).over(w)).alias("share_delta"),
+        )
+    )
+
+
+@query(
+    "context_fit_report",
+    f"""
+    WITH tk AS (
+      SELECT source, LEN({_TOKENS_SQL}) AS n_tokens FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(1e-9 + AVG(CASE WHEN n_tokens <= 32 THEN 1.0 ELSE 0.0
+                            END), 4) AS fit_32,
+           ROUND(1e-9 + AVG(CASE WHEN n_tokens <= 64 THEN 1.0 ELSE 0.0
+                            END), 4) AS fit_64,
+           ROUND(1e-9 + AVG(CASE WHEN n_tokens <= 128 THEN 1.0 ELSE 0.0
+                            END), 4) AS fit_128,
+           CAST(SUM(GREATEST(n_tokens - 64, 0)) AS BIGINT)
+             AS tokens_truncated_at_64
+    FROM tk GROUP BY source
+    """,
+)
+def q_context_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window fit per source: the fraction of documents fitting
+    32/64/128-token windows and the token mass LOST to truncation at
+    64 — the sizing table that decides between truncation, chunking
+    (chunk_documents_overlap), and packing (pack_concat_chunk_stats)
+    for each source.  Map-side token count into one grouped aggregate;
+    the window sizes are scaled to this corpus's ~25-90-token docs (in
+    production: 512/1k/2k/4k, same query)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_toks = T.bind_once(T.word_tokens("text"), F.size)
+    tk = docs.select("source", n_toks.alias("n_tokens"))
+
+    def fit(limit: int):
+        return r4(
+            F.avg(
+                F.when(F.col("n_tokens") <= limit, 1.0).otherwise(0.0)
+            )
+        ).alias(f"fit_{limit}")
+
+    return tk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        fit(32),
+        fit(64),
+        fit(128),
+        F.sum(F.greatest(F.col("n_tokens") - 64, F.lit(0)))
+        .cast("bigint")
+        .alias("tokens_truncated_at_64"),
+    )
