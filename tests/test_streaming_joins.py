@@ -196,3 +196,34 @@ def test_stream_dedup_replay_matches_batch_twin(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming fact enriches against a static
+    dimension without watermarks or state (Spark re-reads the static
+    side per micro-batch; with a broadcast hint the stream side never
+    shuffles) — result must equal the batch join."""
+    events = [(1, "u1", 10.0), (2, "u2", 20.0), (3, "u3", 30.0)]
+    dims = [("u1", "gold"), ("u2", "silver")]
+    edf = spark.createDataFrame(events, "eid long, user string, v double")
+    ddf = spark.createDataFrame(dims, "user string, tier string")
+    esrc = str(tmp_path / "e")
+    edf.coalesce(1).write.parquet(esrc)
+
+    es = file_event_stream(spark, esrc, edf.schema)
+    joined = es.join(F.broadcast(ddf), "user", "left_outer").select(
+        "eid", "tier"
+    )
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = sorted(
+        (r.eid, r.tier) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, "gold"), (2, "silver"), (3, None)]
