@@ -4734,3 +4734,135 @@ def q_context_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_truncated_at_64"),
     )
+
+
+@query("ann_recall_report")
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the approximate ANN indexes (LSH, IVF, PQ) against
+    the exact brute-force top-5, measured IN-ENGINE over the same 20
+    query vectors the knn_* queries serve — the ANN counterpart of
+    minhash_vs_exact_calibration: the number that justifies an index's
+    probe/band settings before production.  No SQL oracle (the
+    approximate sides use engine-native hashing); the recall floors are
+    separately pinned in tests/test_similarity.py.  Each side is the
+    registered query's own plan; the comparison is a per-query semi-join
+    + one tiny aggregate."""
+    from advanced_etl_pipelines_spark.plans.registry import QUERIES
+
+    brute = (
+        QUERIES["knn_bruteforce_cosine"](spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    out = None
+    for method, qname in [
+        ("lsh", "knn_lsh_topk"),
+        ("ivf", "knn_ivf_topk"),
+        ("pq", "knn_pq_topk"),
+    ]:
+        approx = QUERIES[qname](spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        )
+        hits = approx.join(
+            brute, ["query_id", "neighbor_id"], "left_semi"
+        )
+        per_q = hits.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        rep = brute.select("query_id").distinct().join(
+            per_q, "query_id", "left_outer"
+        ).agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            r4(
+                F.avg(F.coalesce(F.col("n_hit"), F.lit(0)) / 5.0)
+            ).alias("recall_at_5"),
+        )
+        out = rep if out is None else out.unionAll(rep)
+    return out
+
+
+@query(
+    "topk_churn_monthly",
+    """
+    WITH rev AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
+             SUM(l_extendedprice) AS r
+      FROM lineitem GROUP BY 1, 2),
+    ranked AS (
+      SELECT month, l_partkey,
+             ROW_NUMBER() OVER (PARTITION BY month
+                                ORDER BY r DESC, l_partkey ASC) AS rn
+      FROM rev),
+    top AS (SELECT month, l_partkey FROM ranked WHERE rn <= 20),
+    months AS (SELECT DISTINCT month FROM top),
+    pairs AS (
+      SELECT m.month,
+             (SELECT MIN(m2.month) FROM months m2
+              WHERE m2.month > m.month) AS next_month
+      FROM months m),
+    common AS (
+      SELECT p.month, p.next_month, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN top a ON a.month = p.month
+      JOIN top b ON b.month = p.next_month
+               AND b.l_partkey = a.l_partkey
+      GROUP BY 1, 2)
+    SELECT month, next_month, CAST(n_common AS BIGINT) AS n_common,
+           ROUND(1e-9 + n_common / (40.0 - n_common), 4) AS jaccard
+    FROM common
+    """,
+)
+def q_topk_churn_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog churn: Jaccard overlap of each month's top-20 revenue
+    parts with the NEXT month's — high churn means bestseller rankings
+    are noise (or seasonality), stable overlap means a durable head.
+    Per-month top-20 is a rank-limit window partitioned by month
+    (WindowGroupLimit prunes map-side); consecutive-month overlap is an
+    equi-join on (month, part) over the 20-row-per-month survivors."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        "l_partkey",
+    ).agg(F.sum("l_extendedprice").alias("r"))
+    w = Window.partitionBy("month").orderBy(
+        F.desc("r"), F.asc("l_partkey")
+    )
+    top = (
+        rev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("month", "l_partkey")
+        .persist()
+    )
+    months = top.select("month").distinct()
+    wm = Window.orderBy("month")
+    pairs = months.select(
+        "month", F.lead("month").over(wm).alias("next_month")
+    ).where(F.col("next_month").isNotNull())
+    # fully re-projected self-join sides: renaming BOTH columns gives
+    # each side fresh attributes, avoiding the trivially-true
+    # same-exprId condition a bare DataFrame self-join produces
+    a = top.select(
+        F.col("month").alias("m_a"), F.col("l_partkey").alias("p_a")
+    )
+    b = top.select(
+        F.col("month").alias("m_b"), F.col("l_partkey").alias("p_b")
+    )
+    common = (
+        pairs.join(a, F.col("month") == F.col("m_a"))
+        .join(
+            b,
+            (F.col("next_month") == F.col("m_b"))
+            & (F.col("p_a") == F.col("p_b")),
+        )
+        .groupBy("month", "next_month")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return common.select(
+        "month",
+        "next_month",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        r4(F.col("n_common") / (40.0 - F.col("n_common"))).alias(
+            "jaccard"
+        ),
+    )
