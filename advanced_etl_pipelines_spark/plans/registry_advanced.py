@@ -4866,3 +4866,183 @@ def q_topk_churn_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard"
         ),
     )
+
+
+@query(
+    "source_lang_entropy",
+    """
+    WITH c AS (SELECT source, lang, COUNT(*) AS n
+               FROM documents GROUP BY 1, 2),
+    t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY source)
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(1e-9 + SUM(-(c.n * 1.0 / t.tot)
+                            * LOG2(c.n * 1.0 / t.tot)), 4)
+             AS lang_entropy_bits
+    FROM c JOIN t ON c.source = t.source
+    GROUP BY c.source
+    """,
+)
+def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix entropy per source (bits): 0 = monolingual source,
+    log2(|langs|) = perfectly balanced — the diversity axis of the
+    mixture design next to lang_temperature_sampling's rebalancing
+    (temperature sampling only helps sources that HAVE a mix).  Two
+    tiny cascaded aggregates off one scan."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    return (
+        c.join(F.broadcast(t), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            r4(F.sum(-p * F.log2(p))).alias("lang_entropy_bits"),
+        )
+    )
+
+
+@query(
+    "engagement_breadth",
+    """
+    WITH u AS (
+      SELECT user_id,
+             COUNT(DISTINCT CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END) AS breadth,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id)
+    SELECT CAST(breadth AS BIGINT) AS breadth,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(1e-9 + AVG(converted * 1.0), 4) AS conversion_rate
+    FROM u GROUP BY breadth
+    """,
+)
+def q_engagement_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement breadth vs conversion: users bucketed by how many
+    DISTINCT non-purchase event types they use, with the purchase rate
+    per bucket — the classic activation insight (breadth predicts
+    conversion better than volume).  One per-user aggregate, one tiny
+    rollup."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.countDistinct(
+            F.when(
+                F.col("event_type") != "purchase", F.col("event_type")
+            )
+        ).alias("breadth"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return u.groupBy(
+        F.col("breadth").cast("bigint").alias("breadth")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        r4(F.avg(F.col("converted") * 1.0)).alias("conversion_rate"),
+    )
+
+
+@query(
+    "rare_token_share_by_source",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKENS_SQL}) AS token FROM documents),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    top100 AS (
+      SELECT token FROM (
+        SELECT token,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rn
+        FROM vocab) WHERE rn <= 100)
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(1e-9 + AVG(CASE WHEN h.token IS NULL THEN 1.0
+                            ELSE 0.0 END), 4) AS rare_share
+    FROM tok t LEFT JOIN top100 h ON t.token = h.token
+    GROUP BY t.source
+    """,
+)
+def q_rare_token_share_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Share of each source's token mass OUTSIDE the global top-100
+    vocabulary — the lexical-novelty axis of source selection (a source
+    of boilerplate scores near 0; jargon-heavy sources score high).
+    The top-100 head comes from the two-level top-k and broadcasts back
+    as an anti-membership probe; one token explode, two aggregates."""
+    from advanced_etl_pipelines_spark.operators.scale import top_k_global
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(T.word_tokens("text")).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    head = top_k_global(
+        vocab, [F.desc("cnt"), F.asc("token")], 100
+    ).select("token", F.lit(1).alias("in_head"))
+    return (
+        tok.join(F.broadcast(head), "token", "left_outer")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            r4(
+                F.avg(
+                    F.when(F.col("in_head").isNull(), 1.0).otherwise(
+                        0.0
+                    )
+                )
+            ).alias("rare_share"),
+        )
+    )
+
+
+@query(
+    "order_cadence_stats",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             DATEDIFF('day',
+                      LAG(CAST(o_orderdate AS DATE)) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey),
+                      CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders)
+    SELECT CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           ROUND(1e-9 + quantile_cont(gap_days, 0.5), 4) AS p50_days,
+           ROUND(1e-9 + quantile_cont(gap_days, 0.9), 4) AS p90_days,
+           ROUND(1e-9 + AVG(gap_days), 4) AS mean_days
+    FROM g WHERE gap_days IS NOT NULL
+    """,
+)
+def q_order_cadence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of days between a
+    customer's consecutive orders (p50/p90/mean) — the reorder-cycle
+    number behind replenishment marketing and churn definitions (a
+    customer is 'lapsed' past ~p90).  One LAG window per customer,
+    then a global aggregate with exact percentiles; complements
+    survival_km_repeat_purchase's first-to-second-order curve with
+    all-order cadence."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gap = F.datediff(
+        F.to_date("o_orderdate"),
+        F.to_date(F.lag("o_orderdate").over(w)),
+    )
+    g = o.select(gap.alias("gap_days")).where(
+        F.col("gap_days").isNotNull()
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        r4(
+            F.percentile(F.col("gap_days").cast("double"), F.lit(0.5))
+        ).alias("p50_days"),
+        r4(
+            F.percentile(F.col("gap_days").cast("double"), F.lit(0.9))
+        ).alias("p90_days"),
+        r4(F.avg("gap_days")).alias("mean_days"),
+    )
