@@ -5046,3 +5046,193 @@ def q_order_cadence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_days"),
         r4(F.avg("gap_days")).alias("mean_days"),
     )
+
+
+@query(
+    "month_end_loading",
+    """
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             SUM(o_totalprice) AS total_rev,
+             SUM(CASE WHEN DATEDIFF('day', CAST(o_orderdate AS DATE),
+                        last_day(CAST(o_orderdate AS DATE))) < 3
+                      THEN o_totalprice ELSE 0 END) AS tail_rev
+      FROM orders GROUP BY 1)
+    SELECT month,
+           ROUND(1e-9 + total_rev, 2) AS total_rev,
+           ROUND(1e-9 + tail_rev / total_rev, 4) AS last3d_share,
+           (tail_rev / total_rev > 0.2) AS loading_flag
+    FROM m
+    """,
+)
+def q_month_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end loading detector: the share of each month's revenue
+    booked in its last three days — the channel-stuffing / quota-push
+    forensic (organic demand spreads ~10% over 3 days; >20% flags
+    pull-forward).  One scan, conditional sum keyed on last_day
+    arithmetic, per-month rollup."""
+    o = _t(spark, sf_dir, "orders")
+    in_tail = F.datediff(
+        F.last_day(F.to_date("o_orderdate")), F.to_date("o_orderdate")
+    ) < 3
+    m = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum("o_totalprice").alias("total_rev"),
+        F.sum(
+            F.when(in_tail, F.col("o_totalprice")).otherwise(0)
+        ).alias("tail_rev"),
+    )
+    share = F.col("tail_rev") / F.col("total_rev")
+    return m.select(
+        "month",
+        r2(F.col("total_rev")).alias("total_rev"),
+        r4(share).alias("last3d_share"),
+        (share > 0.2).alias("loading_flag"),
+    )
+
+
+@query(
+    "hhi_by_nation",
+    """
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             SUM(o.o_totalprice) AS cust_rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    tot AS (SELECT c_nationkey, SUM(cust_rev) AS nation_rev
+            FROM rev GROUP BY 1)
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(1e-9 + SUM(POWER(r.cust_rev / t.nation_rev, 2)), 4)
+             AS hhi
+    FROM rev r
+    JOIN tot t ON r.c_nationkey = t.c_nationkey
+    JOIN nation n ON r.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of customer revenue concentration per
+    nation: sum of squared revenue shares — the antitrust-style
+    concentration number beside gini_revenue_concentration's global
+    inequality (HHI near 1/n = fragmented, near 1 = one whale).  Two
+    keyed aggregates, broadcast joins back; no ordering needed at all
+    (unlike Gini, HHI is rank-free, hence the cheaper metric at
+    scale)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("cust_rev"))
+    )
+    tot = rev.groupBy("c_nationkey").agg(
+        F.sum("cust_rev").alias("nation_rev")
+    )
+    return (
+        rev.join(F.broadcast(tot), "c_nationkey")
+        .join(
+            F.broadcast(n), rev.c_nationkey == n.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            r4(
+                F.sum(
+                    F.pow(
+                        F.col("cust_rev") / F.col("nation_rev"), 2
+                    )
+                )
+            ).alias("hhi"),
+        )
+    )
+
+
+@query(
+    "lang_divergence_matrix",
+    """
+    WITH ch AS (
+      SELECT lang, unnest(string_split(regexp_replace(lower(text),
+               '[^a-z0-9]', '', 'g'), '')) AS c
+      FROM documents),
+    cnt AS (SELECT lang, c, COUNT(*) AS n FROM ch
+            WHERE c <> '' GROUP BY 1, 2),
+    tot AS (SELECT lang, SUM(n) AS tn FROM cnt GROUP BY lang),
+    p AS (SELECT cnt.lang, cnt.c, cnt.n * 1.0 / tot.tn AS p
+          FROM cnt JOIN tot ON cnt.lang = tot.lang),
+    j AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, a.p AS pa, b.p AS pb
+      FROM p a JOIN p b ON a.c = b.c AND a.lang < b.lang),
+    js AS (
+      SELECT lang_a, lang_b,
+             SUM(0.5 * pa * LOG2(pa / ((pa + pb) / 2))
+               + 0.5 * pb * LOG2(pb / ((pa + pb) / 2)))
+             + 0.5 * (1 - SUM(pa)) + 0.5 * (1 - SUM(pb)) AS jsd
+      FROM j GROUP BY 1, 2)
+    SELECT lang_a, lang_b, ROUND(1e-9 + jsd, 4) AS js_divergence
+    FROM js
+    """,
+)
+def q_lang_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between languages' character
+    unigram distributions — the statistical distance that predicts
+    lang-ID confusability (nb_lang_confusion's errors concentrate on
+    the lowest-JSD pairs) and drives script-aware mixing.  Character
+    distributions are alphabet-sized frames per language (bounded, a
+    few KB); the pair join and the JSD sum run over |langs|² x
+    |alphabet| rows — trivially small at any corpus scale; the only
+    data-scale work is the first character count.  Characters present
+    in only one language of a pair contribute exactly 0.5*p each
+    (p*log2(p/(p/2)) = p), so their mass folds in as
+    0.5*(1 - shared_mass) per side — an inner join plus a closed-form
+    correction, no outer join needed."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = docs.select(
+        "lang",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""), ""
+            )
+        ).alias("c"),
+    ).where(F.col("c") != "")
+    cnt = ch.groupBy("lang", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("lang").agg(F.sum("n").alias("tn"))
+    p = cnt.join(F.broadcast(tot), "lang").select(
+        "lang", "c", (F.col("n") * 1.0 / F.col("tn")).alias("p")
+    )
+    a = p.select(
+        F.col("lang").alias("lang_a"),
+        F.col("c").alias("ca"),
+        F.col("p").alias("pa_raw"),
+    )
+    b = p.select(
+        F.col("lang").alias("lang_b"),
+        F.col("c").alias("cb"),
+        F.col("p").alias("pb_raw"),
+    )
+    j = a.join(
+        b,
+        (F.col("ca") == F.col("cb"))
+        & (F.col("lang_a") < F.col("lang_b")),
+    ).select(
+        "lang_a",
+        "lang_b",
+        F.col("pa_raw").alias("pa"),
+        F.col("pb_raw").alias("pb"),
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = 0.5 * F.col("pa") * F.log2(F.col("pa") / m) + 0.5 * F.col(
+        "pb"
+    ) * F.log2(F.col("pb") / m)
+    # characters present in only ONE language contribute exactly 0.5*p
+    # each (p*log2(p/(p/2)) = p); their total is 1 - shared mass, so the
+    # correction needs no outer join at all
+    return j.groupBy("lang_a", "lang_b").agg(
+        r4(
+            F.sum(term)
+            + 0.5 * (1 - F.sum("pa"))
+            + 0.5 * (1 - F.sum("pb"))
+        ).alias("js_divergence")
+    )
