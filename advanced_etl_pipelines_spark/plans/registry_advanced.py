@@ -5236,3 +5236,84 @@ def q_lang_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.5 * (1 - F.sum("pb"))
         ).alias("js_divergence")
     )
+
+
+_PROFILE_COLS: list[tuple[str, list[str]]] = [
+    ("region", ["r_regionkey", "r_name"]),
+    ("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+    ("customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                  "c_mktsegment"]),
+    ("supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]),
+    ("part", ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+              "p_retailprice"]),
+    ("orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderdate", "o_orderpriority"]),
+    ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
+                  "l_linenumber", "l_quantity", "l_extendedprice",
+                  "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+                  "l_shipdate"]),
+    ("events", ["event_id", "ts", "user_id", "event_type", "value",
+                "props"]),
+    ("documents", ["doc_id", "text", "lang", "source", "n_chars"]),
+    ("embeddings", ["vec_id", "embedding", "label"]),
+]
+
+
+@query(
+    "catalog_null_profile",
+    "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, '{c}' AS column_name,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" ROUND(1e-9 + SUM(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END)"
+        f"  / COUNT(*), 4) AS null_frac,"
+        f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct"
+        f" FROM {t}"
+        for t, cols in _PROFILE_COLS
+        for c in cols
+    ),
+)
+def q_catalog_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-catalog column profile: null fraction and exact distinct
+    count for EVERY column of every served table (53 columns) — the
+    ANALYZE/dbt-docs statistics page, and the first thing a data
+    engineer checks after a load (keys must be distinct == n_rows,
+    dimension attrs low-cardinality, nothing unexpectedly null).
+
+    Each table is scanned ONCE: its columns' null-sums and distincts
+    ride one aggregate (Spark plans multi-distinct via a single Expand,
+    bounded by column count), then per-column rows union.  At 100 TB
+    swap the exact distincts for approx_count_distinct — same shape,
+    no Expand."""
+    out = None
+    for t, cols in _PROFILE_COLS:
+        df = _t(spark, sf_dir, t)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs.append(
+                F.sum(
+                    F.when(F.col(c).isNull(), 1.0).otherwise(0.0)
+                ).alias(f"__null_{c}")
+            )
+            aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
+        one = df.agg(*aggs)
+        # one stack() per table reshapes the single agg row to
+        # per-column rows in ONE plan branch (a per-column select-union
+        # would re-evaluate the aggregate once per column)
+        stack_args = ", ".join(
+            f"'{c}', round(__null_{c} / __n + 1e-9, 4),"
+            f" cast(__dist_{c} as bigint)"
+            for c in cols
+        )
+        rows = one.select(
+            F.lit(t).alias("table_name"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.expr(
+                f"stack({len(cols)}, {stack_args})"
+                " AS (column_name, null_frac, n_distinct)"
+            ),
+        ).select(
+            "table_name", "column_name", "n_rows", "null_frac",
+            "n_distinct",
+        )
+        out = rows if out is None else out.unionAll(rows)
+    return out
