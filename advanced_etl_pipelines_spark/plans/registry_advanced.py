@@ -5317,3 +5317,158 @@ def q_catalog_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = rows if out is None else out.unionAll(rows)
     return out
+
+
+@query(
+    "simpsons_paradox_probe",
+    """
+    WITH g AS (
+      SELECT p.p_type,
+             regr_slope(l.l_quantity, l.l_discount) AS slope,
+             COUNT(*) AS n
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type),
+    o AS (SELECT regr_slope(l_quantity, l_discount) AS overall
+          FROM lineitem)
+    SELECT ROUND(1e-9 + o.overall, 4) AS overall_slope,
+           ROUND(1e-9 + SUM(g.slope * g.n) / SUM(g.n), 4)
+             AS within_group_slope,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           (SIGN(o.overall)
+            <> SIGN(SUM(g.slope * g.n) / SUM(g.n))) AS reversal_flag
+    FROM g CROSS JOIN o GROUP BY o.overall
+    """,
+)
+def q_simpsons_paradox_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox probe on the discount->quantity relationship:
+    the POOLED regression slope vs the weighted WITHIN-part-type slope —
+    a sign flip (reversal_flag) means the aggregate trend is a
+    composition artifact and any discount-elasticity conclusion must be
+    drawn within groups.  Two regr_slope aggregates off one scan each
+    (broadcast dimension join); the comparison row is scalar."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.regr_slope("l_quantity", "l_discount").alias("slope"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    o = li.agg(
+        F.regr_slope("l_quantity", "l_discount").alias("overall")
+    )
+    within = F.sum(F.col("slope") * F.col("n")) / F.sum("n")
+    return (
+        g.crossJoin(F.broadcast(o))
+        .groupBy("overall")
+        .agg(
+            r4(within).alias("within_group_slope"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            (F.signum(F.col("overall")) != F.signum(within)).alias(
+                "reversal_flag"
+            ),
+        )
+        .select(
+            r4(F.col("overall")).alias("overall_slope"),
+            "within_group_slope",
+            "n_groups",
+            "reversal_flag",
+        )
+    )
+
+
+@query(
+    "dedup_exact_vectors",
+    """
+    WITH g AS (
+      SELECT embedding, COUNT(*) AS n_copies,
+             MIN(vec_id) AS keep_vec_id
+      FROM embeddings GROUP BY embedding)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_vectors,
+           CAST(SUM(n_copies) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END)
+                AS BIGINT) AS n_redundant,
+           CAST(MAX(n_copies) AS BIGINT) AS max_copies
+    FROM g
+    """,
+)
+def q_dedup_exact_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate VECTOR audit: group embeddings by their full
+    float array (bit-exact equality — the failure mode where a feature
+    pipeline emits the same embedding for different items, which
+    silently poisons ANN results and contrastive training).  The
+    text-side twin is dedup_exact_stats; min-id keep rule matches the
+    engine-wide policy.  At 100 TB hash the vector bytes first
+    (xxhash64 over the packed array) so the shuffle carries 8-byte
+    keys — same digest-shuffle upgrade as text exact-dedup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    g = emb.groupBy("embedding").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("vec_id").alias("keep_vec_id"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_vectors"),
+        F.sum("n_copies").cast("bigint").alias("n_vectors"),
+        F.sum(
+            F.when(
+                F.col("n_copies") > 1, F.col("n_copies") - 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_redundant"),
+        F.max("n_copies").cast("bigint").alias("max_copies"),
+    )
+
+
+@query(
+    "shuffle_skew_gini",
+    """
+    WITH b AS (
+      SELECT CAST(FLOOR(((user_id % 2147483648) * 2654435761)
+                        % 4294967296 / 4294967296.0 * 32) AS INT)
+               AS bucket
+      FROM events),
+    c AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket),
+    r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n, bucket) AS rnk
+          FROM c)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(1e-9 + MAX(n) * 1.0 * COUNT(*) / SUM(n), 4)
+             AS max_over_avg,
+           ROUND(1e-9 + 2.0 * SUM(rnk * n) / (COUNT(*) * SUM(n))
+                      - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
+    FROM r
+    """,
+)
+def q_shuffle_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew report for a 32-way hash layout on user_id:
+    max-bucket-over-average (the straggler factor — the slowest reducer
+    runs this many times longer than the mean) and the Gini of bucket
+    sizes — the pre-flight check before keying a big shuffle or a
+    bucketed table on a column (cf. skew_key_profile for per-KEY skew;
+    this is per-PARTITION).  The bucket assignment uses the portable
+    unit hash so both engines agree; 32 bucket counts aggregate
+    map-side and the ordered stats run on 32 rows."""
+    ev = _t(spark, sf_dir, "events")
+    from advanced_etl_pipelines_spark.operators.sampling import unit_hash
+
+    # explicit FLOOR: DuckDB's double->int CAST rounds-to-nearest while
+    # Spark's truncates — floor first so both engines bucket identically
+    b = ev.select(
+        F.floor(unit_hash("user_id") * 32).cast("int").alias("bucket")
+    )
+    c = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("n", "bucket")
+    r = c.withColumn("rnk", F.row_number().over(w))
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        r4(
+            F.max("n") * 1.0 * F.count(F.lit(1)) / F.sum("n")
+        ).alias("max_over_avg"),
+        r4(
+            2.0 * F.sum(F.col("rnk") * F.col("n"))
+            / (F.count(F.lit(1)) * F.sum("n"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1))
+        ).alias("gini"),
+    )
