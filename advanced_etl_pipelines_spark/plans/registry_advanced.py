@@ -5472,3 +5472,92 @@ def q_shuffle_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1))
         ).alias("gini"),
     )
+
+
+@query(
+    "quality_ppl_agreement",
+    f"""
+    WITH tk AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
+    q AS (SELECT doc_id, lang,
+                 LEN(list_distinct(toks)) * 1.0 / GREATEST(LEN(toks), 1)
+                   AS quality
+          FROM tk),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM tk WHERE len(toks) >= 2),
+    ctx AS (SELECT doc_id, string_split(bigram, ' ')[1] AS w1, bigram
+            FROM bg),
+    c2 AS (SELECT bigram, COUNT(*) AS n2 FROM bg GROUP BY bigram),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM ctx GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT t) AS vs FROM
+            (SELECT unnest(toks) AS t FROM tk) u),
+    ppl AS (
+      SELECT c.doc_id,
+             POW(2.0, AVG(-LOG2((n2 + 0.5) / (n1 + 0.5 * vs)))) AS ppl
+      FROM ctx c JOIN c2 USING (bigram) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY c.doc_id)
+    SELECT q.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(1e-9 + corr(q.quality, p.ppl), 4) AS quality_ppl_corr
+    FROM q JOIN ppl p ON q.doc_id = p.doc_id
+    GROUP BY q.lang
+    """,
+)
+def q_quality_ppl_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure triangulation: the correlation between the two
+    independent document-quality signals — lexical diversity (the
+    Gopher-style gate) and bigram-LM perplexity (the CCNet-style gate)
+    — per language.  Strong correlation means one cheap gate suffices;
+    weak means the gates capture different failure modes and a
+    production pipeline should keep both.  Reuses the add-k LM's count
+    frames and the diversity fold; the final corr is one algebraic
+    aggregate over per-doc pairs joined on the 8-byte doc key."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", "lang", T.word_tokens("text").alias("toks")
+    ).persist()
+    q = tk.select(
+        "doc_id",
+        "lang",
+        (
+            F.size(F.array_distinct("toks")).cast("double")
+            / F.greatest(F.size("toks"), F.lit(1))
+        ).alias("quality"),
+    )
+    bg = tk.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(T.word_ngrams(F.col("toks"), 2)).alias("bigram"),
+    )
+    ctx = bg.withColumn("w1", F.split("bigram", " ")[0])
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = ctx.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vs = tk.select(F.explode("toks").alias("t")).agg(
+        F.countDistinct("t").alias("vs")
+    )
+    ppl = (
+        ctx.join(c2, "bigram")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vs))
+        .groupBy("doc_id")
+        .agg(
+            F.pow(
+                F.lit(2.0),
+                F.avg(
+                    -F.log2(
+                        (F.col("n2") + 0.5)
+                        / (F.col("n1") + 0.5 * F.col("vs"))
+                    )
+                ),
+            ).alias("ppl")
+        )
+    )
+    return (
+        q.join(ppl, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            r4(F.corr("quality", "ppl")).alias("quality_ppl_corr"),
+        )
+    )
