@@ -5561,3 +5561,196 @@ def q_quality_ppl_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.corr("quality", "ppl")).alias("quality_ppl_corr"),
         )
     )
+
+
+@query(
+    "peak_concurrent_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                        OR EXTRACT(EPOCH FROM ts - prev_ts) > 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS sess
+      FROM o),
+    spans AS (
+      SELECT user_id, sess, MIN(ts) AS t0, MAX(ts) AS t1
+      FROM s GROUP BY user_id, sess),
+    deltas AS (
+      SELECT t0 AS t, 1 AS d FROM spans
+      UNION ALL
+      SELECT t1 + INTERVAL 1 MICROSECOND, -1 FROM spans),
+    agg AS (SELECT t, SUM(d) AS d FROM deltas GROUP BY t),
+    run AS (SELECT t, SUM(d) OVER (ORDER BY t) AS live FROM agg)
+    SELECT CAST((SELECT COUNT(*) FROM spans) AS BIGINT) AS n_sessions,
+           CAST(MAX(live) AS BIGINT) AS peak_concurrent,
+           CAST(MIN(live) AS BIGINT) AS min_running
+    FROM run
+    """,
+)
+def q_peak_concurrent_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak concurrency: the maximum number of simultaneously open
+    sessions (30-min-gap sessionization, closed-interval spans) — the
+    capacity number that sizes connection pools and streaming state.
+    Classic sweep line: each span emits +1 at start and -1 just after
+    end, deltas pre-aggregate per DISTINCT timestamp, and the running
+    sum over that distinct-time frame comes from the distributed
+    prefix-sum — no single-partition pass over events at any scale
+    (the only per-event work is the gap sessionization's user-keyed
+    window)."""
+    from advanced_etl_pipelines_spark.operators.scale import (
+        global_running_sums,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts").over(wu).cast("timestamp"))
+    ) / 1e6
+    s = ev.withColumn(
+        "sess",
+        F.sum(
+            F.when(
+                F.lag("ts").over(wu).isNull() | (gap > 1800), 1
+            ).otherwise(0)
+        ).over(wu),
+    )
+    spans = s.groupBy("user_id", "sess").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    deltas = spans.select(
+        F.col("t0").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        spans.select(
+            (F.col("t1") + F.expr("INTERVAL 1 MICROSECOND")).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    agg = deltas.groupBy("t").agg(F.sum("d").alias("d"))
+    run = global_running_sums(agg, ["t"], ["d"])
+    n_sessions = spans.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    return (
+        run.agg(
+            F.max("cum_d").cast("bigint").alias("peak_concurrent"),
+            F.min("cum_d").cast("bigint").alias("min_running"),
+        )
+        .crossJoin(F.broadcast(n_sessions))
+        .select("n_sessions", "peak_concurrent", "min_running")
+    )
+
+
+@query(
+    "abc_classification",
+    """
+    WITH rev AS (
+      SELECT l_partkey, SUM(l_extendedprice) AS r
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM(r) AS tr FROM rev),
+    cum AS (
+      SELECT r, SUM(r) OVER (ORDER BY r DESC, l_partkey ASC) AS cr
+      FROM rev),
+    cls AS (
+      SELECT CASE WHEN (cr - r) / tr < 0.8 THEN 'A'
+                  WHEN (cr - r) / tr < 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             r
+      FROM cum CROSS JOIN tot)
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(1e-9 + SUM(r) / MAX(tot.tr), 4) AS revenue_share
+    FROM cls CROSS JOIN tot GROUP BY abc_class
+    """,
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts whose cumulative revenue
+    (descending) starts below 80% of total are class A, below 95% B,
+    the tail C — the Pareto segmentation that decides stocking and
+    attention policy (A gets daily review, C gets annual).  A part's
+    class keys off the EXCLUSIVE running share so the part that crosses
+    a boundary still belongs to the upper class, making the rule
+    order-free for ties.  The running share comes from the distributed
+    prefix-sum over the per-part aggregate — heavy_hitters_cumshare's
+    shape with a classification instead of a cutoff."""
+    from advanced_etl_pipelines_spark.operators.scale import (
+        global_running_sums,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("r")
+    )
+    tot = rev.agg(F.sum("r").alias("tr"))
+    cum = global_running_sums(rev, [F.desc("r"), "l_partkey"], ["r"])
+    excl_share = (F.col("cum_r") - F.col("r")) / F.col("tr")
+    cls = cum.crossJoin(F.broadcast(tot)).select(
+        F.when(excl_share < 0.8, F.lit("A"))
+        .when(excl_share < 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+        "r",
+        "tr",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        r4(F.sum("r") / F.max("tr")).alias("revenue_share"),
+    )
+
+
+@query(
+    "suspect_duplicate_orders",
+    """
+    WITH g AS (
+      SELECT o_custkey, o_totalprice,
+             CAST(o_orderdate AS DATE) AS d,
+             COUNT(*) AS n, MIN(o_orderkey) AS first_key
+      FROM orders
+      GROUP BY 1, 2, 3 HAVING COUNT(*) > 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_suspect_groups,
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_extra_orders,
+           ROUND(1e-9 + COALESCE(SUM((n - 1) * o_totalprice), 0), 2)
+             AS value_at_risk
+    FROM g
+    """,
+)
+def q_suspect_duplicate_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Double-billing forensic: order groups with the SAME customer,
+    SAME total, SAME day — the classic duplicate-submission signature
+    (retry storms, double clicks, reprocessed batches).  One grouped
+    aggregate on the composite key; the summary counts suspect groups,
+    surplus orders, and the refund exposure.  Empty result = clean
+    ledger (the count row still emits, so the check is observable)."""
+    o = _t(spark, sf_dir, "orders")
+    g = (
+        o.groupBy(
+            "o_custkey",
+            "o_totalprice",
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suspect_groups"),
+        F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+        .cast("bigint")
+        .alias("n_extra_orders"),
+        r2(
+            F.coalesce(
+                F.sum((F.col("n") - 1) * F.col("o_totalprice")),
+                F.lit(0.0),
+            )
+        ).alias("value_at_risk"),
+    )
