@@ -5754,3 +5754,225 @@ def q_suspect_duplicate_orders(
             )
         ).alias("value_at_risk"),
     )
+
+
+@query(
+    "sample_accuracy_report",
+    """
+    WITH s AS (
+      SELECT l_extendedprice,
+             (((l_orderkey % 2147483648) * 2654435761) % 4294967296)
+               / 4294967296.0 < 0.1 AS in_sample
+      FROM lineitem),
+    full_stats AS (
+      SELECT AVG(l_extendedprice) AS mu, STDDEV_SAMP(l_extendedprice)
+               AS sd, COUNT(*) AS n
+      FROM s),
+    samp AS (
+      SELECT AVG(l_extendedprice) AS mu_s,
+             STDDEV_SAMP(l_extendedprice) AS sd_s, COUNT(*) AS n_s
+      FROM s WHERE in_sample)
+    SELECT CAST(f.n AS BIGINT) AS n_full,
+           CAST(sp.n_s AS BIGINT) AS n_sample,
+           ROUND(1e-9 + ABS(sp.mu_s - f.mu) / f.mu, 4) AS mean_rel_err,
+           ROUND(1e-9 + ABS(sp.sd_s - f.sd) / f.sd, 4) AS std_rel_err,
+           ROUND(1e-9 + ABS(sp.mu_s - f.mu)
+                 / (f.sd / SQRT(sp.n_s)), 4) AS err_in_se_units
+    FROM full_stats f CROSS JOIN samp sp
+    """,
+)
+def q_sample_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-based profiling accuracy: a deterministic 10% hash
+    sample's mean/std vs the full scan, with the mean error expressed
+    in standard-error units (should be O(1) if the sample is unbiased)
+    — the evidence that a 100 TB profiling pass can run on a sample,
+    and the check that the hash sample ISN'T biased (err_in_se_units
+    >> 2 would mean the key correlates with the metric).  One scan
+    computes both branches (the sample is a filter, not a second
+    read)."""
+    from advanced_etl_pipelines_spark.operators.sampling import unit_hash
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        "l_extendedprice",
+        (unit_hash("l_orderkey") < 0.1).alias("in_sample"),
+    )
+    f = s.agg(
+        F.avg("l_extendedprice").alias("mu"),
+        F.stddev_samp("l_extendedprice").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sp = s.where("in_sample").agg(
+        F.avg("l_extendedprice").alias("mu_s"),
+        F.stddev_samp("l_extendedprice").alias("sd_s"),
+        F.count(F.lit(1)).alias("n_s"),
+    )
+    return f.crossJoin(F.broadcast(sp)).select(
+        F.col("n").cast("bigint").alias("n_full"),
+        F.col("n_s").cast("bigint").alias("n_sample"),
+        r4(F.abs(F.col("mu_s") - F.col("mu")) / F.col("mu")).alias(
+            "mean_rel_err"
+        ),
+        r4(F.abs(F.col("sd_s") - F.col("sd")) / F.col("sd")).alias(
+            "std_rel_err"
+        ),
+        r4(
+            F.abs(F.col("mu_s") - F.col("mu"))
+            / (F.col("sd") / F.sqrt(F.col("n_s")))
+        ).alias("err_in_se_units"),
+    )
+
+
+@query(
+    "fk_integrity_sweep",
+    """
+    SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer', CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation', CAST(COUNT(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'supplier.s_nationkey -> nation', CAST(COUNT(*) AS BIGINT)
+    FROM supplier s WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+    UNION ALL
+    SELECT 'nation.n_regionkey -> region', CAST(COUNT(*) AS BIGINT)
+    FROM nation n WHERE NOT EXISTS
+      (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)
+    """,
+)
+def q_fk_integrity_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep over every foreign-key edge of the
+    star schema (7 edges): orphan counts per edge in one result — the
+    whole-catalog version of dq_constraint_report's single-edge check,
+    and the first gate after any load.  Each edge is a LEFT ANTI join
+    whose dimension side broadcasts; fact scans prune to the key
+    column."""
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for ft, fk, dt, dk in edges:
+        fact = _t(spark, sf_dir, ft).select(fk)
+        dim = _t(spark, sf_dir, dt).select(dk)
+        row = (
+            fact.join(
+                dim, fact[fk] == dim[dk], "left_anti"
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            .select(
+                F.lit(f"{ft}.{fk} -> {dt}").alias("fk_edge"),
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+@query(
+    "traffic_shape_similarity",
+    """
+    WITH prof AS (
+      SELECT event_type,
+             (isodow(ts) - 1) * 24 + EXTRACT(HOUR FROM ts) AS how,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    norm AS (
+      SELECT event_type, how,
+             n * 1.0 / SUM(n) OVER (PARTITION BY event_type) AS p
+      FROM prof)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           ROUND(1e-9 + SUM(a.p * b.p)
+                 / (SQRT((SELECT SUM(p * p) FROM norm x
+                          WHERE x.event_type = a.event_type))
+                  * SQRT((SELECT SUM(p * p) FROM norm y
+                          WHERE y.event_type = b.event_type))), 4)
+             AS cosine
+    FROM norm a JOIN norm b
+      ON a.how = b.how AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def q_traffic_shape_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hour-of-week traffic fingerprint similarity between event types:
+    cosine between their normalized 168-bin (weekday x hour) volume
+    profiles — types whose shapes match can share capacity plans and
+    anomaly baselines; a type whose shape diverges (e.g. errors
+    flat-lining while views breathe daily) is its own regime.  The
+    profiles are 168-row frames per type; everything after the first
+    grouped count is arithmetic on KB-sized data."""
+    ev = _t(spark, sf_dir, "events")
+    prof = ev.groupBy(
+        "event_type",
+        (
+            F.weekday("ts") * 24 + F.hour("ts")
+        ).alias("how"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type")
+    norm = prof.select(
+        "event_type",
+        "how",
+        (F.col("n") * 1.0 / F.sum("n").over(wt)).alias("p"),
+    )
+    norms = norm.groupBy("event_type").agg(
+        F.sqrt(F.sum(F.col("p") * F.col("p"))).alias("l2")
+    )
+    a = norm.select(
+        F.col("event_type").alias("type_a"),
+        F.col("how").alias("how_a"),
+        F.col("p").alias("pa"),
+    )
+    b = norm.select(
+        F.col("event_type").alias("type_b"),
+        F.col("how").alias("how_b"),
+        F.col("p").alias("pb"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("how_a") == F.col("how_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.col("pa") * F.col("pb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("event_type").alias("type_a"), F.col("l2").alias("la")
+    )
+    nb = norms.select(
+        F.col("event_type").alias("type_b"), F.col("l2").alias("lb")
+    )
+    return (
+        dots.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            r4(F.col("dot") / (F.col("la") * F.col("lb"))).alias(
+                "cosine"
+            ),
+        )
+    )
