@@ -5976,3 +5976,166 @@ def q_traffic_shape_similarity(
             ),
         )
     )
+
+
+@query(
+    "user_growth_curve",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+      FROM events GROUP BY user_id),
+    daily AS (SELECT d, COUNT(*) AS new_users
+              FROM first_seen GROUP BY d)
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    """,
+)
+def q_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative registered-user growth: first-seen users per day and
+    the running total — THE growth chart.  First-seen is one per-user
+    aggregate; the running sum windows over the per-DAY frame (bounded
+    by calendar length, not users), so no data-scale sort exists."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d")
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias(
+            "cumulative_users"
+        ),
+    )
+
+
+_ENTROPY_COLS: list[tuple[str, str]] = [
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"),
+    ("part", "p_brand"),
+    ("part", "p_type"),
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("events", "event_type"),
+]
+
+
+@query(
+    "categorical_entropy_profile",
+    "\nUNION ALL\n".join(
+        f"""
+        SELECT '{t}.{c}' AS column_ref,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               ROUND(1e-9 + SUM(-(n * 1.0 / tot) * LOG2(n * 1.0 / tot)),
+                     4) AS entropy_bits,
+               ROUND(1e-9 + SUM(-(n * 1.0 / tot) * LOG2(n * 1.0 / tot))
+                     / GREATEST(LOG2(COUNT(*)), 1e-12), 4)
+                 AS balance
+        FROM (SELECT {c}, COUNT(*) AS n,
+                     SUM(COUNT(*)) OVER () AS tot
+              FROM {t} GROUP BY {c})
+        """
+        for t, c in _ENTROPY_COLS
+    ),
+)
+def q_categorical_entropy_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shannon entropy of every categorical column in the catalog, with
+    balance = entropy / log2(cardinality) (1.0 = perfectly uniform,
+    near 0 = one dominant value) — the information-content companion to
+    catalog_null_profile's cardinalities: a high-cardinality column
+    with low balance is a skew hazard for joins and partitions.  Each
+    column is one grouped count; value frames are category-sized."""
+    out = None
+    for t, c in _ENTROPY_COLS:
+        df = _t(spark, sf_dir, t)
+        cnt = df.groupBy(c).agg(F.count(F.lit(1)).alias("n"))
+        tot = cnt.agg(F.sum("n").alias("tot"))
+        p = F.col("n") * 1.0 / F.col("tot")
+        row = (
+            cnt.crossJoin(F.broadcast(tot))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_values"),
+                F.sum(-p * F.log2(p)).alias("h"),
+            )
+            .select(
+                F.lit(f"{t}.{c}").alias("column_ref"),
+                "n_values",
+                r4(F.col("h")).alias("entropy_bits"),
+                r4(
+                    F.col("h")
+                    / F.greatest(
+                        F.log2(F.col("n_values")), F.lit(1e-12)
+                    )
+                ).alias("balance"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+@query(
+    "wow_retention_curve",
+    """
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(DATEDIFF('day', DATE '1995-01-02', CAST(ts AS DATE))
+                  // 7 AS INT) AS week
+      FROM events),
+    pairs AS (
+      SELECT a.week, COUNT(*) AS retained
+      FROM wk a JOIN wk b
+        ON a.user_id = b.user_id AND b.week = a.week + 1
+      GROUP BY a.week),
+    sizes AS (SELECT week, COUNT(*) AS actives FROM wk GROUP BY week)
+    SELECT s.week,
+           CAST(s.actives AS BIGINT) AS actives,
+           CAST(COALESCE(p.retained, 0) AS BIGINT) AS retained_next,
+           ROUND(1e-9 + COALESCE(p.retained, 0) * 1.0 / s.actives, 4)
+             AS wow_retention
+    FROM sizes s LEFT JOIN pairs p ON s.week = p.week
+    """,
+)
+def q_wow_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention: for each week, the share of its active
+    users also active the FOLLOWING week — the single-number engagement
+    pulse (a falling curve precedes every churn problem), on a fixed
+    Monday-anchored week grid so weeks are comparable.  The
+    (user, week) distinct frame self-joins on (user, week+1) — an
+    equi-join on the user key; weekly rollups are tiny."""
+    ev = _t(spark, sf_dir, "events")
+    anchor = F.lit("1995-01-02").cast("date")
+    wk = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), anchor) / 7
+        ).cast("int").alias("week"),
+    ).distinct()
+    a = wk.select("user_id", F.col("week").alias("wa"))
+    b = wk.select("user_id", (F.col("week") - 1).alias("wa"))
+    pairs = (
+        a.join(b, ["user_id", "wa"])
+        .groupBy(F.col("wa").alias("week"))
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+    sizes = wk.groupBy("week").agg(F.count(F.lit(1)).alias("actives"))
+    return sizes.join(pairs, "week", "left_outer").select(
+        "week",
+        F.col("actives").cast("bigint").alias("actives"),
+        F.coalesce("retained", F.lit(0))
+        .cast("bigint")
+        .alias("retained_next"),
+        r4(
+            F.coalesce("retained", F.lit(0)) * 1.0 / F.col("actives")
+        ).alias("wow_retention"),
+    )
