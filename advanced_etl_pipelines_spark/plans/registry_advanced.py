@@ -6139,3 +6139,172 @@ def q_wow_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("retained", F.lit(0)) * 1.0 / F.col("actives")
         ).alias("wow_retention"),
     )
+
+
+@query(
+    "max_token_run_by_source",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, i, toks[i] AS t
+      FROM (SELECT doc_id, source, {_TOKENS_SQL} AS toks
+            FROM documents),
+           UNNEST(range(1, LEN(toks) + 1)) AS u(i)),
+    marked AS (
+      SELECT doc_id, source, i, t,
+             CASE WHEN LAG(t) OVER (PARTITION BY doc_id ORDER BY i)
+                       IS DISTINCT FROM t THEN 1 ELSE 0 END AS st
+      FROM tok),
+    runs AS (
+      SELECT doc_id, source,
+             SUM(st) OVER (PARTITION BY doc_id ORDER BY i) AS run_id,
+             t
+      FROM marked),
+    rl AS (SELECT doc_id, source, run_id, COUNT(*) AS run_len
+           FROM runs GROUP BY doc_id, source, run_id),
+    per_doc AS (SELECT doc_id, source, MAX(run_len) AS max_run
+                FROM rl GROUP BY doc_id, source)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(1e-9 + AVG(max_run), 4) AS avg_max_run,
+           CAST(MAX(max_run) AS BIGINT) AS worst_run,
+           ROUND(1e-9 + AVG(CASE WHEN max_run >= 3 THEN 1.0 ELSE 0.0
+                            END), 4) AS frac_spammy
+    FROM per_doc GROUP BY source
+    """,
+)
+def q_max_token_run_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Longest consecutive repeated-token run per document, rolled up
+    per source — the keyword-stuffing / degenerate-generation signal
+    that length and diversity ratios miss ("buy buy buy buy" has fine
+    length and decent diversity elsewhere).  Classic run-length
+    encoding in relational form: mark run STARTS with a per-doc LAG,
+    convert to run ids with a per-doc running sum, group to run
+    lengths.  Every window is partitioned by doc_id — document-sized
+    frames, one shuffle on the doc key."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(T.word_tokens("text")).alias("i", "t"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    marked = tok.withColumn(
+        "st",
+        F.when(
+            ~F.lag("t").over(wd).eqNullSafe(F.col("t")), 1
+        ).otherwise(0),
+    )
+    runs = marked.withColumn("run_id", F.sum("st").over(wd))
+    rl = runs.groupBy("doc_id", "source", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    per_doc = rl.groupBy("doc_id", "source").agg(
+        F.max("run_len").alias("max_run")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        r4(F.avg("max_run")).alias("avg_max_run"),
+        F.max("max_run").cast("bigint").alias("worst_run"),
+        r4(
+            F.avg(F.when(F.col("max_run") >= 3, 1.0).otherwise(0.0))
+        ).alias("frac_spammy"),
+    )
+
+
+@query(
+    "nation_revenue_index",
+    """
+    WITH rev AS (
+      SELECT n.n_name, EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+             SUM(o.o_totalprice) AS r
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    base AS (SELECT n_name, r AS base_r FROM rev WHERE yr = 1995)
+    SELECT rev.n_name, CAST(rev.yr AS BIGINT) AS yr,
+           ROUND(1e-9 + 100.0 * rev.r / b.base_r, 4) AS revenue_index
+    FROM rev JOIN base b ON rev.n_name = b.n_name
+    """,
+)
+def q_nation_revenue_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed revenue comparison: every nation's yearly revenue as an
+    index with 1995 = 100 — the chart normalization that makes small
+    and large nations' GROWTH comparable on one axis.  Grouped
+    aggregate under broadcast dimension joins; the base year joins back
+    broadcast on the nation key."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    base = rev.where(F.col("yr") == 1995).select(
+        "n_name", F.col("r").alias("base_r")
+    )
+    return rev.join(F.broadcast(base), "n_name").select(
+        "n_name",
+        F.col("yr").cast("bigint").alias("yr"),
+        r4(100.0 * F.col("r") / F.col("base_r")).alias(
+            "revenue_index"
+        ),
+    )
+
+
+@query(
+    "session_depth_histogram",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    s AS (
+      SELECT user_id,
+             SUM(CASE WHEN prev_ts IS NULL
+                        OR EXTRACT(EPOCH FROM ts - prev_ts) > 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS sess
+      FROM o),
+    depth AS (SELECT user_id, sess, COUNT(*) AS n_events
+              FROM s GROUP BY user_id, sess)
+    SELECT CAST(n_events AS BIGINT) AS session_depth,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM depth GROUP BY n_events
+    """,
+)
+def q_session_depth_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session depth distribution (events per 30-min-gap session) — the
+    engagement-shape histogram behind bounce-rate (depth 1) and power-
+    session analysis; also the frame-size profile that predicts state
+    size for stateful streaming sessionization.  Same per-user
+    sessionizing windows as top_session_paths; the histogram is two
+    keyed aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts").over(wu).cast("timestamp"))
+    ) / 1e6
+    s = ev.withColumn(
+        "sess",
+        F.sum(
+            F.when(
+                F.lag("ts").over(wu).isNull() | (gap > 1800), 1
+            ).otherwise(0)
+        ).over(wu),
+    )
+    depth = s.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return depth.groupBy(
+        F.col("n_events").cast("bigint").alias("session_depth")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
