@@ -6308,3 +6308,171 @@ def q_session_depth_histogram(
     return depth.groupBy(
         F.col("n_events").cast("bigint").alias("session_depth")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+
+
+@query(
+    "stratified_uplift",
+    """
+    WITH u AS (
+      SELECT user_id,
+             ((user_id % 2147483648) * 2654435761) % 4294967296
+               < 2147483648 AS in_a,
+             SUM(CASE WHEN event_type <> 'purchase' THEN value
+                      ELSE 0 END) AS activity,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id),
+    d AS (SELECT activity, COUNT(*) AS c FROM u GROUP BY activity),
+    cum AS (SELECT activity, c,
+                   SUM(c) OVER (ORDER BY activity, activity) AS cc,
+                   SUM(c) OVER () AS n
+            FROM d),
+    strata AS (
+      SELECT activity,
+             CAST((4 * cc + n - 1) // n AS INT) AS stratum
+      FROM cum),
+    su AS (
+      SELECT s.stratum, u.in_a, COUNT(*) AS n,
+             AVG(u.converted * 1.0) AS rate
+      FROM u JOIN strata s ON u.activity = s.activity
+      GROUP BY 1, 2),
+    wide AS (
+      SELECT stratum,
+             MAX(CASE WHEN in_a THEN n END) AS na,
+             MAX(CASE WHEN in_a THEN rate END) AS ra,
+             MAX(CASE WHEN NOT in_a THEN n END) AS nb,
+             MAX(CASE WHEN NOT in_a THEN rate END) AS rb
+      FROM su GROUP BY stratum)
+    SELECT CAST(stratum AS BIGINT) AS stratum,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(1e-9 + ra, 4) AS rate_a,
+           ROUND(1e-9 + rb, 4) AS rate_b,
+           ROUND(1e-9 + ra - rb, 4) AS uplift
+    FROM wide
+    """,
+)
+def q_stratified_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified uplift: conversion difference between the two hash
+    arms WITHIN activity-quartile strata — the variance-reduction /
+    confounder-control move (CUPED-lite): comparing arms inside strata
+    of a pre-treatment covariate removes the covariate's share of the
+    variance and exposes imbalance if the arms' strata sizes diverge.
+    Quartile boundaries come at DISTINCT-activity granularity from the
+    distributed prefix-sum (lift_deciles' scale shape); per-stratum
+    rates are one grouped aggregate."""
+    from advanced_etl_pipelines_spark.operators.sampling import unit_hash
+    from advanced_etl_pipelines_spark.operators.scale import (
+        global_running_sums,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") != "purchase", F.col("value")
+            ).otherwise(0)
+        ).alias("activity"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    ).withColumn("in_a", unit_hash("user_id") < 0.5)
+    d = u.groupBy("activity").agg(F.count(F.lit(1)).alias("c"))
+    n = u.agg(F.count(F.lit(1)).alias("n"))
+    cum = global_running_sums(d, ["activity"], ["c"])
+    strata = cum.crossJoin(F.broadcast(n)).select(
+        "activity",
+        F.expr("CAST((4 * cum_c + n - 1) DIV n AS INT)").alias(
+            "stratum"
+        ),
+    )
+    su = (
+        u.join(strata, "activity")
+        .groupBy("stratum", "in_a")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col("converted") * 1.0).alias("rate"),
+        )
+    )
+    wide = su.groupBy("stratum").agg(
+        F.max(F.when(F.col("in_a"), F.col("n"))).alias("na"),
+        F.max(F.when(F.col("in_a"), F.col("rate"))).alias("ra"),
+        F.max(F.when(~F.col("in_a"), F.col("n"))).alias("nb"),
+        F.max(F.when(~F.col("in_a"), F.col("rate"))).alias("rb"),
+    )
+    return wide.select(
+        F.col("stratum").cast("bigint").alias("stratum"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        r4(F.col("ra")).alias("rate_a"),
+        r4(F.col("rb")).alias("rate_b"),
+        r4(F.col("ra") - F.col("rb")).alias("uplift"),
+    )
+
+
+@query(
+    "cramers_v_source_lang",
+    """
+    WITH obs AS (SELECT source, lang, COUNT(*) AS o
+                 FROM documents GROUP BY 1, 2),
+    tot AS (SELECT SUM(o) AS n,
+                   COUNT(DISTINCT source) AS r,
+                   COUNT(DISTINCT lang) AS c
+            FROM obs),
+    rowt AS (SELECT source, SUM(o) AS rt FROM obs GROUP BY 1),
+    colt AS (SELECT lang, SUM(o) AS ct FROM obs GROUP BY 1),
+    chi AS (
+      SELECT SUM(POWER(o - rt * ct * 1.0 / n, 2) / (rt * ct * 1.0 / n))
+               AS chi2,
+             MAX(n) AS n, MAX(r) AS r, MAX(c) AS c
+      FROM obs JOIN rowt USING (source) JOIN colt USING (lang)
+      CROSS JOIN tot)
+    SELECT ROUND(1e-9 + chi2, 4) AS chi2,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           ROUND(1e-9 + SQRT(chi2 / (n * (LEAST(r, c) - 1))), 4)
+             AS cramers_v
+    FROM chi
+    """,
+)
+def q_cramers_v_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between source and language — the normalized [0,1]
+    association strength that chi-square alone can't give (chi2 grows
+    with n; V is comparable across tables): V near 0 means sources draw
+    languages independently (mixing is free), near 1 means sources ARE
+    language silos (rebalancing must shuffle sources too).  Same
+    broadcast-margin contingency shape as chisq_independence with the
+    closed-form normalization."""
+    docs = _t(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("source").alias("r"),
+        F.countDistinct("lang").alias("c"),
+    )
+    rowt = obs.groupBy("source").agg(F.sum("o").alias("rt"))
+    colt = obs.groupBy("lang").agg(F.sum("o").alias("ct"))
+    e = F.col("rt") * F.col("ct") * 1.0 / F.col("n")
+    chi = (
+        obs.join(F.broadcast(rowt), "source")
+        .join(F.broadcast(colt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.pow(F.col("o") - e, 2) / e).alias("chi2"),
+            F.max("n").alias("n"),
+            F.max("r").alias("r"),
+            F.max("c").alias("c"),
+        )
+    )
+    return chi.select(
+        r4(F.col("chi2")).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        r4(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * (F.least("r", "c") - 1))
+            )
+        ).alias("cramers_v"),
+    )
