@@ -6476,3 +6476,125 @@ def q_cramers_v_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "eb_shrunk_return_rates",
+    """
+    WITH per AS (
+      SELECT l_partkey, COUNT(*) AS n,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS k
+      FROM lineitem GROUP BY l_partkey),
+    mom AS (
+      SELECT AVG(k * 1.0 / n) AS mu,
+             VAR_SAMP(k * 1.0 / n) AS v
+      FROM per WHERE n >= 5),
+    prior AS (
+      SELECT mu, v,
+             GREATEST(mu * (mu * (1 - mu) / v - 1), 0.5) AS alpha,
+             GREATEST((1 - mu) * (mu * (1 - mu) / v - 1), 0.5) AS beta
+      FROM mom),
+    shr AS (
+      SELECT p.l_partkey, p.n, p.k,
+             (p.k + pr.alpha) / (p.n + pr.alpha + pr.beta) AS shrunk
+      FROM per p CROSS JOIN prior pr),
+    r AS (SELECT l_partkey, n, k, shrunk,
+                 ROW_NUMBER() OVER (ORDER BY shrunk DESC,
+                                    l_partkey ASC) AS rnk
+          FROM shr)
+    SELECT l_partkey, CAST(n AS BIGINT) AS n_lines,
+           CAST(k AS BIGINT) AS n_returned,
+           ROUND(1e-9 + k * 1.0 / n, 4) AS raw_rate,
+           ROUND(1e-9 + shrunk, 4) AS shrunk_rate,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 15
+    """,
+)
+def q_eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-part return rates: a Beta prior
+    fitted by method of moments from the cross-part rate distribution
+    pulls small-sample rates toward the corpus mean, so a 2-of-3
+    returned part no longer outranks a 40-of-100 one — the ranking fix
+    every small-n leaderboard needs (same machinery as baseball batting
+    averages).  Moments come from one aggregate over per-part rates;
+    the prior broadcasts back; top-15 via the two-level top-k."""
+    from advanced_etl_pipelines_spark.operators.scale import top_k_global
+
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("k"),
+    )
+    rate = F.col("k") * 1.0 / F.col("n")
+    mom = per.where(F.col("n") >= 5).agg(
+        F.avg(rate).alias("mu"), F.var_samp(rate).alias("v")
+    )
+    common = F.col("mu") * (1 - F.col("mu")) / F.col("v") - 1
+    prior = mom.select(
+        F.greatest(F.col("mu") * common, F.lit(0.5)).alias("alpha"),
+        F.greatest((1 - F.col("mu")) * common, F.lit(0.5)).alias(
+            "beta"
+        ),
+    )
+    shr = per.crossJoin(F.broadcast(prior)).select(
+        "l_partkey",
+        "n",
+        "k",
+        (
+            (F.col("k") + F.col("alpha"))
+            / (F.col("n") + F.col("alpha") + F.col("beta"))
+        ).alias("shrunk"),
+    )
+    top = top_k_global(shr, [F.desc("shrunk"), F.asc("l_partkey")], 15)
+    return top.select(
+        "l_partkey",
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.col("k").cast("bigint").alias("n_returned"),
+        r4(F.col("k") * 1.0 / F.col("n")).alias("raw_rate"),
+        r4(F.col("shrunk")).alias("shrunk_rate"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
+
+
+@query(
+    "daily_autocorrelation",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, cnt,
+             LAG(cnt, 1) OVER w AS lag1,
+             LAG(cnt, 7) OVER w AS lag7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d))
+    SELECT event_type,
+           ROUND(1e-9 + corr(cnt, lag1), 4) AS acf_lag1,
+           ROUND(1e-9 + corr(cnt, lag7), 4) AS acf_lag7
+    FROM lagged GROUP BY event_type
+    """,
+)
+def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily volumes at lag 1 (momentum) and lag 7
+    (weekly periodicity) per event type — the two numbers that decide
+    which forecaster fits: high acf_lag7 demands the seasonal index
+    (weekday_seasonality_index), high acf_lag1 alone suffices for Holt.
+    LAG and corr both run on the per-day frame (bounded by calendar),
+    partitioned by type."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "cnt",
+        F.lag("cnt", 1).over(w).alias("lag1"),
+        F.lag("cnt", 7).over(w).alias("lag7"),
+    )
+    return lagged.groupBy("event_type").agg(
+        r4(F.corr("cnt", "lag1")).alias("acf_lag1"),
+        r4(F.corr("cnt", "lag7")).alias("acf_lag7"),
+    )
