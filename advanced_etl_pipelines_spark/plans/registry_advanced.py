@@ -6598,3 +6598,117 @@ def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.corr("cnt", "lag1")).alias("acf_lag1"),
         r4(F.corr("cnt", "lag7")).alias("acf_lag7"),
     )
+
+
+@query(
+    "part_price_drift",
+    """
+    WITH yearly AS (
+      SELECT l_partkey, EXTRACT(YEAR FROM l_shipdate) AS yr,
+             AVG(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY 1, 2),
+    fit AS (
+      SELECT l_partkey,
+             COUNT(*) AS n_years,
+             regr_slope(unit_price, yr) AS slope,
+             AVG(unit_price) AS avg_price
+      FROM yearly GROUP BY l_partkey HAVING COUNT(*) >= 3),
+    r AS (
+      SELECT l_partkey, n_years, slope, avg_price,
+             slope / avg_price AS rel_drift,
+             ROW_NUMBER() OVER (ORDER BY ABS(slope / avg_price) DESC,
+                                l_partkey ASC) AS rnk
+      FROM fit)
+    SELECT l_partkey, CAST(n_years AS BIGINT) AS n_years,
+           ROUND(1e-9 + slope, 4) AS slope_per_year,
+           ROUND(1e-9 + rel_drift, 4) AS rel_drift,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 15
+    """,
+)
+def q_part_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part price drift: the OLS slope of yearly average unit price
+    over years (>=3 observed years), normalized by the part's price
+    level, top 15 movers by |relative drift| — the repricing/cost-creep
+    screen.  Grouped regr_slope over the per-(part, year) aggregate;
+    top-15 via the two-level top-k so no global sort over parts."""
+    from advanced_etl_pipelines_spark.operators.scale import top_k_global
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    yearly = li.groupBy(
+        "l_partkey", F.year("l_shipdate").alias("yr")
+    ).agg(
+        F.avg(
+            F.col("l_extendedprice") / F.col("l_quantity")
+        ).alias("unit_price")
+    )
+    fit = (
+        yearly.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_years"),
+            F.regr_slope("unit_price", "yr").alias("slope"),
+            F.avg("unit_price").alias("avg_price"),
+        )
+        .where(F.col("n_years") >= 3)
+        .withColumn(
+            "rel_drift", F.col("slope") / F.col("avg_price")
+        )
+    )
+    top = top_k_global(
+        fit,
+        [F.desc(F.abs(F.col("rel_drift"))), F.asc("l_partkey")],
+        15,
+    )
+    return top.select(
+        "l_partkey",
+        F.col("n_years").cast("bigint").alias("n_years"),
+        r4(F.col("slope")).alias("slope_per_year"),
+        r4(F.col("rel_drift")).alias("rel_drift"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
+
+
+@query(
+    "new_buyer_revenue_share",
+    """
+    WITH first_m AS (
+      SELECT o_custkey,
+             MIN(strftime(o_orderdate, '%Y-%m')) AS first_month
+      FROM orders GROUP BY o_custkey)
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+           ROUND(1e-9 + SUM(o.o_totalprice), 2) AS total_rev,
+           ROUND(1e-9 + SUM(CASE WHEN strftime(o.o_orderdate, '%Y-%m')
+                                      = f.first_month
+                            THEN o.o_totalprice ELSE 0 END)
+                 / SUM(o.o_totalprice), 4) AS new_buyer_share
+    FROM orders o JOIN first_m f ON o.o_custkey = f.o_custkey
+    GROUP BY 1
+    """,
+)
+def q_new_buyer_revenue_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Share of each month's revenue from FIRST-time buyers — the
+    acquisition-dependence metric (a business whose revenue is mostly
+    new buyers is buying growth; mostly repeat is compounding).  MIN
+    string month per customer is one aggregate joined back by the
+    customer key; the monthly rollup carries both sums in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    first_m = o.groupBy("o_custkey").agg(
+        F.min(month).alias("first_month")
+    )
+    j = o.join(first_m, "o_custkey")
+    return j.groupBy(month.alias("month")).agg(
+        r2(F.sum("o_totalprice")).alias("total_rev"),
+        r4(
+            F.sum(
+                F.when(
+                    month == F.col("first_month"),
+                    F.col("o_totalprice"),
+                ).otherwise(0)
+            )
+            / F.sum("o_totalprice")
+        ).alias("new_buyer_share"),
+    )
