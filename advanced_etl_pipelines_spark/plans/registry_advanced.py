@@ -6712,3 +6712,226 @@ def q_new_buyer_revenue_share(
             / F.sum("o_totalprice")
         ).alias("new_buyer_share"),
     )
+
+
+@query(
+    "qq_purchase_click",
+    """
+    WITH a AS (
+      SELECT quantile_cont(value,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM events WHERE event_type = 'purchase'
+        AND value IS NOT NULL),
+    b AS (
+      SELECT quantile_cont(value,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM events WHERE event_type = 'click'
+        AND value IS NOT NULL)
+    SELECT ROUND(1e-9 + i / 10.0, 4) AS p,
+           ROUND(1e-9 + a.qs[i], 4) AS q_purchase,
+           ROUND(1e-9 + b.qs[i], 4) AS q_click,
+           ROUND(1e-9 + a.qs[i] / b.qs[i], 4) AS ratio
+    FROM a CROSS JOIN b, UNNEST(range(1, 10)) AS t(i)
+    """,
+)
+def q_qq_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile comparison of purchase vs click values at the
+    deciles — the WHERE of a distribution difference that KS/MWU only
+    score: a flat ratio means a pure scale shift, a ratio growing with
+    p means the difference lives in the tail.  Both quantile vectors
+    come from one grouped exact-percentile aggregate each; the QQ join
+    is 9 rows."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ps = [i / 10.0 for i in range(1, 10)]
+
+    def quantiles(etype: str, alias: str) -> DataFrame:
+        d = ev.where(F.col("event_type") == etype).agg(
+            *[
+                F.percentile("value", F.lit(p)).alias(f"q_{i}")
+                for i, p in enumerate(ps)
+            ]
+        )
+        stack_args = ", ".join(
+            f"{round(p, 1)}D, q_{i}" for i, p in enumerate(ps)
+        )
+        return d.select(
+            F.expr(
+                f"stack({len(ps)}, {stack_args}) AS (p, {alias})"
+            )
+        )
+
+    a = quantiles("purchase", "q_purchase")
+    b = quantiles("click", "q_click")
+    return a.join(b, "p").select(
+        r4(F.col("p")).alias("p"),
+        r4(F.col("q_purchase")).alias("q_purchase"),
+        r4(F.col("q_click")).alias("q_click"),
+        r4(F.col("q_purchase") / F.col("q_click")).alias("ratio"),
+    )
+
+
+@query(
+    "brand_cannibalization",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    bc AS (SELECT p_brand, COUNT(*) AS nb FROM ob GROUP BY p_brand),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             COUNT(*) AS co
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2),
+    lift AS (
+      SELECT p.brand_a, p.brand_b, p.co,
+             p.co * 1.0 * n.n_orders / (ba.nb * bb.nb) AS lift
+      FROM pairs p
+      JOIN bc ba ON p.brand_a = ba.p_brand
+      JOIN bc bb ON p.brand_b = bb.p_brand
+      CROSS JOIN n
+      WHERE ba.nb >= 50 AND bb.nb >= 50),
+    r AS (SELECT brand_a, brand_b, co, lift,
+                 ROW_NUMBER() OVER (ORDER BY lift ASC, brand_a ASC,
+                                    brand_b ASC) AS rnk
+          FROM lift)
+    SELECT brand_a, brand_b, CAST(co AS BIGINT) AS n_co_orders,
+           ROUND(1e-9 + lift, 4) AS lift, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 10
+    """,
+)
+def q_brand_cannibalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE association mining: the brand pairs that co-occur in
+    orders LEAST relative to independence (lift << 1) — substitution /
+    cannibalization candidates, the inverse question of
+    association_rules_pairs' affinity.  Brand-level baskets keep the
+    pair space |brands|² (tiny); the support floor keeps lift
+    estimates stable; bottom-10 by lift through the two-level top-k."""
+    from advanced_etl_pipelines_spark.operators.scale import top_k_global
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .persist()
+    )
+    n = li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("nb"))
+    a = ob.select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a")
+    )
+    b = ob.select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    lift = (
+        pairs.join(
+            F.broadcast(
+                bc.withColumnsRenamed(
+                    {"p_brand": "brand_a", "nb": "na"}
+                )
+            ),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(
+                bc.withColumnsRenamed(
+                    {"p_brand": "brand_b", "nb": "nbb"}
+                )
+            ),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .where((F.col("na") >= 50) & (F.col("nbb") >= 50))
+        .select(
+            "brand_a",
+            "brand_b",
+            "co",
+            (
+                F.col("co")
+                * 1.0
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nbb"))
+            ).alias("lift"),
+        )
+    )
+    bottom = top_k_global(
+        lift,
+        [F.asc("lift"), F.asc("brand_a"), F.asc("brand_b")],
+        10,
+    )
+    return bottom.select(
+        "brand_a",
+        "brand_b",
+        F.col("co").cast("bigint").alias("n_co_orders"),
+        r4(F.col("lift")).alias("lift"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
+
+
+@query(
+    "lorenz_curve_points",
+    """
+    WITH rev AS (SELECT o_custkey, SUM(o_totalprice) AS r
+                 FROM orders GROUP BY o_custkey),
+    tot AS (SELECT COUNT(*) AS n, SUM(r) AS tr FROM rev),
+    cum AS (SELECT r,
+                   ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS rnk,
+                   SUM(r) OVER (ORDER BY r, o_custkey) AS cr
+            FROM rev),
+    dec AS (
+      SELECT CAST((10 * rnk + n - 1) // n AS INT) AS pop_decile,
+             MAX(cr) AS cum_rev
+      FROM cum CROSS JOIN tot GROUP BY 1)
+    SELECT pop_decile,
+           ROUND(1e-9 + cum_rev / tot.tr, 4) AS cum_revenue_share
+    FROM dec CROSS JOIN tot
+    """,
+)
+def q_lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue at population deciles — the
+    CHART behind gini_revenue_concentration's scalar ("the bottom 50%
+    of customers hold 18% of revenue" reads off this table; Gini is
+    twice the area above the diagonal).  Both the rank and the running
+    revenue come from one distributed prefix-sum pass over per-customer
+    aggregates; decile collapse is exact integer arithmetic."""
+    from advanced_etl_pipelines_spark.operators.scale import (
+        global_running_sums,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    tot = rev.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("r").alias("tr")
+    )
+    cum = global_running_sums(
+        rev.withColumn("one", F.lit(1)),
+        ["r", "o_custkey"],
+        ["one", "r"],
+    )
+    dec = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr("CAST((10 * cum_one + n - 1) DIV n AS INT)").alias(
+                "pop_decile"
+            )
+        )
+        .agg(
+            F.max("cum_r").alias("cum_rev"),
+            F.max("tr").alias("tr"),
+        )
+    )
+    return dec.select(
+        "pop_decile",
+        r4(F.col("cum_rev") / F.col("tr")).alias("cum_revenue_share"),
+    )
