@@ -6935,3 +6935,127 @@ def q_lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pop_decile",
         r4(F.col("cum_rev") / F.col("tr")).alias("cum_revenue_share"),
     )
+
+
+@query(
+    "hierarchical_revenue_shares",
+    """
+    WITH rev AS (
+      SELECT p.p_brand, p.p_type, SUM(l.l_extendedprice) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2)
+    SELECT p_brand, p_type,
+           ROUND(1e-9 + r, 2) AS revenue,
+           ROUND(1e-9 + r / SUM(r) OVER (PARTITION BY p_brand), 4)
+             AS share_in_brand,
+           ROUND(1e-9 + SUM(r) OVER (PARTITION BY p_brand)
+                 / SUM(r) OVER (), 4) AS brand_share
+    FROM rev
+    """,
+)
+def q_hierarchical_revenue_shares(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hierarchical ratio-to-report: each (brand, type) cell carries its
+    share WITHIN its brand and the brand's share of the whole — the
+    drill-down table every revenue dashboard opens with, in one pass.
+    All three window sums run over the (brand x type) AGGREGATE (a few
+    hundred rows); the unpartitioned total is over that same bounded
+    frame, never the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.sum("l_extendedprice").alias("r"))
+    )
+    wb = Window.partitionBy("p_brand")
+    wall = Window.partitionBy()
+    return rev.select(
+        "p_brand",
+        "p_type",
+        r2(F.col("r")).alias("revenue"),
+        r4(F.col("r") / F.sum("r").over(wb)).alias("share_in_brand"),
+        r4(F.sum("r").over(wb) / F.sum("r").over(wall)).alias(
+            "brand_share"
+        ),
+    )
+
+
+@query(
+    "event_position_profile",
+    """
+    WITH pos AS (
+      SELECT event_type,
+             (ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1) * 1.0
+               / GREATEST(COUNT(*) OVER (PARTITION BY user_id) - 1, 1)
+               AS rel_pos
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(1e-9 + AVG(rel_pos), 4) AS avg_rel_pos,
+           ROUND(1e-9 + STDDEV_SAMP(rel_pos), 4) AS sd_rel_pos
+    FROM pos GROUP BY event_type
+    """,
+)
+def q_event_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE in the user journey does each event type live?  Each
+    event's position normalized to [0,1] within its user's full
+    history, averaged per type — signups should sit near 0, purchases
+    late; an error type drifting earlier over releases is an onboarding
+    regression.  One per-user window pass, then a per-type aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    rel = (F.row_number().over(wu) - 1) * 1.0 / F.greatest(
+        F.count(F.lit(1)).over(wn) - 1, F.lit(1)
+    )
+    pos = ev.select("event_type", rel.alias("rel_pos"))
+    return pos.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        r4(F.avg("rel_pos")).alias("avg_rel_pos"),
+        r4(F.stddev_samp("rel_pos")).alias("sd_rel_pos"),
+    )
+
+
+@query(
+    "hapax_rate_by_source",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKENS_SQL}) AS token FROM documents),
+    v AS (SELECT source, token, COUNT(*) AS n
+          FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           ROUND(1e-9 + SUM(CASE WHEN n = 1 THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 4) AS hapax_rate
+    FROM v GROUP BY source
+    """,
+)
+def q_hapax_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena rate per source: the share of each source's
+    vocabulary appearing exactly once — the type-richness signal that
+    separates productive text (high hapax: names, numbers, fresh
+    content) from template spam (low hapax), and the quantity Good-
+    Turing smoothing keys on.  Per-(source, token) counts partial-
+    aggregate map-side; the rollup is per-source."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(T.word_tokens("text")).alias("token")
+    )
+    v = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return v.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        r4(
+            F.sum(F.when(F.col("n") == 1, 1.0).otherwise(0.0))
+            / F.count(F.lit(1))
+        ).alias("hapax_rate"),
+    )
