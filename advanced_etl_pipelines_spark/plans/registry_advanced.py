@@ -7059,3 +7059,121 @@ def q_hapax_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("hapax_rate"),
     )
+
+
+@query(
+    "unseen_mass_estimate",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest({_TOKENS_SQL}) AS token FROM documents),
+    v AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+    SELECT lang,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           ROUND(1e-9 + SUM(CASE WHEN n = 1 THEN 1.0 ELSE 0.0 END)
+                 / SUM(n), 4) AS unseen_mass
+    FROM v GROUP BY lang
+    """,
+)
+def q_unseen_mass_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing missing-mass estimate per language: P(next token is
+    UNSEEN) ≈ N1/N (hapax count over token count) — the number that
+    sizes <unk> probability in an LM and predicts OOV exposure on new
+    data (cf. oov_rate_topv, which measures OOV against a CHOSEN vocab;
+    this estimates it against the corpus itself).  Same per-(lang,
+    token) aggregate as the hapax profile."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(T.word_tokens("text")).alias("token")
+    )
+    v = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    return v.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        r4(
+            F.sum(F.when(F.col("n") == 1, 1.0).otherwise(0.0))
+            / F.sum("n")
+        ).alias("unseen_mass"),
+    )
+
+
+@query(
+    "purchase_index_value",
+    """
+    WITH p AS (
+      SELECT value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS idx
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL)
+    SELECT CAST(idx AS BIGINT) AS purchase_index,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(1e-9 + AVG(value), 4) AS avg_value
+    FROM p WHERE idx <= 10 GROUP BY idx
+    """,
+)
+def q_purchase_index_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average purchase value by purchase INDEX (a user's 1st, 2nd, ...
+    10th purchase) — the expansion-vs-decay read (rising curve =
+    customers deepen; falling = promo-driven first orders), the
+    behavioral twin of ltv_cohort_curve's time axis.  One per-user
+    rank window over purchases only, then a tiny per-index aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .withColumn("idx", F.row_number().over(w))
+        .where(F.col("idx") <= 10)
+    )
+    return p.groupBy(
+        F.col("idx").cast("bigint").alias("purchase_index")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        r4(F.avg("value")).alias("avg_value"),
+    )
+
+
+@query(
+    "single_source_parts",
+    """
+    WITH ps AS (
+      SELECT l_partkey,
+             COUNT(DISTINCT l_suppkey) AS n_suppliers,
+             SUM(l_extendedprice) AS rev
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM(rev) AS tr FROM ps)
+    SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(1e-9 + SUM(rev) / MAX(tot.tr), 4) AS revenue_share
+    FROM ps CROSS JOIN tot
+    GROUP BY n_suppliers
+    """,
+)
+def q_single_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration: parts bucketed by their number of
+    distinct suppliers, with the revenue share each bucket carries —
+    the single-source-risk report (revenue riding on n_suppliers = 1
+    has no failover).  One grouped aggregate with a COUNT DISTINCT on
+    the 8-byte supplier key, then a bucket rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.sum("l_extendedprice").alias("rev"),
+    )
+    tot = ps.agg(F.sum("rev").alias("tr"))
+    return (
+        ps.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            r4(F.sum("rev") / F.max("tr")).alias("revenue_share"),
+        )
+    )
