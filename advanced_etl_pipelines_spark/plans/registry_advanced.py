@@ -7177,3 +7177,113 @@ def q_single_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum("rev") / F.max("tr")).alias("revenue_share"),
         )
     )
+
+
+@query(
+    "price_ending_bias",
+    """
+    WITH c AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) % 100
+               AS cents
+      FROM orders),
+    obs AS (SELECT cents, COUNT(*) AS n FROM c GROUP BY cents),
+    tot AS (SELECT SUM(n) AS nn, COUNT(*) AS k FROM obs),
+    r AS (SELECT cents, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, cents ASC) AS rnk
+          FROM obs)
+    SELECT CAST(r.cents AS BIGINT) AS cents,
+           CAST(r.n AS BIGINT) AS n_orders,
+           ROUND(1e-9 + r.n * 1.0 / t.nn, 4) AS share,
+           ROUND(1e-9 + r.n * 1.0 * t.k / t.nn, 4) AS vs_uniform,
+           CAST(r.rnk AS BIGINT) AS rnk
+    FROM r CROSS JOIN tot t WHERE r.rnk <= 10
+    """,
+)
+def q_price_ending_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-ending (cents-digit) bias: the ten most common cent
+    endings of order totals with their lift over a uniform ending
+    distribution — the psychological-pricing / fabrication forensic
+    beside benford_first_digit (human-set prices pile on .00/.99;
+    machine-generated sums spread uniformly).  Cents come from integer
+    arithmetic on rounded totals so both engines bucket identically;
+    the ending histogram is at most 100 rows."""
+    o = _t(spark, sf_dir, "orders")
+    cents = (
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint") % 100
+    )
+    obs = o.select(cents.alias("cents")).groupBy("cents").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = obs.agg(
+        F.sum("n").alias("nn"), F.count(F.lit(1)).alias("k")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("cents"))
+    r = obs.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 10
+    )
+    return r.crossJoin(F.broadcast(tot)).select(
+        F.col("cents").cast("bigint").alias("cents"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        r4(F.col("n") * 1.0 / F.col("nn")).alias("share"),
+        r4(F.col("n") * 1.0 * F.col("k") / F.col("nn")).alias(
+            "vs_uniform"
+        ),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
+
+
+@query(
+    "quality_length_grid",
+    f"""
+    WITH tk AS (
+      SELECT LEN({_TOKENS_SQL}) AS n,
+             LEN(list_distinct({_TOKENS_SQL})) * 1.0
+               / GREATEST(LEN({_TOKENS_SQL}), 1) AS uniq
+      FROM documents),
+    g AS (
+      SELECT CAST(FLOOR(n / 20) * 20 AS BIGINT) AS len_bin,
+             CAST(FLOOR(uniq * 5) AS BIGINT) AS uniq_bin,
+             (n BETWEEN 25 AND 90 AND uniq >= 0.4) AS passes
+      FROM tk)
+    SELECT len_bin, LEAST(uniq_bin, 4) AS uniq_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(1e-9 + AVG(CASE WHEN passes THEN 1.0 ELSE 0.0 END), 4)
+             AS pass_rate
+    FROM g GROUP BY 1, 2
+    """,
+)
+def q_quality_length_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D quality-gate incidence grid: documents binned by (length
+    band x diversity band) with the share passing the length+diversity
+    gate in each cell — shows WHERE the corpus_quality_filter bites
+    (all loss in one corner = a data artifact, spread loss = a real
+    quality spectrum).  Map-side arithmetic into a <=30-cell aggregate;
+    the uniq=1.0 edge folds into the top band via LEAST."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select(
+        T.bind_once(
+            T.word_tokens("text"),
+            lambda t: F.struct(
+                F.size(t).alias("n"),
+                (
+                    F.size(F.array_distinct(t)).cast("double")
+                    / F.greatest(F.size(t), F.lit(1))
+                ).alias("uniq"),
+            ),
+        ).alias("s")
+    ).select("s.n", "s.uniq")
+    g = s.select(
+        (F.floor(F.col("n") / 20) * 20).cast("bigint").alias("len_bin"),
+        F.least(
+            F.floor(F.col("uniq") * 5).cast("bigint"), F.lit(4)
+        ).alias("uniq_bin"),
+        (
+            F.col("n").between(25, 90) & (F.col("uniq") >= 0.4)
+        ).alias("passes"),
+    )
+    return g.groupBy("len_bin", "uniq_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        r4(
+            F.avg(F.when(F.col("passes"), 1.0).otherwise(0.0))
+        ).alias("pass_rate"),
+    )
