@@ -7287,3 +7287,104 @@ def q_quality_length_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("passes"), 1.0).otherwise(0.0))
         ).alias("pass_rate"),
     )
+
+
+@query(
+    "text_reuse_direction",
+    f"""
+    WITH tk AS (SELECT doc_id, lang, source, {_TOKENS_SQL} AS toks
+                FROM documents),
+    g AS (SELECT doc_id, lang, source,
+                 list_distinct(list_transform(range(1, LEN(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS grams
+          FROM tk WHERE LEN(toks) >= 3),
+    prs AS (SELECT a.source AS src_origin, b.source AS src_copy
+            FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE a.source <> b.source
+              AND LEN(list_distinct(list_intersect(a.grams, b.grams)))
+                  * 1.0
+                  / LEN(list_distinct(list_concat(a.grams, b.grams)))
+                  >= 0.15)
+    SELECT src_origin, src_copy, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM prs GROUP BY 1, 2
+    """,
+)
+def q_text_reuse_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL text reuse between sources: for every cross-source
+    near-dup pair, the earlier doc_id (ingestion order as the time
+    proxy) is the origin and the later the copy — the who-mirrors-whom
+    refinement of cross_source_dup_matrix's symmetric counts, which
+    picks WHICH source to drop (drop the copier, keep the origin).
+    Same posting-list Jaccard join; direction is one comparison on the
+    8-byte ids."""
+    from advanced_etl_pipelines_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang", n=3, threshold=0.15
+    )
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.withColumnsRenamed(
+                {"doc_id": "id_a", "source": "src_origin"}
+            ),
+            "id_a",
+        )
+        .join(
+            src.withColumnsRenamed(
+                {"doc_id": "id_b", "source": "src_copy"}
+            ),
+            "id_b",
+        )
+        .where(F.col("src_origin") != F.col("src_copy"))
+    )
+    return j.groupBy("src_origin", "src_copy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+
+
+@query(
+    "numeric_contract_check",
+    """
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      ROUND(1e-9 + AVG(CASE WHEN l_quantity = FLOOR(l_quantity)
+                       THEN 0.0 ELSE 1.0 END), 4)
+        AS frac_fractional_qty,
+      ROUND(1e-9 + AVG(CASE WHEN l_discount BETWEEN 0 AND 1
+                       THEN 0.0 ELSE 1.0 END), 4)
+        AS frac_discount_oob,
+      ROUND(1e-9 + AVG(CASE WHEN l_tax >= 0 THEN 0.0 ELSE 1.0 END), 4)
+        AS frac_negative_tax,
+      ROUND(1e-9 + AVG(CASE WHEN l_extendedprice > 0 THEN 0.0
+                       ELSE 1.0 END), 4) AS frac_nonpositive_price
+    FROM lineitem
+    """,
+)
+def q_numeric_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-contract validation on the fact table: quantities must
+    be whole, discounts in [0,1], taxes non-negative, prices positive —
+    the semantic checks a schema cannot express (doubles happily store
+    2.5 units or a 140% discount), complementing fk_integrity_sweep's
+    referential layer and dq_constraint_report's row rules.  One scan,
+    four conditional means."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def viol(cond) -> F.Column:
+        return r4(F.avg(F.when(cond, 0.0).otherwise(1.0)))
+
+    return li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        viol(F.col("l_quantity") == F.floor("l_quantity")).alias(
+            "frac_fractional_qty"
+        ),
+        viol(F.col("l_discount").between(0, 1)).alias(
+            "frac_discount_oob"
+        ),
+        viol(F.col("l_tax") >= 0).alias("frac_negative_tax"),
+        viol(F.col("l_extendedprice") > 0).alias(
+            "frac_nonpositive_price"
+        ),
+    )
