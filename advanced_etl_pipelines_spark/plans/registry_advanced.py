@@ -7388,3 +7388,102 @@ def q_numeric_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_nonpositive_price"
         ),
     )
+
+
+@query(
+    "icc_value_by_user",
+    """
+    WITH g AS (
+      SELECT user_id, COUNT(*) AS n, AVG(value) AS mu
+      FROM events WHERE value IS NOT NULL GROUP BY user_id),
+    tot AS (
+      SELECT AVG(value) AS gmu, VAR_SAMP(value) AS vt,
+             COUNT(*) AS n_obs
+      FROM events WHERE value IS NOT NULL),
+    betw AS (
+      SELECT SUM(g.n * POWER(g.mu - t.gmu, 2)) / (MAX(t.n_obs) - 1)
+               AS var_between,
+             COUNT(*) AS n_users,
+             MAX(t.vt) AS vt, MAX(t.n_obs) AS n_obs
+      FROM g CROSS JOIN tot t)
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           ROUND(1e-9 + var_between / vt, 4) AS icc
+    FROM betw
+    """,
+)
+def q_icc_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation of event values by user: the share of
+    total value variance explained by WHICH user produced the event —
+    the clustering diagnostic that decides experiment design (high ICC
+    means user-level randomization and cluster-robust errors are
+    mandatory; near 0 means events are exchangeable).  Per-user means
+    in one aggregate, global moments in another, one scalar division."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("mu")
+    )
+    tot = ev.agg(
+        F.avg("value").alias("gmu"),
+        F.var_samp("value").alias("vt"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    betw = g.crossJoin(F.broadcast(tot)).agg(
+        (
+            F.sum(
+                F.col("n") * F.pow(F.col("mu") - F.col("gmu"), 2)
+            )
+            / (F.max("n_obs") - 1)
+        ).alias("var_between"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.max("vt").alias("vt"),
+        F.max("n_obs").cast("bigint").alias("n_obs"),
+    )
+    return betw.select(
+        "n_users",
+        "n_obs",
+        r4(F.col("var_between") / F.col("vt")).alias("icc"),
+    )
+
+
+@query(
+    "hourly_conversion_profile",
+    """
+    WITH h AS (
+      SELECT EXTRACT(HOUR FROM ts) AS hr,
+             COUNT(*) AS n_events,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_purchases
+      FROM events GROUP BY 1),
+    tot AS (SELECT SUM(n_events) AS total FROM h)
+    SELECT CAST(hr AS BIGINT) AS hr,
+           ROUND(1e-9 + n_events * 1.0 / total, 4) AS traffic_share,
+           ROUND(1e-9 + n_purchases * 1.0 / n_events, 4)
+             AS purchase_rate
+    FROM h CROSS JOIN tot
+    """,
+)
+def q_hourly_conversion_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversion rate vs traffic share by hour of day — the intent
+    profile (hours where purchase rate beats the average while traffic
+    is low are underpriced ad inventory).  One 24-row aggregate off a
+    single scan."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purchases"),
+    )
+    tot = h.agg(F.sum("n_events").alias("total"))
+    return h.crossJoin(F.broadcast(tot)).select(
+        F.col("hr").cast("bigint").alias("hr"),
+        r4(F.col("n_events") * 1.0 / F.col("total")).alias(
+            "traffic_share"
+        ),
+        r4(F.col("n_purchases") * 1.0 / F.col("n_events")).alias(
+            "purchase_rate"
+        ),
+    )
