@@ -7487,3 +7487,113 @@ def q_hourly_conversion_profile(
             "purchase_rate"
         ),
     )
+
+
+@query(
+    "revenue_ma_crossover",
+    """
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1),
+    ma AS (
+      SELECT month, rev,
+             AVG(rev) OVER (ORDER BY month
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
+             AVG(rev) OVER (ORDER BY month
+               ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS ma12,
+             COUNT(*) OVER (ORDER BY month
+               ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS n12
+      FROM m)
+    SELECT month,
+           ROUND(1e-9 + rev, 0) AS revenue,
+           ROUND(1e-9 + ma3, 0) AS ma3,
+           ROUND(1e-9 + ma12, 0) AS ma12,
+           (ma3 > ma12) AS above
+    FROM ma WHERE n12 = 12
+    """,
+)
+def q_revenue_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-vs-12-month moving-average crossover on monthly revenue — the
+    momentum signal (short average above long = accelerating; the
+    crossover месяц is the turn).  Only emitted once the 12-month
+    window is full, so every ma12 is a true 12-month mean.  All windows
+    run over the per-month frame — bounded by calendar length."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w3 = Window.orderBy("month").rowsBetween(-2, 0)
+    w12 = Window.orderBy("month").rowsBetween(-11, 0)
+    ma = m.select(
+        "month",
+        "rev",
+        F.avg("rev").over(w3).alias("ma3"),
+        F.avg("rev").over(w12).alias("ma12"),
+        F.count(F.lit(1)).over(w12).alias("n12"),
+    ).where(F.col("n12") == 12)
+    # whole-unit rounding: at ~5e7 sums the engines' accumulation
+    # orders differ by ~1e-5, enough to flip a 2-decimal half-tie;
+    # integer dollars keep the boundary 500x further away
+    r0 = lambda c: F.round(c + 1e-9, 0)  # noqa: E731
+    return ma.select(
+        "month",
+        r0(F.col("rev")).alias("revenue"),
+        r0(F.col("ma3")).alias("ma3"),
+        r0(F.col("ma12")).alias("ma12"),
+        (F.col("ma3") > F.col("ma12")).alias("above"),
+    )
+
+
+@query(
+    "error_rate_pchart",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS errs
+      FROM events GROUP BY 1),
+    pbar AS (SELECT SUM(errs) * 1.0 / SUM(n) AS p FROM d)
+    SELECT STRFTIME(d.day, '%Y-%m-%d') AS day,
+           CAST(d.n AS BIGINT) AS n_events,
+           ROUND(1e-9 + d.errs * 1.0 / d.n, 4) AS error_rate,
+           ROUND(1e-9 + pb.p + 3 * SQRT(pb.p * (1 - pb.p) / d.n), 4)
+             AS ucl,
+           ROUND(1e-9 + GREATEST(
+             pb.p - 3 * SQRT(pb.p * (1 - pb.p) / d.n), 0), 4) AS lcl,
+           (d.errs * 1.0 / d.n
+              > pb.p + 3 * SQRT(pb.p * (1 - pb.p) / d.n)
+            OR d.errs * 1.0 / d.n
+              < GREATEST(pb.p - 3 * SQRT(pb.p * (1 - pb.p) / d.n), 0))
+             AS out_of_control
+    FROM d CROSS JOIN pbar pb
+    """,
+)
+def q_error_rate_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart on the daily error rate: three-sigma binomial
+    control limits around the overall rate, with per-day limits that
+    WIDEN on low-volume days (the SPC property a fixed threshold
+    misses) and out-of-control flags — the ops-review chart between
+    z-score anomalies (no volume adjustment) and CUSUM (drift, not
+    spikes).  One daily aggregate plus a broadcast center line; all
+    limit math is +-*/ and SQRT."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("errs"),
+    )
+    pbar = d.agg((F.sum("errs") * 1.0 / F.sum("n")).alias("p"))
+    rate = F.col("errs") * 1.0 / F.col("n")
+    sig = F.sqrt(F.col("p") * (1 - F.col("p")) / F.col("n"))
+    ucl = F.col("p") + 3 * sig
+    lcl = F.greatest(F.col("p") - 3 * sig, F.lit(0.0))
+    return d.crossJoin(F.broadcast(pbar)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n_events"),
+        r4(rate).alias("error_rate"),
+        r4(ucl).alias("ucl"),
+        r4(lcl).alias("lcl"),
+        ((rate > ucl) | (rate < lcl)).alias("out_of_control"),
+    )
