@@ -7597,3 +7597,94 @@ def q_error_rate_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(lcl).alias("lcl"),
         ((rate > ucl) | (rate < lcl)).alias("out_of_control"),
     )
+
+
+@query(
+    "weekend_conversion_split",
+    """
+    WITH u AS (
+      SELECT user_id, (isodow(ts) >= 6) AS weekend,
+             COUNT(*) AS n_events,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1, 2)
+    SELECT weekend,
+           CAST(COUNT(*) AS BIGINT) AS n_user_periods,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           ROUND(1e-9 + AVG(converted * 1.0), 4) AS conversion_rate
+    FROM u GROUP BY weekend
+    """,
+)
+def q_weekend_conversion_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekend vs weekday conversion: per (user, weekend-flag) activity
+    slices with purchase rates — the coarse dayparting split that
+    decides whether campaigns need separate weekend treatments (refine
+    with hourly_conversion_profile when it does).  One grouped
+    aggregate; ISO weekday keeps both engines' weekend definition
+    identical."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id", (F.weekday("ts") >= 5).alias("weekend")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return u.groupBy("weekend").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_user_periods"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        r4(F.avg(F.col("converted") * 1.0)).alias("conversion_rate"),
+    )
+
+
+@query(
+    "discount_depth_response",
+    """
+    WITH b AS (
+      SELECT CAST(FLOOR(l_discount * 20) AS INT) AS band,
+             l_quantity
+      FROM lineitem),
+    base AS (SELECT AVG(l_quantity) AS q0 FROM lineitem
+             WHERE l_discount = 0)
+    SELECT CAST(band AS BIGINT) AS discount_band,
+           ROUND(1e-9 + band * 5.0, 4) AS discount_pct_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(1e-9 + AVG(l_quantity), 4) AS avg_qty,
+           ROUND(1e-9 + AVG(l_quantity) / MAX(base.q0), 4)
+             AS qty_lift_vs_zero
+    FROM b CROSS JOIN base GROUP BY band
+    """,
+)
+def q_discount_depth_response(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Discount-depth response curve: average quantity per 5-point
+    discount band, normalized by the zero-discount baseline — the
+    promo-effectiveness table (a flat lift curve means discounts move
+    margin, not volume; cf. simpsons_paradox_probe before trusting the
+    pooled slope).  Band assignment floors explicitly (the engines'
+    double->int casts disagree on rounding); two aggregates off one
+    scan each."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.floor(F.col("l_discount") * 20).cast("int").alias("band"),
+        "l_quantity",
+    )
+    base = li.where(F.col("l_discount") == 0).agg(
+        F.avg("l_quantity").alias("q0")
+    )
+    return (
+        b.crossJoin(F.broadcast(base))
+        .groupBy(F.col("band").cast("bigint").alias("discount_band"))
+        .agg(
+            r4(F.max(F.col("band") * 5.0)).alias("discount_pct_lo"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            r4(F.avg("l_quantity")).alias("avg_qty"),
+            r4(F.avg("l_quantity") / F.max("q0")).alias(
+                "qty_lift_vs_zero"
+            ),
+        )
+    )
