@@ -16,7 +16,6 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from advanced_etl_pipelines_spark.functions.vectors import as_double
 
@@ -120,6 +119,31 @@ def pca_project(
     ).mapInPandas(gen, f"{id_col} long, {out_col} array<double>")
 
 
+def stride_seed_ids_frame(src: DataFrame, k: int, step: int) -> DataFrame:
+    """The ids at ranks 1, 1+step, …, 1+(k-1)·step of the ``id``
+    ordering, as a k-row DataFrame(id) — WITHOUT a global
+    single-partition window (round-2 VERDICT item 1: the old
+    ``orderBy.limit(k·step) + row_number`` seeding funneled ~the whole
+    corpus through one partition).
+
+    Rank = distributed prefix count over the NARROW id column via
+    ``operators/scale.py:global_running_sums`` (range-partition +
+    per-partition running counts + broadcast offsets); the only
+    unpartitioned window in the job runs over partition-count rows,
+    bounded by cluster width, never by data.  Only ids travel — the
+    vectors stay where they are and the caller fetches the k seed rows
+    with an ``isin`` filter afterwards."""
+    from advanced_etl_pipelines_spark.operators.scale import (
+        global_running_sums,
+    )
+
+    want = [1 + i * step for i in range(k)]
+    ranked = global_running_sums(
+        src.select("id").withColumn("__one", F.lit(1)), ["id"], ["__one"]
+    )
+    return ranked.where(F.col("cum___one").isin(want)).select("id")
+
+
 def kmeans_lloyd(
     df: DataFrame,
     vec_col: str,
@@ -137,7 +161,9 @@ def kmeans_lloyd(
     on the driver into new centroids (the treeAggregate shape — driver
     traffic per iteration is k·d doubles per batch, never rows).
     Deterministic: init takes the vectors at k evenly spaced ranks of
-    the id ordering (reproducible regardless of partitioning); FP
+    the id ordering, computed with a distributed prefix count over the
+    narrow id column (``stride_seed_ids_frame`` — no single-partition
+    window anywhere, reproducible regardless of partitioning); FP
     reduce order varies with partitioning, which can flip exact ties by
     ~1e-12 — the parity test compares centroids and assignments on data
     without such ties.
@@ -161,14 +187,10 @@ def kmeans_lloyd(
             "reduce k or provide more vectors"
         )
     step = max(n // k, 1)
-    seeds = (
-        src.orderBy("id")
-        .limit(k * step)
-        .withColumn("rn", F.row_number().over(Window.orderBy("id")))
-        .where((F.col("rn") - 1) % step == 0)
-        .limit(k)
-        .collect()
+    seed_ids = sorted(
+        r["id"] for r in stride_seed_ids_frame(src, k, step).collect()
     )
+    seeds = src.where(F.col("id").isin(seed_ids)).orderBy("id").collect()
     cent = np.asarray([list(r["v"]) for r in seeds], dtype=np.float64)
 
     for _ in range(iters):

@@ -187,9 +187,16 @@ def global_running_sums(
     The classic scalable decomposition:
 
     1. range-partition on the order keys (equal keys co-located, ranges
-       ordered across partitions), then eagerly materialize — pins the
+       ordered across partitions), then localCheckpoint — pins the
        sampled range boundaries and ``spark_partition_id`` so the two
-       consumers below see one consistent assignment;
+       consumers below see one consistent assignment.  The checkpoint
+       is LAZY (round-2 VERDICT item 4: the eager variant ran an extra
+       up-front job per call, the constant factor behind the
+       ``window_rank_family``/``lift_deciles``/``drift_ks_value``
+       regressions): lazy still wraps the plan in a single persisted
+       RDD, so the range boundaries are sampled once (RangePartitioner
+       seeds off the one rdd id) and both consumers read the same
+       blocks — same consistency, one less job;
     2. per-partition subtotal frame (``n_parts`` rows) with an exclusive
        running offset — the only unpartitioned window in the plan runs
        over partition-count rows, bounded by cluster width, not data;
@@ -211,10 +218,21 @@ def global_running_sums(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    # Persist the input BEFORE the range exchange: repartitionByRange's
+    # boundary sampler executes the child plan once just to sample, then
+    # the shuffle executes it again — for an aggregated input that means
+    # paying the aggregation twice (round-2 VERDICT item 4's measured
+    # constant factor).  With the input persisted, the sampling pass
+    # populates the blocks and the shuffle re-reads them.  MEMORY_AND_DISK
+    # spills rather than OOMs at scale; the blocks are released by the
+    # ContextCleaner when the frame goes out of scope.
+    from pyspark import StorageLevel
+
+    src = df.persist(StorageLevel.MEMORY_AND_DISK)
     d = (
-        df.repartitionByRange(n_parts, *order_cols)
+        src.repartitionByRange(n_parts, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ptot = d.groupBy("__pid").agg(
         *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
