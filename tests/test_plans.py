@@ -18,6 +18,73 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _unpartitioned_windows(df) -> list[str]:
+    """Subtree strings of every Window* physical node with an EMPTY
+    partition spec (the "moving all data to a single partition" shape).
+    Traverses the executed plan via py4j, descending through
+    AdaptiveSparkPlanExec wrappers."""
+    out: list[str] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name.startswith("Window"):
+            try:
+                if node.partitionSpec().isEmpty():
+                    out.append(node.toString())
+            except Exception:
+                pass
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def _window_input_kind(subtree: str) -> str:
+    """Classify an unpartitioned window by what feeds it — the three
+    mechanically-recognizable bounded shapes, else UNBOUNDED."""
+    import re
+
+    if "keys=[__pid" in subtree:
+        # global_running_sums offsets window: input is the per-partition
+        # subtotal frame, bounded by cluster width (operators/scale.py)
+        return "grs-offsets"
+    if "__lrnk" in subtree:
+        # top_k_global survivor frame, bounded by k x n_partitions
+        return "topk-survivor"
+    if re.search(r"TakeOrderedAndProject|GlobalLimit|CollectLimit", subtree):
+        return "limit-bounded"
+    return "UNBOUNDED"
+
+
+# Unpartitioned windows whose input boundedness a regex can't prove but
+# a human has: each runs over a pre-aggregated frame whose cardinality
+# is fixed by the domain, not the data volume (round-2 VERDICT item 2's
+# sanctioned set — "verified by reading each site").  Adding a query
+# here requires the same reading.
+UNPARTITIONED_WINDOW_WHITELIST = {
+    # documented small-data parity twin of equi_depth_histogram; its
+    # docstring forbids copying the plan (plans/registry.py)
+    "equi_depth_histogram_ntile": "sanctioned NTILE twin",
+    "value_counts_pct": "window over 3 severity-class counts",
+    "mixture_budget_fill": "window over per-source frame (|sources| rows)",
+    "heavy_hitters_cumshare": "global window over __pid-pruned survivors",
+    "drift_ks_bucketed": "window over 64 fixed buckets",
+    "survival_km_repeat_purchase": "window over per-day gap counts (<=366)",
+    "cusum_changepoint_daily": "window over per-day aggregates",
+    "char_coverage_table": "window over per-codepoint counts (alphabet)",
+    "rolling_corr_7d": "window over per-day aggregates",
+    "topk_churn_monthly": "window over per-month frames",
+    "shuffle_skew_gini": "window over 32 partition-size rows",
+    "user_growth_curve": "window over per-day first-seen counts",
+    "hierarchical_revenue_shares": "window over region/nation rollup",
+    "revenue_ma_crossover": "window over per-day revenue",
+}
+
+
 @pytest.fixture(scope="module")
 def queries():
     import __spark_entry__ as e
@@ -25,12 +92,84 @@ def queries():
     return e.queries()
 
 
-def test_no_rowwise_python_udf_anywhere(spark, queries):
+@pytest.fixture(scope="module")
+def all_query_dfs(spark, queries):
+    """One DataFrame per registry query at sf0.001 — built once, shared
+    by every registry-wide plan lint below."""
+    return {name: fn(spark, SF) for name, fn in queries.items()}
+
+
+def test_registry_lint_no_unpartitioned_window_over_unbounded_input(
+    spark, all_query_dfs
+):
+    """Registry-wide plan lint (round-2 VERDICT item 2): explain every
+    registered query and fail on any single-partition Window whose input
+    is not a mechanically-bounded frame (grs offsets / top-k survivors /
+    limit) or a whitelisted hand-verified pre-aggregated frame.  This
+    pins the class of regression the round-1/round-2 rewrites removed."""
+    offenders = {}
+    for name, df in all_query_dfs.items():
+        kinds = [_window_input_kind(s) for s in _unpartitioned_windows(df)]
+        if "UNBOUNDED" in kinds and name not in UNPARTITIONED_WINDOW_WHITELIST:
+            offenders[name] = kinds
+    assert not offenders, (
+        "single-partition Window over unbounded input in: "
+        f"{sorted(offenders)} — rewrite with operators/scale.py "
+        "(global_running_sums / top_k_global) or justify + whitelist"
+    )
+
+
+def test_registry_lint_whitelist_is_tight(spark, all_query_dfs):
+    """Every whitelist entry must still NEED whitelisting — if a rewrite
+    removes a query's unpartitioned window, the stale entry fails here
+    so the whitelist can only shrink deliberately."""
+    stale = []
+    for name in UNPARTITIONED_WINDOW_WHITELIST:
+        kinds = [
+            _window_input_kind(s)
+            for s in _unpartitioned_windows(all_query_dfs[name])
+        ]
+        if "UNBOUNDED" not in kinds:
+            stale.append(name)
+    assert not stale, f"whitelist entries no longer needed: {stale}"
+
+
+def test_kmeans_seeding_is_distributed(spark):
+    """Round-2 VERDICT item 1 regression pin: the kmeans seed-selection
+    frame must contain NO unpartitioned window over the corpus — only
+    the bounded grs-offsets window.  (The old seeding put ~every
+    embedding row through one partition via a global row_number.)"""
+    from pyspark.sql import functions as F
+
+    from advanced_etl_pipelines_spark.functions.vectors import as_double
+    from advanced_etl_pipelines_spark.operators.linalg import (
+        stride_seed_ids_frame,
+    )
+    from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+
+    emb = read_sf_table(spark, SF, "embeddings")
+    src = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        as_double("embedding").alias("v"),
+    ).where(F.col("v").isNotNull())
+    frame = stride_seed_ids_frame(src, k=16, step=37)
+    kinds = [_window_input_kind(s) for s in _unpartitioned_windows(frame)]
+    assert "UNBOUNDED" not in kinds, kinds
+    # and the seeding still yields exactly k ids at the right ranks
+    ids = sorted(r["id"] for r in frame.collect())
+    want = sorted(
+        r["id"]
+        for r in src.select("id").orderBy("id").limit(16 * 37).collect()
+    )[::37][:16]
+    assert ids == want
+
+
+def test_no_rowwise_python_udf_anywhere(spark, all_query_dfs):
     """Every Python crossing must be an Arrow batch seam (MapInPandas),
     never per-row BatchEvalPython/PythonUDF."""
     offenders = {}
-    for name, fn in queries.items():
-        plan = _plan(fn(spark, SF))
+    for name, df in all_query_dfs.items():
+        plan = _plan(df)
         if "BatchEvalPython" in plan or "PythonUDF" in plan:
             offenders[name] = True
     assert not offenders, f"row-wise Python in: {sorted(offenders)}"
