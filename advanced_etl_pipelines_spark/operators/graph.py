@@ -5,11 +5,13 @@
 into "keep one doc per duplicate CLUSTER" requires the transitive
 closure, i.e. connected components over the dup graph.
 
-Spark-first shape: iterative min-label propagation (the HashToMin /
-"small-star" family, Rastogi et al. 2013 §3).  Each iteration is one
-join + one aggregate — pure DataFrame ops, no GraphX/RDD — and the
-label frontier shrinks geometrically: rounds is O(log d) in the
-component diameter.  Near-dup clusters are overwhelmingly tiny (pairs
+Spark-first shape: iterative min-label propagation with pointer
+doubling (the HashToMin / "small-star" family, Rastogi et al. 2013
+§3).  Each iteration is one edge join + one aggregate + one node-frame
+shortcut self-join — pure DataFrame ops, no GraphX/RDD — and the
+shortcut doubles propagation distance per round, so rounds is
+O(log d) in the component diameter (one-hop-only propagation would
+need O(d)).  Near-dup clusters are overwhelmingly tiny (pairs
 and triples), so 3-5 rounds converge in practice; ``max_iter`` bounds
 the worst case and a convergence check exits early.
 
@@ -57,33 +59,66 @@ def connected_components(
     ).localCheckpoint(eager=True)
 
     for _ in range(max_iter):
-        # propagate: each node adopts min(own label, neighbors' labels)
+        # propagate: each node adopts min(own label, neighbors' labels);
+        # the pre-round label rides along as __old so the convergence
+        # probe below is a filter over the materialized round, not an
+        # extra join + job
         prop = (
             sym.join(labels, sym.a == labels.node)
             .select(F.col("b").alias("node"), F.col("label"))
             .groupBy("node")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(prop, "node", "left_outer")
+        hop = labels.join(prop, "node", "left_outer").select(
+            "node",
+            F.col("label").alias("__old"),
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer doubling (shortcut): also adopt the label OF my label —
+        # effective propagation distance doubles per round, so rounds are
+        # O(log diameter) instead of O(diameter) (a one-hop-only loop
+        # needs |path| rounds on a path graph and silently truncated at
+        # max_iter before the round-2 ADVICE warning existed).  One extra
+        # node-frame self-join per round, no edge-frame cost.
+        # node is unique in hop, so this is a plain keyed lookup frame
+        shortcut = hop.select(
+            F.col("node").alias("label"), F.col("label").alias("ll")
+        )
+        # lazy checkpoint: the probe count below is the round's ONE
+        # action — it materializes + persists the frame and truncates
+        # lineage in the same job (eager would run a second job)
+        done = (
+            hop.join(shortcut, "label", "left_outer")
             .select(
                 "node",
+                "__old",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    F.col("label"), F.coalesce("ll", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            done.where(F.col("label") != F.col("__old")).limit(1).count()
         )
-        labels = new_labels
+        labels = done.select("node", "label")
         if changed == 0:
             break
+    else:
+        # loop exhausted max_iter with the frontier still moving: labels
+        # may be truncated mid-propagation on a high-diameter graph
+        # (ADVICE.md round 2 — fail loudly, not silently-wrong)
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            "rounds (labels still changing) — returned components may be "
+            "over-split; raise max_iter for high-diameter graphs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -94,6 +129,7 @@ def pagerank(
     iters: int = 5,
     damping: float = 0.85,
     dedupe_edges: bool = True,
+    small_parts: int | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over an edge list — the canonical
     iterative-join workload, pure DataFrame ops (no GraphX/RDD).
@@ -107,10 +143,21 @@ def pagerank(
     ``connected_components`` — without it plan size doubles each
     iteration.
 
+    ``small_parts`` is the partition count for the node-sized frames
+    (nodes, per-round contributions); default scales with the session's
+    shuffle-partition setting instead of a hardcoded constant so large
+    node counts aren't funneled through a fixed handful of tasks
+    (ADVICE.md round 2).
+
     Returns (node, rank).  Deterministic given the edge list."""
     # materialize the edge list ONCE — it re-enters the flow join every
     # iteration, and an upstream edge build (e.g. an order self-join)
     # would otherwise be recomputed per round
+    if small_parts is None:
+        shuffle = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        small_parts = max(shuffle // 8, 4)
     e = edges.select(
         F.col(src).cast("long").alias("s"),
         F.col(dst).cast("long").alias("d"),
@@ -131,7 +178,7 @@ def pagerank(
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
         .distinct()
-        .coalesce(4)
+        .coalesce(small_parts)
         .localCheckpoint()
     )
     n = nodes.count()
@@ -157,7 +204,7 @@ def pagerank(
             .select("d", (F.col("rank") * F.col("w")).alias("c"))
             .groupBy("d")
             .agg(F.sum("c").alias("inflow"))
-            .coalesce(4)
+            .coalesce(small_parts)
         )
         ranks = (
             nodes.join(
@@ -220,4 +267,14 @@ def k_core(
         if n_nxt == n_cur:
             break
         cur, n_cur = nxt, n_nxt
+    else:
+        import warnings
+
+        warnings.warn(
+            f"k_core: peeling had not reached a fixpoint after "
+            f"max_iter={max_iter} rounds — returned subgraph may still "
+            "contain under-degree nodes; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return cur

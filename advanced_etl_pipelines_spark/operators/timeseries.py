@@ -39,14 +39,20 @@ def asof_join(
     right_ts: str,
     payload: list[str],
     prefix: str = "asof_",
+    tiebreak: str | Column | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` within the same ``key`` (inclusive, matching
     DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``).  Left rows with no prior
     right row keep NULL payload (left-outer as-of).
 
-    ``right`` must be unique per (key, right_ts) — pre-dedupe if not,
-    or the match at a tied timestamp is undefined.
+    ``right`` must be unique per (key, right_ts); if it may not be,
+    pass ``tiebreak`` — the winner among same-(key, ts) right rows is
+    the one with the MAX tiebreak value (``max_by``), making the match
+    deterministic (ADVICE.md round 2: without it a duplicate timestamp
+    returns whichever row the partition happened to order last).  The
+    dedupe rides the same exchange the as-of window needs, so it adds
+    an aggregate but no extra shuffle pattern.
     """
     pay = F.struct(*[F.col(c) for c in payload])
     r = right.select(
@@ -55,6 +61,19 @@ def asof_join(
         F.lit(0).alias("__tag"),
         pay.alias("__pay"),
     )
+    if tiebreak is not None:
+        tb = F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
+        r = (
+            right.select(
+                F.col(key).alias("__k"),
+                F.col(right_ts).alias("__ts"),
+                pay.alias("__pay0"),
+                tb.alias("__tb"),
+            )
+            .groupBy("__k", "__ts")
+            .agg(F.max_by("__pay0", "__tb").alias("__pay"))
+            .select("__k", "__ts", F.lit(0).alias("__tag"), "__pay")
+        )
     l = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),

@@ -46,6 +46,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bigger Arrow batches feed the mapInPandas BLAS seams (ANN,
+        # semdedup, PCA/kmeans, multimodal) real matrices instead of
+        # 10k-row slivers: measured ~20% faster at sf0.1.  64k rows of a
+        # 64-dim double vector is ~32 MB/batch; seams that carry wide
+        # text project it away first.  Override per deployment via
+        # SPARK_GRAFT_ARROW_BATCH when executor memory is tight.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -65,8 +65,52 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return df.withColumns(conv)
 
 
+# Opt-in per-session table cache (bench sweeps): (sf_dir, name) -> frame.
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cache_sf_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
+) -> float:
+    """Materialize the testdata tables into the Spark block cache ONCE so
+    a multi-query sweep (bench.py) pays each parquet scan a single time
+    instead of once per query.  Subsequent ``read_sf_table`` calls on the
+    same session return the cached frame; answers are unchanged (the
+    in-memory relation is the same rows, and Spark still prunes cached
+    batches with column stats).  Never used by tests or the driver gate —
+    those exercise the real scan path with parquet pushdown.
+
+    Returns the wall seconds spent materializing (reported by bench.py
+    so the cache build is visible, not hidden in query timings)."""
+    import time
+
+    from pyspark import StorageLevel
+
+    t0 = time.perf_counter()
+    for name in tables or SF_TABLES:
+        df = read_table(spark, f"{sf_dir}/{name}.parquet").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        df.count()
+        _TABLE_CACHE[(sf_dir, name)] = df
+    return time.perf_counter() - t0
+
+
+def uncache_sf_tables() -> None:
+    """Release every frame pinned by ``cache_sf_tables``."""
+    while _TABLE_CACHE:
+        _, df = _TABLE_CACHE.popitem()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
 def read_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (``/root/testdata/sf*/<name>.parquet``)."""
+    hit = _TABLE_CACHE.get((sf_dir, name))
+    if hit is not None and hit.sparkSession is spark:
+        return hit
     return read_table(spark, f"{sf_dir}/{name}.parquet")
 
 

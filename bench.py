@@ -41,16 +41,42 @@ def main() -> None:
     # Warm the JVM + parquet footer caches outside the timed region.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # Materialize the base tables into the block cache ONCE for the whole
+    # sweep (round-2 VERDICT item 8): at 287 queries the repeated parquet
+    # scans of the same ten tables dominate the harness, not the
+    # operators.  The cache build is timed and reported separately so the
+    # one-time scan cost stays visible.  SPARK_GRAFT_BENCH_CACHE=0 runs
+    # the old scan-per-query mode.
+    cache_sec = 0.0
+    if os.environ.get("SPARK_GRAFT_BENCH_CACHE", "1") != "0":
+        from advanced_etl_pipelines_spark.sources.readers import (
+            cache_sf_tables,
+        )
+
+        cache_sec = round(cache_sf_tables(spark, sf_dir), 3)
+
     # Best-of-N per query (default 2): the first run pays plan + codegen
     # compilation, a one-time cost that is noise at any real scale.
+    # Per-query time splits into build (Python plan construction — lazy,
+    # no job) and exec (collect: analysis + optimization + run); the
+    # split's p50/p95 goes into the artifact so compile-vs-execute
+    # dominance is measurable per scale factor.
     runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")), 1)
     timings: dict[str, float] = {}
+    build_s: dict[str, float] = {}
+    exec_s: dict[str, float] = {}
     for name, fn in queries.items():
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+            df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            df.collect()
+            t2 = time.perf_counter()
+            if t2 - t0 < best:
+                best = t2 - t0
+                build_s[name] = round(t1 - t0, 3)
+                exec_s[name] = round(t2 - t1, 3)
         timings[name] = round(best, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -64,9 +90,27 @@ def main() -> None:
     artifact = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
     )
+    def pct(vals: list[float], p: float) -> float:
+        s = sorted(vals)
+        return round(s[min(int(p * len(s)), len(s) - 1)], 3)
+
+    splits = {
+        "cache_build_sec": cache_sec,
+        "build_p50": pct(list(build_s.values()), 0.50),
+        "build_p95": pct(list(build_s.values()), 0.95),
+        "exec_p50": pct(list(exec_s.values()), 0.50),
+        "exec_p95": pct(list(exec_s.values()), 0.95),
+    }
     with open(artifact, "w") as f:
         json.dump(
-            {"sf": sf_val, "n_queries": len(timings), "queries": timings},
+            {
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "splits": splits,
+                "queries": timings,
+                "build": build_s,
+                "exec": exec_s,
+            },
             f,
             indent=1,
             sort_keys=True,
@@ -85,6 +129,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "cache_build_sec": cache_sec,
                 "queries": top10,
             }
         )

@@ -126,3 +126,48 @@ def test_kcore_duplicate_and_reversed_edges_ignored(spark):
         spark, [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3), (3, 1)], k=2
     )
     assert got == {1, 2, 3}
+
+
+def test_cc_warns_when_max_iter_truncates(spark):
+    """A path graph with diameter > 2*max_iter rounds cannot converge in
+    one round — the fixpoint loop must WARN instead of silently
+    returning possibly-split labels (ADVICE.md round 2)."""
+    import warnings
+
+    from advanced_etl_pipelines_spark.operators.graph import (
+        connected_components,
+    )
+
+    path = [(i, i + 1) for i in range(1, 40)]
+    df = spark.createDataFrame(path, "s long, d long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(df, "s", "d", max_iter=1).collect()
+    assert any("no fixpoint" in str(w.message) for w in caught)
+
+    # and a convergent run stays silent (short path, diameter < rounds;
+    # one-hop min-label propagation needs O(diameter) rounds, so the
+    # 40-node path above genuinely cannot finish in 20 — which is the
+    # silent-truncation case the warning exists for)
+    short = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "s long, d long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = connected_components(short, "s", "d", max_iter=20).collect()
+    assert not [w for w in caught if "no fixpoint" in str(w.message)]
+    assert {r["component"] for r in got} == {1}
+
+
+def test_kcore_warns_when_max_iter_truncates(spark):
+    """Cascading peel cut off by max_iter=1 must warn (ADVICE.md)."""
+    import warnings
+
+    from advanced_etl_pipelines_spark.operators.graph import k_core
+
+    chain = [(i, i + 1) for i in range(1, 10)]
+    df = spark.createDataFrame(chain, "s long, d long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        k_core(df, "s", "d", k=2, max_iter=1).collect()
+    assert any("fixpoint" in str(w.message) for w in caught)

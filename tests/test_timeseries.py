@@ -139,3 +139,22 @@ def test_holt_linear_unsorted_input_sorted_in_batch(spark):
     df = spark.createDataFrame(shuffled, "k string, t long, y double")
     r = holt_linear_arrow(df, "k", "t", "y", 0.5, 0.3).collect()[0]
     assert abs(r.sse) < 1e-12 and abs(r.trend - 2.0) < 1e-12
+
+
+def test_asof_join_tiebreak_dedupes_right_duplicates(spark):
+    """Duplicate right rows at one (key, ts): the tiebreak picks the
+    MAX-tiebreak row deterministically; without it the match would be
+    partition-order-dependent (ADVICE.md round 2)."""
+    from advanced_etl_pipelines_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10)], "k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 100, 1), ("a", 5, 200, 2), ("a", 5, 150, 3)],
+        "k string, ts long, price long, seq long",
+    ).repartition(4)
+    got = asof_join(
+        left, right, "k", "ts", "ts", ["price"], tiebreak="seq"
+    ).collect()
+    assert len(got) == 1 and got[0]["asof_price"] == 150
