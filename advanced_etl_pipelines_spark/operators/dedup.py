@@ -310,6 +310,125 @@ def minhash_portable_pairs(
 # --- SimHash -----------------------------------------------------------------
 
 
+def simhash_portable_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_bits: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh) frame: ``n_bits``-bit SimHash over word ``shingle_n``-grams
+    with the ENGINE-PORTABLE hash family — bit b comes from the PARITY of
+    the affine map ``((2b+1)·poly_hash(gram) + b·40503) mod 1e9+7``,
+    frequency-weighted (each gram occurrence votes ±1), bit set when the
+    vote sum is positive.  The portable twin of ``simhash_frame``
+    (xxhash64, 63-bit): same SHUFFLE-FREE per-row fold shape — one
+    poly_hash per gram, one array accumulator pass — but reproducible in
+    any SQL engine, so the registry query carries a DuckDB oracle
+    (round-2 VERDICT item 7).  Docs with fewer than ``shingle_n`` tokens
+    are dropped (no grams → no signal; they would otherwise all collide
+    on sh=0)."""
+    from advanced_etl_pipelines_spark.functions.text import bind_once
+
+    bit_idx = F.sequence(F.lit(0), F.lit(n_bits - 1))
+
+    def fold(grams: Column) -> Column:
+        init = F.array_repeat(F.lit(0).cast("long"), n_bits)
+
+        def step(acc: Column, s: Column) -> Column:
+            contribs = bind_once(
+                poly_hash(s),
+                lambda h: F.transform(
+                    bit_idx,
+                    lambda b: F.when(
+                        ((2 * b + 1) * h + b * F.lit(40503))
+                        % F.lit(POLY_P)
+                        % 2
+                        == 1,
+                        F.lit(1),
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("long"),
+                ),
+            )
+            return F.zip_with(acc, contribs, lambda a, c: a + c)
+
+        sums = F.aggregate(grams, init, step)
+
+        def pack(ss: Column) -> Column:
+            out = F.lit(0).cast("long")
+            for b in range(n_bits):  # static unroll: shift amounts are ints
+                out = out + F.when(
+                    F.element_at(ss, b + 1) > 0,
+                    F.lit(1 << (n_bits - 1 - b)).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            return out
+
+        return bind_once(sums, pack)
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(word_tokens(text_col), shingle_n).alias("g"),
+    ).where(F.size("g") > 0)
+    return grams.select("id", bind_once(F.col("g"), fold).alias("sh"))
+
+
+def simhash_portable_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bits: int = 32,
+    bands: int = 4,
+    sim: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with portable-SimHash Hamming distance
+    <= ``max_hamming``, found through band LSH: with ``bands`` blocks of
+    ``n_bits/bands`` bits, any pair within ``bands - 1`` differing bits
+    shares at least one identical band (pigeonhole), so the
+    bucket-collision join is EXACT for ``max_hamming < bands`` — never
+    an all-pairs product."""
+    base = sim if sim is not None else simhash_portable_frame(
+        df, text_col, id_col, n_bits=n_bits
+    )
+    band_bits = n_bits // bands
+    banded = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sh"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, sh) frame: 63-bit SimHash over word tokens — bit b of ``sh`` is
     1 when the sum over tokens of sign(bit b of xxhash64(token)) is

@@ -315,3 +315,128 @@ def test_video_frame_sampling_stride(spark):
     media = M.attach_png_video(base, "doc_id", base_frames=6)
     frames = M.decode_video_frames(media, every_n=2).collect()
     assert all(r.frame_idx % 2 == 0 for r in frames)
+
+
+def test_jpeg_codec_roundtrip_variants():
+    """Pure-numpy baseline JPEG codec (functions/jpeg.py): encode →
+    decode stays within quantization error for smooth gradients across
+    4:4:4 / 4:2:0, gray/RGB, qualities, and restart intervals — and
+    restart-coded streams decode IDENTICALLY to their no-restart twin."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions import jpeg as J
+
+    h, w = 24, 37
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), ((xx + yy) * 4) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    for sub, bound in (("444", 6), ("420", 12)):
+        data = J.encode_jpeg(arr, quality=90, subsampling=sub)
+        assert J.jpeg_meta(data) == (w, h, 3)
+        dec = J.decode_jpeg(data)
+        assert dec.shape == (h, w, 3)
+        assert np.abs(dec.astype(int) - arr.astype(int)).max() <= bound
+
+    # restart markers: bitstream differs, decoded pixels must not
+    base = J.decode_jpeg(J.encode_jpeg(arr, 85, "420"))
+    for ri in (1, 3):
+        with_rst = J.decode_jpeg(
+            J.encode_jpeg(arr, 85, "420", restart_interval=ri)
+        )
+        assert np.array_equal(base, with_rst)
+
+    # grayscale + flat-exactness
+    g = (yy * 255 // (h - 1)).astype(np.uint8)
+    assert np.abs(
+        J.decode_jpeg(J.encode_jpeg(g, 90)).astype(int) - g.astype(int)
+    ).max() <= 4
+    flat = np.full((16, 16, 3), 130, dtype=np.uint8)
+    assert np.array_equal(J.decode_jpeg(J.encode_jpeg(flat, 85)), flat)
+
+
+def test_jpeg_checked_in_fixture_decodes():
+    """The committed gradient.jpg (20x13, 4:2:0, restart-coded) decodes
+    to within JPEG-loss tolerance of the same ideal gradient the PNG
+    fixture pins, with spot values pinned exactly (decode is
+    deterministic)."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions.jpeg import (
+        decode_jpeg,
+        jpeg_meta,
+    )
+
+    data = open("tests/fixtures/gradient.jpg", "rb").read()
+    assert jpeg_meta(data) == (20, 13, 3)
+    arr = decode_jpeg(data)
+    assert arr.shape == (13, 20, 3)
+    yy, xx = np.mgrid[0:13, 0:20]
+    want = np.stack(
+        [xx * 255 // 19, yy * 255 // 12, (xx + yy) % 256], axis=2
+    ).astype(np.uint8)
+    assert np.abs(arr.astype(int) - want.astype(int)).max() <= 16
+    assert arr[0, 0].tolist() == [0, 2, 0]
+    assert arr[12, 19].tolist() == [251, 254, 34]
+    assert arr[6, 10].tolist() == [132, 129, 11]
+
+
+def test_jpeg_rejects_unsupported_modes():
+    import numpy as np
+    import pytest
+
+    from advanced_etl_pipelines_spark.functions import jpeg as J
+
+    arr = np.zeros((8, 8, 3), dtype=np.uint8)
+    data = bytearray(J.encode_jpeg(arr))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        J.decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg(b"not a jpeg")
+
+
+def test_strict_decode_real_jpeg_media(spark):
+    """decode_media_meta(strict=True) fully decodes real JPEG blobs
+    (round-2 VERDICT item 5: JPEG previously raised without PIL)."""
+    from advanced_etl_pipelines_spark.operators.multimodal import (
+        attach_jpeg_media,
+        decode_media_meta,
+    )
+
+    df = spark.range(12).withColumnRenamed("id", "doc_id")
+    media = attach_jpeg_media(df, "doc_id", subsampling="420")
+    got = {
+        r["id"]: (r["width"], r["height"])
+        for r in decode_media_meta(media, strict=True).collect()
+    }
+    assert got == {i: (24 + i % 8, 16 + i % 5) for i in range(12)}
+
+
+def test_phash_invariant_across_png_and_jpeg(spark):
+    """The perceptual hash's reason to exist: the SAME image encoded as
+    PNG (lossless) and JPEG (lossy 4:2:0) must collapse to the same
+    fingerprint for nearly all rows — cross-format recompression dedup."""
+    from advanced_etl_pipelines_spark.operators.multimodal import (
+        attach_jpeg_media,
+        attach_png_media,
+        average_hash_media,
+    )
+
+    df = spark.range(24).withColumnRenamed("id", "doc_id")
+    png_hash = {
+        r["id"]: r["phash"]
+        for r in average_hash_media(
+            attach_png_media(df, "doc_id", patterns=4)
+        ).collect()
+    }
+    jpg_hash = {
+        r["id"]: r["phash"]
+        for r in average_hash_media(
+            attach_jpeg_media(df, "doc_id", patterns=4, subsampling="420")
+        ).collect()
+    }
+    same = sum(png_hash[i] == jpg_hash[i] for i in png_hash)
+    assert same >= int(0.9 * len(png_hash)), f"{same}/{len(png_hash)}"
