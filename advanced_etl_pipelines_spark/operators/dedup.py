@@ -314,7 +314,7 @@ def simhash_portable_frame(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    n_bits: int = 32,
+    n_bits: int = 48,
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, sh) frame: ``n_bits``-bit SimHash over word ``shingle_n``-grams
@@ -378,7 +378,7 @@ def simhash_portable_near_dups(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
-    n_bits: int = 32,
+    n_bits: int = 48,
     bands: int = 4,
     sim: DataFrame | None = None,
 ) -> DataFrame:

@@ -310,12 +310,12 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (acc, c) -> (acc * 131 + c) % 1000000007)) AS h
            FROM g),
     sh AS (SELECT doc_id,
-             list_sum(list_transform(range(0, 32), b ->
+             list_sum(list_transform(range(0, 48), b ->
                CASE WHEN list_sum(list_transform(h, x ->
                  CASE WHEN ((2*b + 1) * x + b * 40503)
                            % 1000000007 % 2 = 1
                       THEN 1 ELSE -1 END)) > 0
-                    THEN CAST(POW(2, 31 - b) AS BIGINT) ELSE 0 END))
+                    THEN CAST(POW(2, 47 - b) AS BIGINT) ELSE 0 END))
                AS simhash
            FROM hs),
     pairs AS (
@@ -335,8 +335,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc SimHash + near-dup pair count at hamming <= 3 (the
     Manku-et-al web-dedup radius), banded so the pair join is
     bucket-collision, never n² — and EXACT for this radius (4 bands of
-    8 bits: 3 differing bits cannot touch all 4 bands).  Registered
-    with the engine-portable 32-bit variant
+    12 bits: 3 differing bits cannot touch all 4 bands; 12-bit buckets
+    keep bucket sizes sub-linear where the round-3 sf1 run measured
+    8-bit buckets degrading quadratically — 71 s at 50k docs).
+    Registered with the engine-portable 48-bit variant
     (``operators/dedup.py:simhash_portable_frame``) so the DuckDB
     oracle replays signature bits, banding, and Hamming verify
     hash-exactly (round-2 VERDICT item 7: the xxhash64 63-bit variant
@@ -405,16 +407,20 @@ def q_semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: k-means is the Arrow-matmul Lloyd trainer
     (`operators/linalg.kmeans_lloyd` — driver traffic is k·d doubles per
     batch per iteration); the pair join shuffles on the cluster id only,
-    and at 100 TB k grows with the corpus (the paper uses 50k clusters
-    for LAION) to keep Σ|cluster|² linear-ish.  Output: per-cluster
-    sizes, removed counts, and the max duplicate-pair similarity —
-    deterministic given the seeded init, checked rows-only (k-means is
-    iterative, not SQL-expressible) with a parity test pinning the
-    removal rule against a numpy reference."""
+    and k GROWS WITH THE CORPUS — ``k = max(16, n/256)`` here (the
+    paper uses 50k clusters for LAION) — to keep Σ|cluster|²
+    linear-ish: the round-3 sf1 run measured fixed k=16 at 20k vectors
+    spending 180 s in the within-cluster pair join (|cluster| ≈ 1250 →
+    12.5M pairs); adaptive k bounds expected cluster size at 256.
+    Output: per-cluster sizes, removed counts, and the max
+    duplicate-pair similarity — deterministic given the seeded init,
+    checked rows-only (k-means is iterative, not SQL-expressible) with
+    a parity test pinning the removal rule against a numpy reference."""
     from advanced_etl_pipelines_spark.operators.linalg import kmeans_lloyd
 
     emb = _t(spark, sf_dir, "embeddings")
-    _, assign = kmeans_lloyd(emb, "embedding", "vec_id", k=16, iters=3)
+    k = max(16, emb.count() // 256)
+    _, assign = kmeans_lloyd(emb, "embedding", "vec_id", k=k, iters=3)
     base = (
         emb.select(
             F.col("vec_id").alias("id"),

@@ -406,7 +406,7 @@ def q_reconcile_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
              levenshtein(a.c_name, b.c_name) AS d
       FROM customer a JOIN customer b
         ON a.c_nationkey = b.c_nationkey
-       AND substring(a.c_name, 1, 15) = substring(b.c_name, 1, 15)
+       AND substring(a.c_name, 1, 17) = substring(b.c_name, 1, 17)
        AND a.c_custkey < b.c_custkey)
     SELECT nk AS nationkey,
            CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
@@ -418,17 +418,21 @@ def q_reconcile_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage: blocked pairwise fuzzy matching.  Blocking on
-    (nation, name-prefix) keeps the candidate set near-linear — the
-    quadratic all-pairs join never materializes — then exact Levenshtein
-    scores each surviving pair (native `levenshtein`, identical classic
-    DP in Spark and DuckDB).  The standard entity-resolution trade-off:
-    a prefix block can only miss matches that differ inside the prefix;
-    tighter blocks = faster + lower recall.  At 100 TB the block key
-    becomes the shuffle key and block sizes bound the per-task work —
-    profile them first with skew_key_profile."""
+    (nation, 17-char name prefix) keeps the candidate set near-linear —
+    the quadratic all-pairs join never materializes — then exact
+    Levenshtein scores each surviving pair (native `levenshtein`,
+    identical classic DP in Spark and DuckDB).  The standard
+    entity-resolution trade-off: a prefix block can only miss matches
+    that differ inside the prefix; tighter blocks = faster + lower
+    recall.  The prefix length is the scale dial: the round-3 sf1 run
+    caught the old 15-char prefix collapsing this name family to 15
+    blocks whose sizes grow WITH the data (pairs grew 100× for 10×
+    rows); at 17 chars block sizes are bounded (~10) at every sf, so
+    pair count grows linearly.  At 100 TB the block key becomes the
+    shuffle key — profile block sizes first with skew_key_profile."""
     cust = _t(spark, sf_dir, "customer").select(
         "c_nationkey", "c_custkey", "c_name",
-        F.substring("c_name", 1, 15).alias("blk"),
+        F.substring("c_name", 1, 17).alias("blk"),
     )
     a = cust.alias("a")
     b = cust.alias("b")

@@ -6,9 +6,18 @@ script builds an sfN-equivalent volume by replicating sf0.1 K times
 with consistent per-copy key offsets — every copy's orders point at
 that copy's customers, lineitems at that copy's orders/parts/suppliers,
 so join fan-outs, group cardinalities and skew shapes scale the way a
-real sf increase would.  Values (prices, dates, texts, embeddings) are
-reused verbatim; this is a PERFORMANCE corpus, not a correctness oracle
-(the oracle gate stays on the driver's sf0.01 data).
+real sf increase would.  This is a PERFORMANCE corpus, not a
+correctness oracle (the oracle gate stays on the driver's sf0.01 data).
+
+Texts and embeddings are MUTATED per copy, not reused verbatim: naive
+replication gives every document 9 identical twins, which inflates the
+near-dup pair space ~K²/2-fold and turns every dedup-family query into
+a pathological all-cliques workload (measured 70× growth for 10× data
+— an artifact of the replication, not of scale).  Copy i Caesar-rotates
+the document text by i (token structure, lengths and within-copy dup
+rate preserved; cross-copy texts disjoint) and adds a deterministic
+per-copy perturbation to embeddings (cosine between copies drops well
+below the near-dup thresholds).
 
 Usage:  python scripts/make_scale_data.py [K] [out_dir]
         (defaults: K=10, out_dir=.localdata/sf1)
@@ -70,6 +79,38 @@ def main() -> None:
         )
         print(f"{t}: copied as-is")
 
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+
+    def mutate(t: str, c: str, i: int) -> str | None:
+        """Per-copy value mutation expression (None = reuse verbatim)."""
+        # entity names regenerate from the OFFSET key — otherwise every
+        # name exists K times and name-blocked linkage queries degrade
+        # to quadratic all-clique joins (same artifact as verbatim text)
+        if t == "customer" and c == "c_name":
+            off = i * strides["customer.c_custkey"]
+            return (
+                f"'Customer#' || lpad(CAST(c_custkey + {off} AS VARCHAR),"
+                f" 9, '0') AS {c}"
+            )
+        if t == "supplier" and c == "s_name":
+            off = i * strides["supplier.s_suppkey"]
+            return (
+                f"'Supplier#' || lpad(CAST(s_suppkey + {off} AS VARCHAR),"
+                f" 9, '0') AS {c}"
+            )
+        if t == "documents" and c == "text" and i > 0:
+            rl = lower[i:] + lower[:i]
+            ru = upper[i:] + upper[:i]
+            return f"translate({c}, '{lower}{upper}', '{rl}{ru}') AS {c}"
+        if t == "embeddings" and c == "embedding" and i > 0:
+            return (
+                f"list_transform(list_zip({c}, range(1, len({c}) + 1)),"
+                f" z -> CAST(z[1] + 0.05 * (({i} * 31 + z[2]) % 7 - 3)"
+                f" AS FLOAT)) AS {c}"
+            )
+        return None
+
     for t, cols in KEYED.items():
         src_cols = [
             c[0]
@@ -80,7 +121,9 @@ def main() -> None:
         selects = []
         for i in range(k):
             proj = ", ".join(
-                f"{c} + {i * strides[cols[c]]} AS {c}" if c in cols else c
+                f"{c} + {i * strides[cols[c]]} AS {c}"
+                if c in cols
+                else (mutate(t, c, i) or c)
                 for c in src_cols
             )
             selects.append(f"SELECT {proj} FROM '{SRC}/{t}.parquet'")

@@ -66,3 +66,20 @@ def test_lineage_extraction_known_queries(spark):
     assert tables_of(q["mom_revenue_growth"](spark, sf), sf) == [
         "customer", "nation", "orders",
     ]
+
+
+def test_readme_registry_counts_match_reality():
+    """README's query/oracle counts must track the registry (round-2
+    ADVICE: stale hand-maintained counts) — regenerate the prose when
+    this fails."""
+    import re
+
+    import __spark_entry__ as e
+
+    n_q, n_o = len(e.queries()), len(e.oracle_sql())
+    text = open("README.md").read()
+    m = re.search(r"the (\d+)-query registry — (\d+) with DuckDB", text)
+    assert m, "README registry-count sentence missing"
+    assert (int(m.group(1)), int(m.group(2))) == (n_q, n_o), (
+        f"README says {m.groups()}, registry has ({n_q}, {n_o})"
+    )
