@@ -2045,7 +2045,44 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("kcore_copurchase")
+def _kcore_oracle_sql(k: int = 3, levels: int = 20) -> str:
+    """Unrolled peel: aggregate-per-round iteration is outside recursive
+    CTEs (no aggregation over the recursive reference), but the peel is
+    IDEMPOTENT at its fixpoint, so a fixed unroll of ``levels`` rounds —
+    each one degree-count + two semi-filters, generated here as chained
+    CTEs — equals peel-to-fixpoint whenever the true peel depth is
+    below ``levels`` (the Spark side converges in single-digit rounds
+    on these graphs; extra SQL levels are no-ops)."""
+    ctes = [
+        """pairs AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    e0 AS MATERIALIZED (SELECT s AS a, d AS b FROM pairs
+           UNION ALL SELECT d, s FROM pairs)"""
+    ]
+    for i in range(levels):
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (SELECT a FROM e{i} GROUP BY a
+            HAVING COUNT(*) >= {k}),
+    e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e
+             WHERE e.a IN (SELECT a FROM k{i})
+               AND e.b IN (SELECT a FROM k{i}))"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    deg AS (SELECT a, COUNT(*) AS dg FROM e{levels} GROUP BY a)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+           CAST(SUM(dg) / 2 AS BIGINT) AS n_core_edges,
+           CAST(MIN(dg) AS BIGINT) AS min_degree
+    FROM deg
+    """
+    )
+
+
+@query("kcore_copurchase", _kcore_oracle_sql())
 def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the part co-purchase graph — the dense backbone left
     after iteratively peeling parts co-purchased with fewer than 3
@@ -2053,11 +2090,12 @@ def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     preprocessing step; completes the graph family next to components,
     PageRank, and triangles).
 
-    No SQL oracle: peel-to-fixpoint needs aggregate-per-round
-    iteration, which recursive CTEs cannot express — the operator is
-    pinned instead by tests/test_graph.py's hand-computed cores
-    and by the degree floor asserted in-row here (min_degree >= 3 by
-    construction).  Same scale shape as connected_components: each
+    The DuckDB oracle unrolls 20 peel rounds as chained CTEs
+    (``_kcore_oracle_sql`` — round-3: was rows-only; idempotence at
+    the fixpoint makes a fixed unroll exact once the true peel depth
+    is shallower).  tests/test_graph.py's hand-computed cores and the
+    in-row degree floor (min_degree >= 3 by construction) remain the
+    independent pins.  Same scale shape as connected_components: each
     round is an aggregate + two semi-joins keyed on node ids."""
     from advanced_etl_pipelines_spark.operators.graph import k_core
 

@@ -914,8 +914,43 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pagerank_copurchase")  # iterative power method — rows-only;
-# numpy parity pinned in tests/test_graph.py
+@query(
+    "pagerank_copurchase",
+    """
+    WITH e AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT s AS node FROM e UNION ALL SELECT d FROM e)),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+    ew AS (SELECT e.s, e.d, 1.0 / deg.deg AS w
+           FROM e JOIN deg ON e.s = deg.s),
+    r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+    i1 AS (SELECT ew.d AS node, SUM(r0.pr * ew.w) AS inflow
+           FROM ew JOIN r0 ON ew.s = r0.node GROUP BY ew.d),
+    r1 AS (SELECT nodes.node,
+                  (1.0 - 0.85) / nn.n + 0.85 * COALESCE(i1.inflow, 0) AS pr
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN i1 ON nodes.node = i1.node),
+    i2 AS (SELECT ew.d AS node, SUM(r1.pr * ew.w) AS inflow
+           FROM ew JOIN r1 ON ew.s = r1.node GROUP BY ew.d),
+    r2 AS (SELECT nodes.node,
+                  (1.0 - 0.85) / nn.n + 0.85 * COALESCE(i2.inflow, 0) AS pr
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN i2 ON nodes.node = i2.node),
+    i3 AS (SELECT ew.d AS node, SUM(r2.pr * ew.w) AS inflow
+           FROM ew JOIN r2 ON ew.s = r2.node GROUP BY ew.d),
+    r3 AS (SELECT nodes.node,
+                  (1.0 - 0.85) / nn.n + 0.85 * COALESCE(i3.inflow, 0) AS pr
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN i3 ON nodes.node = i3.node)
+    SELECT node, ROUND(1e-9 + pr * 1e6, 4) AS rank_ppm
+    FROM r3 ORDER BY pr DESC, node ASC LIMIT 10
+    """,
+)
 def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph (parts appearing in the
     same order are linked, both directions, so the graph is symmetric
@@ -924,7 +959,13 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations of join+aggregate with lineage checkpointing.
     Multigraph mode (dedupe_edges=False): pair multiplicity = tie
     strength, and the full-edge distinct shuffle is skipped.  Output:
-    top-10 parts by rank (graph-centrality 'hub products')."""
+    top-10 parts by rank (graph-centrality 'hub products').
+
+    The DuckDB oracle unrolls the 3 power iterations as chained CTEs
+    (round-3: was rows-only) — fixed iteration count makes the whole
+    computation SQL-expressible, and the ppm-scale rounding absorbs the
+    cross-engine FP reduce-order noise (~1e-12 relative); the numpy
+    parity test in tests/test_graph.py stays as the independent pin."""
     from advanced_etl_pipelines_spark.operators.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
