@@ -4814,16 +4814,35 @@ def q_context_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_recall_report")
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of the approximate ANN indexes (LSH, IVF, PQ) against
-    the exact brute-force top-5, measured IN-ENGINE over the same 20
-    query vectors the knn_* queries serve — the ANN counterpart of
-    minhash_vs_exact_calibration: the number that justifies an index's
-    probe/band settings before production.  No SQL oracle (the
-    approximate sides use engine-native hashing); the recall floors are
-    separately pinned in tests/test_similarity.py.  Each side is the
-    registered query's own plan; the comparison is a per-query semi-join
-    + one tiny aggregate."""
+    """Recall@5 of the approximate ANN configurations (LSH 16 planes/4
+    bands, IVF 4-of-16 probes, PQ 4k shortlist) against the exact
+    brute-force top-5, measured IN-ENGINE over the same 20 query
+    vectors — the ANN counterpart of minhash_vs_exact_calibration: the
+    number that justifies an index's probe/band settings before
+    production.  The approximate sides call the OPERATORS directly with
+    the production settings: since round 3 the registered knn_ivf/pq
+    queries run exactness-anchored configurations for the oracle gate,
+    and measuring those here would report a vacuous recall of 1.0.  No
+    SQL oracle (a recall-of-approximate-paths meta-query); the recall
+    floors are separately pinned in tests/test_similarity.py."""
+    from advanced_etl_pipelines_spark.operators import similarity as S
     from advanced_etl_pipelines_spark.plans.registry import QUERIES
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 20)
+
+    def lsh(df, q):
+        return S.lsh_topk(df, q, "embedding", "vec_id", k=5)
+
+    def ivf(df, q):
+        return S.ivf_topk(
+            df, q, "embedding", "vec_id", k=5, n_clusters=16, n_probe=4
+        )
+
+    def pq(df, q):
+        return S.pq_topk(
+            df, q, "embedding", "vec_id", k=5, shortlist_factor=4
+        )
 
     brute = (
         QUERIES["knn_bruteforce_cosine"](spark, sf_dir)
@@ -4831,14 +4850,8 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     out = None
-    for method, qname in [
-        ("lsh", "knn_lsh_topk"),
-        ("ivf", "knn_ivf_topk"),
-        ("pq", "knn_pq_topk"),
-    ]:
-        approx = QUERIES[qname](spark, sf_dir).select(
-            "query_id", "neighbor_id"
-        )
+    for method, fn in [("lsh", lsh), ("ivf", ivf), ("pq", pq)]:
+        approx = fn(emb, queries_df).select("query_id", "neighbor_id")
         hits = approx.join(
             brute, ["query_id", "neighbor_id"], "left_semi"
         )
@@ -5355,15 +5368,21 @@ def q_catalog_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     engineer checks after a load (keys must be distinct == n_rows,
     dimension attrs low-cardinality, nothing unexpectedly null).
 
-    Per table, the row-count/null-sums ride one aggregate and each
-    column's EXACT distinct count is its own scan→distinct→count
-    subtree, composed back with 1-row cross joins — one job whose
-    per-column stages run in parallel.  This beats the classic
-    single-aggregate multi-distinct form (which Expands the table
-    ×(columns+1) through one shuffle — measured ~30% slower at sf0.1
-    and far worse at scale, where the Expand is columns× the table's
-    shuffle IO).  At 100 TB swap the exact distincts for
-    approx_count_distinct — one pass, no per-column subtrees at all."""
+    Two strategies by table class (same exact answers, same oracle):
+
+    * FACT tables (lineitem/orders/events): the row-count/null-sums
+      ride one aggregate and each column's EXACT distinct count is its
+      own scan→distinct→count subtree, composed back with 1-row cross
+      joins.  The classic single-aggregate multi-distinct form Expands
+      the table ×(columns+1) through one shuffle — columns× the fact
+      table's shuffle IO at scale; the subtrees shuffle only each
+      column's partial-aggregated distinct sets.
+    * DIM/small tables: the multi-distinct Expand IS the right plan —
+      one shuffle of a small table beats per-column shuffle floors.
+
+    At 100 TB swap the exact distincts for approx_count_distinct —
+    one pass, no Expand and no subtrees."""
+    fact_tables = {"lineitem", "orders", "events"}
     out = None
     for t, cols in _PROFILE_COLS:
         df = _t(spark, sf_dir, t)
@@ -5374,15 +5393,20 @@ def q_catalog_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col(c).isNull(), 1.0).otherwise(0.0)
                 ).alias(f"__null_{c}")
             )
-        one = df.agg(*aggs)
-        for c in cols:
-            # count(col) over the distinct frame skips the NULL group,
-            # matching COUNT(DISTINCT c)
-            one = one.crossJoin(
-                df.select(c)
-                .distinct()
-                .agg(F.count(F.col(c)).alias(f"__dist_{c}"))
-            )
+        if t in fact_tables:
+            one = df.agg(*aggs)
+            for c in cols:
+                # count(col) over the distinct frame skips the NULL
+                # group, matching COUNT(DISTINCT c)
+                one = one.crossJoin(
+                    df.select(c)
+                    .distinct()
+                    .agg(F.count(F.col(c)).alias(f"__dist_{c}"))
+                )
+        else:
+            for c in cols:
+                aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
+            one = df.agg(*aggs)
         # one stack() per table reshapes the single agg row to
         # per-column rows in ONE plan branch (a per-column select-union
         # would re-evaluate the aggregate once per column)

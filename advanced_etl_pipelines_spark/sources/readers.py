@@ -87,10 +87,33 @@ def cache_sf_tables(
     from pyspark import StorageLevel
 
     t0 = time.perf_counter()
+    cores = spark.sparkContext.defaultParallelism
     for name in tables or SF_TABLES:
-        df = read_table(spark, f"{sf_dir}/{name}.parquet").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        path = f"{sf_dir}/{name}.parquet"
+        df = read_table(spark, path)
+        # A single-file table scans (and therefore caches) as ONE
+        # partition, serializing every downstream map-side operator on
+        # it — repartition by on-disk size (~8 MB per cached partition,
+        # capped at core count) so the cache parallelizes the sweep
+        # instead of bottlenecking it.
+        try:
+            bytes_ = sum(
+                os.path.getsize(os.path.join(d, f))
+                for d, _, fs in os.walk(path)
+                for f in fs
+            ) if os.path.isdir(path) else os.path.getsize(path)
+        except OSError:
+            bytes_ = 0
+        # rows matter as much as bytes: 5 MB of documents is hours of
+        # per-row fold work (minhash/simhash/tokenize), so a pure byte
+        # rule would leave the most compute-heavy operators single-core.
+        # The pre-persist count is metadata-only on parquet (footer row
+        # counts), not a scan.
+        rows = df.count()
+        want = max(1, min(cores, max(bytes_ // (8 << 20), rows // 500)))
+        if df.rdd.getNumPartitions() < want:
+            df = df.repartition(want)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
         df.count()
         _TABLE_CACHE[(sf_dir, name)] = df
     return time.perf_counter() - t0

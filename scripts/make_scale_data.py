@@ -118,7 +118,11 @@ def main() -> None:
                 f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'"
             ).fetchall()
         ]
-        selects = []
+        # one parquet FILE per copy under a directory: Spark assigns scan
+        # splits per file/byte-range, so a single big file caps the scan
+        # (and everything cached from it) at 1-2 tasks — the first sf1
+        # sweep ran text queries single-threaded because of exactly this
+        os.makedirs(f"{out}/{t}.parquet", exist_ok=True)
         for i in range(k):
             proj = ", ".join(
                 f"{c} + {i * strides[cols[c]]} AS {c}"
@@ -126,14 +130,15 @@ def main() -> None:
                 else (mutate(t, c, i) or c)
                 for c in src_cols
             )
-            selects.append(f"SELECT {proj} FROM '{SRC}/{t}.parquet'")
-        union = " UNION ALL ".join(selects)
-        con.sql(
-            f"COPY ({union}) TO '{out}/{t}.parquet' "
-            "(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
-        )
-        (n,) = con.sql(f"SELECT COUNT(*) FROM '{out}/{t}.parquet'").fetchone()
-        print(f"{t}: {n} rows (x{k})")
+            con.sql(
+                f"COPY (SELECT {proj} FROM '{SRC}/{t}.parquet') TO "
+                f"'{out}/{t}.parquet/copy{i:03d}.parquet' "
+                "(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+            )
+        (n,) = con.sql(
+            f"SELECT COUNT(*) FROM '{out}/{t}.parquet/*.parquet'"
+        ).fetchone()
+        print(f"{t}: {n} rows (x{k}, {k} files)")
 
 
 if __name__ == "__main__":
