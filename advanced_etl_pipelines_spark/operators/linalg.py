@@ -310,5 +310,12 @@ def kcenter_select(
         nxt_vec = list(agg["far"]["v"])
         cur = cur.withColumn(
             "d2", F.least(F.col("d2"), sqdist_to(nxt_vec))
-        ).localCheckpoint()
+        )
+        # checkpoint every 4th round, not every round: each skipped
+        # checkpoint leaves <= 3 stacked least() layers (per-row
+        # arithmetic, no shuffle) for the next agg to recompute, and
+        # drops an eager materialization job — k-round driver loops pay
+        # per-job latency k times, so this is a 4x cut of the fixed cost
+        if rank % 4 == 0:
+            cur = cur.localCheckpoint()
     return out
