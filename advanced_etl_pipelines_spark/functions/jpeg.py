@@ -151,7 +151,15 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
 
 
 def _build_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """Canonical Huffman: (length, code) -> symbol."""
+    """Canonical Huffman: (length, code) -> symbol.  Memoized on the
+    table spec — decoding a corpus of same-encoder images (one DHT per
+    file) otherwise rebuilds identical dicts per image."""
+    return _build_decode_cached(tuple(bits), tuple(vals))
+
+
+def _build_decode_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[tuple[int, int], int]:
     table: dict[tuple[int, int], int] = {}
     code, k = 0, 0
     for length in range(1, 17):
@@ -161,6 +169,11 @@ def _build_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int
             code += 1
         code <<= 1
     return table
+
+
+from functools import lru_cache as _lru_cache  # noqa: E402
+
+_build_decode_cached = _lru_cache(maxsize=64)(_build_decode_cached)
 
 
 # ---------------------------------------------------------------- encoder
