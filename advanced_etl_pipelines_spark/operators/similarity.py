@@ -486,12 +486,26 @@ def pq_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", adc.alias("adc"))
     )
+    # Two-level shortlist rank (the top_k_global shape): prune per
+    # (query, scan partition) first, so the per-query ranking window
+    # sorts <= shortlist x n_partitions survivors instead of the whole
+    # compressed scan — the shuffled ADC row count stops scaling with
+    # corpus size.
+    budget = shortlist_factor * k
+    wlocal = Window.partitionBy(
+        "query_id", F.spark_partition_id()
+    ).orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    pruned = (
+        scored.withColumn("__lrnk", F.row_number().over(wlocal))
+        .where(F.col("__lrnk") <= budget)
+        .drop("__lrnk")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id")
     )
     shortlist = (
-        scored.withColumn("srank", F.row_number().over(w))
-        .where(F.col("srank") <= shortlist_factor * k)
+        pruned.withColumn("srank", F.row_number().over(w))
+        .where(F.col("srank") <= budget)
         .select("query_id", "neighbor_id")
     )
 

@@ -1104,7 +1104,10 @@ def q_association_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics only get better).  All metrics are exact integer ratios,
     so cross-engine parity is arithmetic, not accumulation-order."""
     li = _t(spark, sf_dir, "lineitem")
-    item = li.select("l_orderkey", "l_partkey").distinct()
+    # the distinct basket-item frame feeds the order count, the item
+    # counts AND both sides of the pair self-join — persist so the
+    # full-table distinct shuffle runs once, not four times
+    item = li.select("l_orderkey", "l_partkey").distinct().persist()
     n = item.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     icnt = item.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     a, b = item.alias("a"), item.alias("b")
@@ -3120,9 +3123,12 @@ def q_item_item_similarity_topk(
     sort over the pair space."""
     from advanced_etl_pipelines_spark.operators.scale import top_k_global
 
+    # the distinct basket frame feeds both self-join sides and the
+    # degree aggregate — persist so its shuffle runs once (same rule as
+    # association_rules_pairs / degree_assortativity, sf1-measured)
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
-    ).distinct()
+    ).distinct().persist()
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(b, "l_orderkey")
@@ -3818,14 +3824,17 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoffs = [10, 50, 100, 500, 1000]
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(T.word_tokens("text")).alias("token"))
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # vocab feeds the totals AND the top-k ranking, and ranked feeds one
+    # slice per cutoff — persist both so the corpus tokenizes once and
+    # the rank prune runs once, not once per curve point
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).persist()
     tot = vocab.agg(
         F.sum("cnt").alias("n_tokens"),
         F.count(F.lit(1)).alias("v_size"),
     )
     ranked = top_k_global(
         vocab, [F.desc("cnt"), F.asc("token")], max(cutoffs)
-    )
+    ).persist()
     curve = None
     for v in cutoffs:
         c = (
@@ -3900,10 +3909,14 @@ def q_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(T.word_ngrams(F.col("toks"), 2)).alias("bigram"),
     )
-    ctx = bg.withColumn("w1", F.split("bigram", " ")[0]).withColumn(
-        "w2", F.split("bigram", " ")[1]
+    # ctx feeds all four count frames AND the scoring join — persist so
+    # the corpus tokenizes + explodes once, not once per consumer
+    ctx = (
+        bg.withColumn("w1", F.split("bigram", " ")[0])
+        .withColumn("w2", F.split("bigram", " ")[1])
+        .persist()
     )
-    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c2 = ctx.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
     c1 = ctx.groupBy("w1").agg(
         F.count(F.lit(1)).alias("n1"),
         F.countDistinct("w2").alias("nfoll"),
@@ -5290,11 +5303,14 @@ def q_lang_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c"),
     ).where(F.col("c") != "")
-    cnt = ch.groupBy("lang", "c").agg(F.count(F.lit(1)).alias("n"))
+    # the char-explode aggregate feeds totals and the probability frame
+    # (itself joined twice, a/b sides) — persist so the corpus-wide
+    # explode runs once; the persisted frames are langs x alphabet rows
+    cnt = ch.groupBy("lang", "c").agg(F.count(F.lit(1)).alias("n")).persist()
     tot = cnt.groupBy("lang").agg(F.sum("n").alias("tn"))
     p = cnt.join(F.broadcast(tot), "lang").select(
         "lang", "c", (F.col("n") * 1.0 / F.col("tn")).alias("p")
-    )
+    ).persist()
     a = p.select(
         F.col("lang").alias("lang_a"),
         F.col("c").alias("ca"),

@@ -802,14 +802,23 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole classifier is oracle-checked."""
     docs = _t(spark, sf_dir, "documents")
     n_docs_total = docs.count()
-    tok = docs.select(
-        "doc_id", "lang", F.explode(T.word_tokens("text")).alias("token")
+    # tokenize ONCE: the token stream feeds the vocab build, the scoring
+    # stream AND the per-class counts — persisting the pre-explode array
+    # frame keeps the regexp tokenizer to a single corpus pass while the
+    # (cheap) explode re-runs per consumer.  vocab likewise persists:
+    # two broadcasts + a count would otherwise recompute the full
+    # token aggregate three times.
+    toks = docs.select(
+        "doc_id", "lang", T.word_tokens("text").alias("toks")
+    ).persist()
+    tok = toks.select(
+        "doc_id", "lang", F.explode("toks").alias("token")
     )
     vocab = S.top_k_global(
         tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")),
         [F.desc("cnt"), F.asc("token")],
         2000,
-    ).select("token")
+    ).select("token").persist()
     langs = docs.select("lang").distinct().withColumnRenamed("lang", "cand")
     dt = tok.join(F.broadcast(vocab), "token").select(
         "doc_id", F.col("lang").alias("actual"), "token"
@@ -818,6 +827,7 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(F.broadcast(vocab), "token")
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
     totals = counts.groupBy("lang").agg(F.sum("cnt").alias("tot"))
     vsize = vocab.count()

@@ -434,9 +434,12 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(word_tokens("text").alias("t"))
+    # tokenize once: the token-array frame feeds BOTH the unigram and
+    # the bigram streams, and the unigram count table joins in twice
+    # (w1/w2 sides) — persist both so neither recomputes per consumer
+    toks = docs.select(word_tokens("text").alias("t")).persist()
     uni = toks.select(F.explode("t").alias("w"))
-    u = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    u = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist()
     n_uni = u.agg(F.sum("c").alias("n"))
 
     bigrams = toks.select(

@@ -2,10 +2,12 @@
 to an accumulating JSON file, so very long sweeps (sf1+) fit inside
 bounded process lifetimes.  Usage:
 
-    python scripts/bench_chunk.py <sf_dir> <out_json> <start> <stop>
+    python scripts/bench_chunk.py <sf_dir> <out_json> <start> <stop> [runs]
 
-Queries are taken in sorted-name order [start, stop).  Single run per
-query (no best-of-N) — the scaling-curve rows note this.
+Queries are taken in sorted-name order [start, stop).  ``runs`` (default
+1) records best-of-N per query — bench.py's best-of-2 convention
+excludes the one-time plan/codegen compile, which at sf1 can be 5-10x
+the steady-state execution.
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     sf_dir, out_path = sys.argv[1], sys.argv[2]
     start, stop = int(sys.argv[3]), int(sys.argv[4])
+    runs = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     from advanced_etl_pipelines_spark.session import get_spark
     from advanced_etl_pipelines_spark.sources.readers import cache_sf_tables
@@ -41,10 +44,13 @@ def main() -> None:
     acc["cache_secs"].append(round(cache_sec, 3))
 
     for name in names:
-        t0 = time.perf_counter()
         try:
-            queries[name](spark, sf_dir).collect()
-            acc["queries"][name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            acc["queries"][name] = round(best, 3)
         except Exception as ex:  # noqa: BLE001 — record, keep sweeping
             acc["queries"][name] = f"ERROR {str(ex)[:120]}"
         with open(out_path, "w") as f:
