@@ -261,7 +261,10 @@ def k_core(
             .join(
                 keep.select(F.col("a").alias("b")), "b", "left_semi"
             )
-            .localCheckpoint()
+            # lazy: the fixpoint count below is the round's ONE action —
+            # it materializes + persists the frame in the same job
+            # (eager would run a second job per peel round)
+            .localCheckpoint(eager=False)
         )
         n_nxt = nxt.count()
         if n_nxt == n_cur:
