@@ -24,6 +24,9 @@ from pyspark.sql.window import Window
 
 from advanced_etl_pipelines_spark.functions.text import word_ngrams, word_tokens
 from advanced_etl_pipelines_spark.functions.vectors import as_double
+from advanced_etl_pipelines_spark.operators.caching import (
+    tracked_persist,
+)
 
 
 def normalize_text(c: Column | str) -> Column:
@@ -137,7 +140,7 @@ def minhash_near_dups(
     # this persist becomes a materialized signature table on disk.
     base = minhash_signature_frame(
         df, text_col, id_col, num_perm, shingle_n
-    ).persist()
+    ).transform(tracked_persist)
     # Slim (id, band, band_hash) rows for the bucket join — signatures are
     # NOT carried through the shuffle.
     banded = base.select(
@@ -264,7 +267,7 @@ def minhash_portable_pairs(
     rows = num_perm // bands
     base = minhash_portable_signature_frame(
         df, text_col, id_col, num_perm, shingle_n
-    ).persist()
+    ).transform(tracked_persist)
     banded = base.select(
         "id",
         F.posexplode(

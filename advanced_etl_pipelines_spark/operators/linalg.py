@@ -285,24 +285,49 @@ def kcenter_select(
         raise ValueError("kcenter_select: empty input")
     chosen_id, chosen_vec = first[0]["id"], list(first[0]["v"])
 
+    # Size the working frame's partitions from the data, not the session
+    # default (same convention as graph.pagerank's small_parts): a
+    # k-round driver loop pays per-task scheduling k times per stage, so
+    # near-empty tasks dominate small inputs — at sf0.1 the 2,000-row
+    # frame on 32 partitions spent ~half of every agg on empty-task
+    # overhead.  coalesce (never a shuffle) only reduces: ~32 MB per
+    # partition, capped at session parallelism; at 100 TB the estimate
+    # exceeds the existing partition count and this is a no-op.
+    n_rows = src.count()
+    bytes_est = n_rows * 8 * (len(chosen_vec) + 2)
+    want = min(
+        int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        ),
+        int(bytes_est // (32 << 20)) + 1,
+    )
+    if want < src.rdd.getNumPartitions():
+        src = src.coalesce(max(1, want))
+
     def sqdist_to(vec: list[float]):
-        lit = F.array(*[F.lit(float(x)) for x in vec])
-        return F.aggregate(
-            F.zip_with(F.col("v"), lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        # ONE py4j call: build the whole fold as a SQL string and let
+        # the JVM parse it.  The column-API form (F.array of d literals
+        # + two HOF lambdas) cost ~70 py4j round-trips PER ROUND — at
+        # k=16 rounds that driver-side chatter was ~1/3 of wall time at
+        # sf0.1 (2,000 x 64 vectors: compute is negligible, the loop is
+        # pure fixed cost).  repr() keeps full float precision.
+        arr = ",".join(repr(float(x)) + "d" for x in vec)
+        return F.expr(
+            "aggregate(zip_with(v, array({}), (a, b) -> (a-b)*(a-b)),"
+            " 0d, (acc, x) -> acc + x)".format(arr)
         )
 
+    agg_cols = [
+        F.max("d2").alias("radius"),
+        F.max_by(
+            F.struct("id", "v"),
+            F.struct(F.col("d2"), -F.col("id")),
+        ).alias("far"),
+    ]
     cur = src.withColumn("d2", sqdist_to(chosen_vec)).localCheckpoint()
     out = []
     for rank in range(1, k + 1):
-        agg = cur.agg(
-            F.max("d2").alias("radius"),
-            F.max_by(
-                F.struct("id", "v"),
-                F.struct(F.col("d2"), -F.col("id")),
-            ).alias("far"),
-        ).collect()[0]
+        agg = cur.agg(*agg_cols).collect()[0]
         out.append((rank, int(chosen_id), float(agg["radius"])))
         if rank == k:
             break

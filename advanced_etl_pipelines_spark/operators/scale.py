@@ -224,11 +224,17 @@ def global_running_sums(
     # paying the aggregation twice (round-2 VERDICT item 4's measured
     # constant factor).  With the input persisted, the sampling pass
     # populates the blocks and the shuffle re-reads them.  MEMORY_AND_DISK
-    # spills rather than OOMs at scale; the blocks are released by the
-    # ContextCleaner when the frame goes out of scope.
-    from pyspark import StorageLevel
+    # spills rather than OOMs at scale; the persist is TRACKED because
+    # CacheManager entries are only released by an explicit unpersist
+    # (never by scope/GC) — sweep drivers call
+    # ``caching.release_tracked_caches`` between queries so repeated
+    # invocations of this hot helper do not pin one corpus-sized copy
+    # per call for the session lifetime.
+    from advanced_etl_pipelines_spark.operators.caching import (
+        tracked_persist,
+    )
 
-    src = df.persist(StorageLevel.MEMORY_AND_DISK)
+    src = tracked_persist(df)
     d = (
         src.repartitionByRange(n_parts, *order_cols)
         .withColumn("__pid", F.spark_partition_id())

@@ -48,11 +48,14 @@ def asof_join(
 
     ``right`` must be unique per (key, right_ts); if it may not be,
     pass ``tiebreak`` — the winner among same-(key, ts) right rows is
-    the one with the MAX tiebreak value (``max_by``), making the match
-    deterministic (ADVICE.md round 2: without it a duplicate timestamp
-    returns whichever row the partition happened to order last).  The
-    dedupe rides the same exchange the as-of window needs, so it adds
-    an aggregate but no extra shuffle pattern.
+    the one with the MAX (tiebreak, payload) pair, compared
+    lexicographically via ``max_by`` on a struct (ADVICE.md round 2 /
+    round 3: ``max_by`` on the tiebreak alone still left rows with
+    EQUAL tiebreak values partition-order-dependent; folding the
+    payload struct into the comparison key makes the residual ties
+    resolve by payload ordering, so the match is fully deterministic
+    for any input).  The dedupe rides the same exchange the as-of
+    window needs, so it adds an aggregate but no extra shuffle pattern.
     """
     pay = F.struct(*[F.col(c) for c in payload])
     r = right.select(
@@ -71,7 +74,11 @@ def asof_join(
                 tb.alias("__tb"),
             )
             .groupBy("__k", "__ts")
-            .agg(F.max_by("__pay0", "__tb").alias("__pay"))
+            .agg(
+                F.max_by(
+                    "__pay0", F.struct(F.col("__tb"), F.col("__pay0"))
+                ).alias("__pay")
+            )
             .select("__k", "__ts", F.lit(0).alias("__tag"), "__pay")
         )
     l = left.select(

@@ -22,6 +22,9 @@ from advanced_etl_pipelines_spark.functions import text as T
 from advanced_etl_pipelines_spark.operators.dedup import POLY_P, poly_hash
 from advanced_etl_pipelines_spark.operators.sampling import KNUTH, MOD
 from advanced_etl_pipelines_spark.plans.registry import _t, query, r2, r4
+from advanced_etl_pipelines_spark.operators.caching import (
+    tracked_persist,
+)
 
 # DuckDB twins of the shared engine-portable primitives.
 _TOKENS_SQL = (
@@ -211,7 +214,7 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
         )
         .distinct()
-        .persist()
+        .transform(tracked_persist)
     )
     nodes = (
         pairs.select(F.col("s").alias("node"))
@@ -237,7 +240,7 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(keep_fwd, F.col("s")).otherwise(F.col("d")).alias("s"),
             F.when(keep_fwd, F.col("d")).otherwise(F.col("s")).alias("d"),
         )
-        .persist()
+        .transform(tracked_persist)
     )
     # edge-iterator with out-adjacency arrays: each triangle a<b<c (in
     # the total order) is counted exactly once, at its lowest edge
@@ -1107,7 +1110,7 @@ def q_association_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the distinct basket-item frame feeds the order count, the item
     # counts AND both sides of the pair self-join — persist so the
     # full-table distinct shuffle runs once, not four times
-    item = li.select("l_orderkey", "l_partkey").distinct().persist()
+    item = li.select("l_orderkey", "l_partkey").distinct().transform(tracked_persist)
     n = item.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     icnt = item.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     a, b = item.alias("a"), item.alias("b")
@@ -2332,7 +2335,7 @@ def q_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
         )
         .distinct()
-        .persist()
+        .transform(tracked_persist)
     )
     nodes = (
         pairs.select(F.col("s").alias("node"))
@@ -2352,7 +2355,7 @@ def q_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(keep_fwd, F.col("s")).otherwise(F.col("d")).alias("s"),
             F.when(keep_fwd, F.col("d")).otherwise(F.col("s")).alias("d"),
         )
-        .persist()
+        .transform(tracked_persist)
     )
     adj = oriented.groupBy("s").agg(F.collect_list("d").alias("adj"))
     witnessed = (
@@ -2368,7 +2371,7 @@ def q_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s", "d", F.array_intersect("adj_u", "adj_v").alias("ws")
         )
         .where(F.size("ws") > 0)
-        .persist()
+        .transform(tracked_persist)
     )
     corners = (
         witnessed.select(F.explode("ws").alias("node"), F.lit(1).alias("c"))
@@ -3128,7 +3131,7 @@ def q_item_item_similarity_topk(
     # association_rules_pairs / degree_assortativity, sf1-measured)
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
-    ).distinct().persist()
+    ).distinct().transform(tracked_persist)
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(b, "l_orderkey")
@@ -3827,14 +3830,14 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab feeds the totals AND the top-k ranking, and ranked feeds one
     # slice per cutoff — persist both so the corpus tokenizes once and
     # the rank prune runs once, not once per curve point
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).transform(tracked_persist)
     tot = vocab.agg(
         F.sum("cnt").alias("n_tokens"),
         F.count(F.lit(1)).alias("v_size"),
     )
     ranked = top_k_global(
         vocab, [F.desc("cnt"), F.asc("token")], max(cutoffs)
-    ).persist()
+    ).transform(tracked_persist)
     curve = None
     for v in cutoffs:
         c = (
@@ -3914,7 +3917,7 @@ def q_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = (
         bg.withColumn("w1", F.split("bigram", " ")[0])
         .withColumn("w2", F.split("bigram", " ")[1])
-        .persist()
+        .transform(tracked_persist)
     )
     c2 = ctx.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
     c1 = ctx.groupBy("w1").agg(
@@ -4399,7 +4402,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("d"),
         )
         .distinct()
-        .persist()
+        .transform(tracked_persist)
     )
     nodes = (
         pairs.select(F.col("s").alias("node"))
@@ -4864,7 +4867,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = (
         QUERIES["knn_bruteforce_cosine"](spark, sf_dir)
         .select("query_id", "neighbor_id")
-        .persist()
+        .transform(tracked_persist)
     )
     out = None
     for method, fn in [("lsh", lsh), ("ivf", ivf), ("pq", pq)]:
@@ -4938,7 +4941,7 @@ def q_topk_churn_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 20)
         .select("month", "l_partkey")
-        .persist()
+        .transform(tracked_persist)
     )
     months = top.select("month").distinct()
     wm = Window.orderBy("month")
@@ -5306,11 +5309,11 @@ def q_lang_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the char-explode aggregate feeds totals and the probability frame
     # (itself joined twice, a/b sides) — persist so the corpus-wide
     # explode runs once; the persisted frames are langs x alphabet rows
-    cnt = ch.groupBy("lang", "c").agg(F.count(F.lit(1)).alias("n")).persist()
+    cnt = ch.groupBy("lang", "c").agg(F.count(F.lit(1)).alias("n")).transform(tracked_persist)
     tot = cnt.groupBy("lang").agg(F.sum("n").alias("tn"))
     p = cnt.join(F.broadcast(tot), "lang").select(
         "lang", "c", (F.col("n") * 1.0 / F.col("tn")).alias("p")
-    ).persist()
+    ).transform(tracked_persist)
     a = p.select(
         F.col("lang").alias("lang_a"),
         F.col("c").alias("ca"),
@@ -5648,7 +5651,7 @@ def q_quality_ppl_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tk = docs.select(
         "doc_id", "lang", T.word_tokens("text").alias("toks")
-    ).persist()
+    ).transform(tracked_persist)
     q = tk.select(
         "doc_id",
         "lang",
@@ -6947,7 +6950,7 @@ def q_brand_cannibalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
-        .persist()
+        .transform(tracked_persist)
     )
     n = li.agg(
         F.countDistinct("l_orderkey").alias("n_orders")

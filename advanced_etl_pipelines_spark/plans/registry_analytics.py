@@ -18,6 +18,9 @@ from pyspark.sql.window import Window
 from advanced_etl_pipelines_spark.functions import text as T
 from advanced_etl_pipelines_spark.operators import scale as S
 from advanced_etl_pipelines_spark.plans.registry import _t, query, r2, r4
+from advanced_etl_pipelines_spark.operators.caching import (
+    tracked_persist,
+)
 
 
 @query(
@@ -810,7 +813,7 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token aggregate three times.
     toks = docs.select(
         "doc_id", "lang", T.word_tokens("text").alias("toks")
-    ).persist()
+    ).transform(tracked_persist)
     tok = toks.select(
         "doc_id", "lang", F.explode("toks").alias("token")
     )
@@ -818,7 +821,7 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")),
         [F.desc("cnt"), F.asc("token")],
         2000,
-    ).select("token").persist()
+    ).select("token").transform(tracked_persist)
     langs = docs.select("lang").distinct().withColumnRenamed("lang", "cand")
     dt = tok.join(F.broadcast(vocab), "token").select(
         "doc_id", F.col("lang").alias("actual"), "token"
@@ -827,7 +830,7 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(F.broadcast(vocab), "token")
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
+        .transform(tracked_persist)
     )
     totals = counts.groupBy("lang").agg(F.sum("cnt").alias("tot"))
     vsize = vocab.count()

@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 from advanced_etl_pipelines_spark.functions import text as T
 from advanced_etl_pipelines_spark.operators import sampling as SA
 from advanced_etl_pipelines_spark.plans.registry import _t, query, r4
+from advanced_etl_pipelines_spark.operators.caching import (
+    tracked_persist,
+)
 
 # DuckDB twin of operators/sampling.py::unit_hash
 _UNIT_HASH_SQL = (
@@ -437,9 +440,9 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize once: the token-array frame feeds BOTH the unigram and
     # the bigram streams, and the unigram count table joins in twice
     # (w1/w2 sides) — persist both so neither recomputes per consumer
-    toks = docs.select(word_tokens("text").alias("t")).persist()
+    toks = docs.select(word_tokens("text").alias("t")).transform(tracked_persist)
     uni = toks.select(F.explode("t").alias("w"))
-    u = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist()
+    u = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")).transform(tracked_persist)
     n_uni = u.agg(F.sum("c").alias("n"))
 
     bigrams = toks.select(

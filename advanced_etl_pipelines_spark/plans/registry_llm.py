@@ -25,6 +25,9 @@ from advanced_etl_pipelines_spark.operators import multimodal as M
 from advanced_etl_pipelines_spark.operators import scale as SC
 from advanced_etl_pipelines_spark.operators import similarity as S
 from advanced_etl_pipelines_spark.plans.registry import _t, query, r4
+from advanced_etl_pipelines_spark.operators.caching import (
+    tracked_persist,
+)
 
 _EMB_DIM: dict[str, int] = {}
 
@@ -346,7 +349,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``simhash_frame``, pinned by tests).  Output: one row per doc with
     >= 3 tokens, its simhash, and its near-dup count."""
     docs = _t(spark, sf_dir, "documents")
-    base = D.simhash_portable_frame(docs, "text", "doc_id").persist()
+    base = D.simhash_portable_frame(docs, "text", "doc_id").transform(tracked_persist)
     sims = base.withColumnsRenamed({"id": "doc_id", "sh": "simhash"})
     pairs = D.simhash_portable_near_dups(
         docs, "text", "doc_id", max_hamming=3, sim=base
@@ -428,7 +431,7 @@ def q_semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(assign, "id")
         .withColumn("n", V.l2_norm(F.col("v")))
-        .persist()
+        .transform(tracked_persist)
     )
     l, r = base.alias("l"), base.alias("r")
     denom = F.col("l.n") * F.col("r.n")

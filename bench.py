@@ -78,6 +78,17 @@ def main() -> None:
                 build_s[name] = round(t1 - t0, 3)
                 exec_s[name] = round(t2 - t1, 3)
         timings[name] = round(best, 3)
+        # Release intermediates the query pinned via tracked_persist —
+        # between queries, not between the best-of-N runs of one query
+        # (warm reruns legitimately share a query's own caches, same as
+        # r3 methodology).  Without this a 289-query sweep accumulates
+        # every persisted intermediate in the CacheManager until the
+        # session ends (ADVICE r3, medium).
+        from advanced_etl_pipelines_spark.operators.caching import (
+            release_tracked_caches,
+        )
+
+        release_tracked_caches()
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:

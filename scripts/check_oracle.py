@@ -5,7 +5,11 @@ on DuckDB over the same parquet tables, then compares row count, sorted
 column names, and an order-insensitive value multiset (floats rounded to
 counteract representation noise — the queries themselves already round).
 
-Usage:  python scripts/check_oracle.py [sf_dir] [query ...]
+Usage:  python scripts/check_oracle.py [--json out.json] [sf_dir] [query ...]
+
+``--json`` writes a per-query artifact (status, rows, seconds) — used
+for the sf1 answer-correctness gate (round-3 VERDICT item 1), whose
+results land in CORRECTNESS_sf1.json + BASELINE.md.
 """
 
 from __future__ import annotations
@@ -47,8 +51,13 @@ def row_multiset(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from advanced_etl_pipelines_spark.session import get_spark
@@ -60,9 +69,23 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    from advanced_etl_pipelines_spark.operators.caching import (
+        release_tracked_caches,
+    )
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    records: dict[str, dict] = {}
+
+    def record(name, status, rows, t0):
+        records[name] = {
+            "status": status,
+            "rows": rows,
+            "sec": round(time.time() - t0, 2),
+        }
+        release_tracked_caches()
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -73,13 +96,17 @@ def main() -> int:
             srows = sdf.collect()
         except Exception as e:
             failures.append(name)
+            record(name, "fail:spark-error", 0, t0)
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
             print(f"rowsonly {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
             if len(srows) == 0:
                 failures.append(name)
+                record(name, "fail:zero-rows", 0, t0)
                 print(f"FAIL  {name}: zero rows")
+            else:
+                record(name, "rowsonly", len(srows), t0)
             continue
         try:
             res = con.execute(oracles[name])
@@ -87,6 +114,7 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as e:
             failures.append(name)
+            record(name, "fail:duckdb-error", len(srows), t0)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         ok = True
@@ -105,12 +133,32 @@ def main() -> int:
                 diff_d = list((dm - sm).items())[:3]
                 print(f"FAIL  {name}: value mismatch\n  spark-only: {diff_s}\n  duck-only:  {diff_d}")
         if ok:
+            record(name, "ok", len(srows), t0)
             print(f"OK    {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
         else:
             failures.append(name)
+            record(name, "fail:mismatch", len(srows), t0)
 
     n_run = len(only) if only else len(qs)
     print(f"\n{n_run - len(failures)}/{n_run} passed")
+    if json_out:
+        import json as _json
+
+        ok_n = sum(1 for r in records.values() if r["status"] == "ok")
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_run": n_run,
+                    "n_passed": n_run - len(failures),
+                    "n_oracle_ok": ok_n,
+                    "failures": sorted(failures),
+                    "queries": records,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     return 1 if failures else 0
 
 
