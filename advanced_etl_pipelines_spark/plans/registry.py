@@ -40,6 +40,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE_SQL: dict[str, str] = {}
+SF_PINNED_ORACLES: set[str] = set()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -53,13 +54,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_sf_table(spark, sf_dir, name)
 
 
-def query(name: str, oracle: str | None = None):
-    """Register a query and (optionally) its DuckDB oracle SQL."""
+def query(
+    name: str, oracle: str | None = None, sf_pinned: bool = False
+):
+    """Register a query and (optionally) its DuckDB oracle SQL.
+
+    ``sf_pinned=True`` marks an oracle whose SQL encodes an
+    expected-output frame computed at the driver's sf0.01 (a VALUES
+    literal for a deterministic-but-not-SQL-expressible computation,
+    e.g. an eigendecomposition).  The driver gate always runs at
+    sf0.01, where such oracles are exact; scale-gate runners
+    (scripts/check_oracle.py at sf1) must fall back to a rows-only
+    check for them — SF_PINNED_ORACLES is that list.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle
+            if sf_pinned:
+                SF_PINNED_ORACLES.add(name)
         return fn
 
     return deco

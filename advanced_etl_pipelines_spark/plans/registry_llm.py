@@ -778,7 +778,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode")  # real PNG decode in the seam — rows-only
+@query(
+    "multimodal_decode",
+    """
+    SELECT CAST(24 + doc_id % 8 AS INT) AS width,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           ROUND(1e-9 + AVG(16 + doc_id % 5), 4) AS avg_height,
+           CAST(SUM((24 + doc_id % 8) * (16 + doc_id % 5)) AS BIGINT)
+             AS total_pixels
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
 def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode end-to-end: every document row gets an actual
     encoded PNG (id-seeded gradient, varying dimensions), and
@@ -788,16 +798,25 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     raised NotImplementedError (VERDICT.md item 7); the strict path now
     performs a full zlib-inflate + defilter pixel decode, so wrong
     dimensions or corrupt bytes fail loudly.  Output aggregates decoded
-    dimensions per width bucket — stable row count, exercises every blob."""
+    dimensions per width bucket — stable row count, exercises every blob.
+
+    Oracle-checked (round-3 VERDICT item 3, previously rows-only): the
+    aggregates use only DECODER-DERIVED width/height, and the encoder
+    seeds dimensions as (24 + id%8, 16 + id%5) — so DuckDB replays the
+    arithmetic over doc_id and any decode that returns wrong dimensions
+    hash-mismatches.  Dynamic SQL: valid at every sf, not pinned to a
+    fixture answer."""
     docs = _t(spark, sf_dir, "documents")
     media = M.attach_png_media(docs, "doc_id")
     meta = M.decode_media_meta(media, strict=True)
     return (
         meta.groupBy("width")
         .agg(
-            F.count(F.lit(1)).alias("n_images"),
-            F.avg("height").alias("avg_height"),
-            F.sum("n_bytes").alias("total_bytes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            r4(F.avg("height")).alias("avg_height"),
+            F.sum(F.col("width") * F.col("height"))
+            .cast("bigint")
+            .alias("total_pixels"),
         )
         .orderBy("width")
     )
@@ -912,7 +931,17 @@ def q_multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_jpeg")  # real baseline-JPEG decode — rows-only
+@query(
+    "multimodal_decode_jpeg",
+    """
+    SELECT CAST(24 + doc_id % 8 AS INT) AS width,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           ROUND(1e-9 + AVG(16 + doc_id % 5), 4) AS avg_height,
+           CAST(SUM((24 + doc_id % 8) * (16 + doc_id % 5)) AS BIGINT)
+             AS total_pixels
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
 def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG decode end-to-end (round-2 VERDICT item 5): every doc
     row gets an actual baseline JFIF blob (id-seeded gradient, 4:2:0
@@ -921,16 +950,25 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDCTs and upsamples it back through the pure-numpy codec
     (``functions/jpeg.py``; PIL takes over when installed).  Same
     output shape as ``multimodal_decode``'s PNG path: decoded
-    dimensions aggregated per width bucket, every blob exercised."""
+    dimensions aggregated per width bucket, every blob exercised.
+
+    Oracle-checked the same way as ``multimodal_decode`` (round-3
+    VERDICT item 3): decoder-derived dimensions vs DuckDB's replay of
+    the encoder's (24 + id%8, 16 + id%5) seeding — JPEG stores
+    dimensions in SOF0, so a broken entropy decode/IDCT that still
+    parses headers is additionally pinned by the phash queries and
+    tests/test_multimodal.py's pixel-value assertions."""
     docs = _t(spark, sf_dir, "documents")
     media = M.attach_jpeg_media(docs, "doc_id", subsampling="420")
     meta = M.decode_media_meta(media, strict=True)
     return (
         meta.groupBy("width")
         .agg(
-            F.count(F.lit(1)).alias("n_images"),
-            F.avg("height").alias("avg_height"),
-            F.sum("n_bytes").alias("total_bytes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            r4(F.avg("height")).alias("avg_height"),
+            F.sum(F.col("width") * F.col("height"))
+            .cast("bigint")
+            .alias("total_pixels"),
         )
         .orderBy("width")
     )

@@ -498,8 +498,16 @@ def q_reaggregate_daily_to_monthly(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query("hll_sketch_rollup")  # sketch estimates — rows-only; accuracy vs
-# exact distinct counts pinned in tests/test_sampling.py
+@query(
+    "hll_sketch_rollup",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup: one HyperLogLog sketch of user_id per
     (event_type, day), then per-type distinct-user estimates from
@@ -507,19 +515,38 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch twin of reaggregate_daily_to_monthly: approx_count_distinct
     alone cannot be re-aggregated (estimates don't add), but the BINARY
     SKETCH can, which is what lets a 100 TB warehouse keep per-partition
-    sketches and answer any coarser distinct-count from them."""
+    sketches and answer any coarser distinct-count from them.
+
+    Oracle-checked via the exact-twin pattern (round-3 VERDICT item 3,
+    previously rows-only): the output carries the EXACT per-type
+    distinct-user count (which DuckDB recomputes independently) plus a
+    sketch-vs-exact tolerance flag — Spark's DataSketches HLL at the
+    default lgK=12 has ~1.6% relative standard error, so the rolled-up
+    estimate landing within 5% of exact is a deterministic property of
+    the (fixed-hash) sketch on the given data; a rollup bug that merges
+    or estimates wrongly flips the flag and hash-mismatches.  The exact
+    count costs a second scan here; at 100 TB only the sketch side
+    ships (the exact twin is the correctness harness, not the prod
+    plan)."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
-                "approx_users"
-            ),
-            F.count(F.lit(1)).alias("n_days"),
-        )
+    approx = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return approx.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
     )
 
 
@@ -559,8 +586,18 @@ def q_trend_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("kll_quantile_rollup")  # sketch estimates — rows-only; accuracy
-# vs exact percentiles pinned in tests/test_sampling.py
+@query(
+    "kll_quantile_rollup",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           ROUND(1e-9 + quantile_cont(value, 0.5), 4) AS p50_exact,
+           ROUND(1e-9 + quantile_cont(value, 0.95), 4) AS p95_exact,
+           ROUND(1e-9 + quantile_cont(value, 0.99), 4) AS p99_exact,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-QUANTILE rollup (DataSketches KLL): one KLL sketch of
     value per (event_type, day), then per-type p50/p95/p99 by MERGING
@@ -572,7 +609,20 @@ def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB warehouse keeps one ~KB sketch per partition and answers any
     coarser quantile from merges, never rescanning the fact.  Bound:
     KLL k=400 gives ~1.33% rank error at 99% confidence regardless of
-    input size."""
+    input size.
+
+    Oracle-checked via the exact-twin pattern (round-3 VERDICT item 3,
+    previously rows-only): the output carries EXACT per-type
+    percentiles (linear interpolation — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` agree bit-for-bit on the definition) plus a
+    RANK-tolerance flag per quantile — the KLL estimate must land
+    between the exact q∓2.5% and q±2.5% quantile values, the monotone
+    value-space equivalent of rank error ≤ 2.5% (> the sketch's 1.33%
+    bound).  Deterministic for fixed data (KLL in Spark is
+    deterministic given insertion order of identical values — the
+    check uses only the value bounds, not the estimate itself).  The
+    exact twin costs a holistic percentile here; at 100 TB only the
+    sketch side ships."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
         F.kll_sketch_agg_double("value", 400).alias("sk")
@@ -582,17 +632,63 @@ def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
     )
     q = F.kll_sketch_get_quantile_double
-    return merged.select(
+    pct = F.percentile
+    exact = ev.groupBy("event_type").agg(
+        *[
+            r4(pct("value", F.lit(p))).alias(n)
+            for p, n in [(0.5, "p50_exact"), (0.95, "p95_exact"),
+                         (0.99, "p99_exact")]
+        ],
+        *[
+            pct("value", F.lit(p)).alias(n)
+            for p, n in [(0.475, "__p50_lo"), (0.525, "__p50_hi"),
+                         (0.925, "__p95_lo"), (0.975, "__p95_hi"),
+                         (0.965, "__p99_lo"), (1.0, "__p99_hi")]
+        ],
+    )
+    est = merged.select(
         "event_type",
         "n_days",
-        q("sk", F.lit(0.5)).alias("p50"),
-        q("sk", F.lit(0.95)).alias("p95"),
-        q("sk", F.lit(0.99)).alias("p99"),
+        q("sk", F.lit(0.5)).alias("__e50"),
+        q("sk", F.lit(0.95)).alias("__e95"),
+        q("sk", F.lit(0.99)).alias("__e99"),
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "p50_exact",
+        "p95_exact",
+        "p99_exact",
+        F.col("__e50").between(F.col("__p50_lo"), F.col("__p50_hi"))
+        .alias("p50_ok"),
+        F.col("__e95").between(F.col("__p95_lo"), F.col("__p95_hi"))
+        .alias("p95_ok"),
+        F.col("__e99").between(F.col("__p99_lo"), F.col("__p99_hi"))
+        .alias("p99_ok"),
     )
 
 
-@query("theta_audience_overlap")  # sketch estimates — rows-only;
-# accuracy vs exact intersection counts pinned in tests/test_sampling.py
+@query(
+    "theta_audience_overlap",
+    """
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM d GROUP BY event_type),
+    ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_both
+           FROM d a JOIN d b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+    SELECT ov.type_a, ov.type_b,
+           ta.n AS n_a, tb.n AS n_b, ov.n_both,
+           ta.n + tb.n - ov.n_both AS n_any,
+           ROUND(1e-9 + ov.n_both * 1.0 / (ta.n + tb.n - ov.n_both), 4)
+             AS jaccard,
+           TRUE AS within_5pct
+    FROM ov JOIN tot ta ON ov.type_a = ta.event_type
+            JOIN tot tb ON ov.type_b = tb.event_type
+    """,
+)
 def q_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience-overlap matrix via Theta sketches: one user_id sketch
     per event type, then DISTINCT-SET ALGEBRA on the sketches — the
@@ -602,7 +698,19 @@ def q_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact: the exact form is a groupBy(user_id) + pairwise
     co-occurrence explosion; here the fact is scanned once into 5
     sketches and the 5×5 pair matrix is sketch math on the driver-sized
-    result.  Jaccard falls out as inter/union."""
+    result.  Jaccard falls out as inter/union.
+
+    Oracle-checked via the exact-twin pattern (round-3 VERDICT item 3,
+    previously rows-only): the output carries EXACT overlap counts —
+    which DuckDB recomputes independently through the distinct
+    (type, user) self-join this sketch exists to avoid — plus one
+    tolerance flag asserting every theta estimate (n_a, n_b, n_both,
+    n_any) lands within 5% of its exact value (theta default lgK=12 →
+    <1% RSE; intersections degrade with low overlap, hence the wider
+    bound; +8 absolute slack keeps tiny intersections from flipping the
+    flag on quantization).  Deterministic for fixed data — theta hashing
+    is seeded, not random.  At 100 TB only the sketch side ships; the
+    exact self-join twin is the correctness harness."""
     ev = _t(spark, sf_dir, "events")
     per = ev.groupBy("event_type").agg(
         F.theta_sketch_agg("user_id").alias("sk")
@@ -611,18 +719,66 @@ def q_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.theta_intersection(F.col("a.sk"), F.col("b.sk"))
     union = F.theta_union(F.col("a.sk"), F.col("b.sk"))
     est = F.theta_sketch_estimate
-    return (
+    approx = (
         a.crossJoin(b)
         .where(F.col("a.event_type") < F.col("b.event_type"))
         .select(
             F.col("a.event_type").alias("type_a"),
             F.col("b.event_type").alias("type_b"),
-            est(F.col("a.sk")).alias("n_a"),
-            est(F.col("b.sk")).alias("n_b"),
-            est(inter).alias("n_both"),
-            est(union).alias("n_any"),
-            r4(est(inter) / est(union)).alias("jaccard"),
+            est(F.col("a.sk")).alias("__ea"),
+            est(F.col("b.sk")).alias("__eb"),
+            est(inter).alias("__eboth"),
+            est(union).alias("__eany"),
         )
+    )
+    d = ev.select("event_type", "user_id").distinct()
+    tot = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    da, db = d.alias("da"), d.alias("db")
+    ov = (
+        da.join(
+            db,
+            (F.col("da.user_id") == F.col("db.user_id"))
+            & (F.col("da.event_type") < F.col("db.event_type")),
+        )
+        .groupBy(
+            F.col("da.event_type").alias("type_a"),
+            F.col("db.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    exact = (
+        ov.join(
+            F.broadcast(tot.withColumnRenamed("event_type", "type_a"))
+            .withColumnRenamed("n", "n_a"),
+            "type_a",
+        )
+        .join(
+            F.broadcast(tot.withColumnRenamed("event_type", "type_b"))
+            .withColumnRenamed("n", "n_b"),
+            "type_b",
+        )
+        .withColumn("n_any", F.col("n_a") + F.col("n_b") - F.col("n_both"))
+    )
+
+    def close(e, x):
+        return F.abs(e - x) <= (0.05 * x + F.lit(8.0))
+
+    return exact.join(approx, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        "n_any",
+        r4(F.col("n_both") * 1.0 / F.col("n_any")).alias("jaccard"),
+        (
+            close(F.col("__ea"), F.col("n_a"))
+            & close(F.col("__eb"), F.col("n_b"))
+            & close(F.col("__eboth"), F.col("n_both"))
+            & close(F.col("__eany"), F.col("n_any"))
+        ).alias("within_5pct"),
     )
 
 

@@ -15,6 +15,7 @@ results land in CORRECTNESS_sf1.json + BASELINE.md.
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from collections import Counter
@@ -65,9 +66,12 @@ def main() -> int:
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver testdata = one file per table; make_scale_data output =
+        # a DIRECTORY of per-copy files (Spark reads either natively)
+        path = os.path.abspath(os.path.join(sf_dir, f"{t}.parquet"))
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     from advanced_etl_pipelines_spark.operators.caching import (
         release_tracked_caches,
@@ -75,6 +79,17 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # Expected-frame oracles are exact only at the driver's sf0.01
+    # (VALUES literals for deterministic non-SQL computations); at any
+    # other sf they fall back to the rows-only check.
+    if os.path.basename(sf_dir.rstrip("/")) != "sf0.01":
+        from advanced_etl_pipelines_spark.plans.registry import (
+            SF_PINNED_ORACLES,
+        )
+
+        oracles = {
+            k: v for k, v in oracles.items() if k not in SF_PINNED_ORACLES
+        }
     failures = []
     records: dict[str, dict] = {}
 
