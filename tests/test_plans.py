@@ -53,8 +53,27 @@ def _window_input_kind(subtree: str) -> str:
         # subtotal frame, bounded by cluster width (operators/scale.py)
         return "grs-offsets"
     if "__lrnk" in subtree:
-        # top_k_global survivor frame, bounded by k x n_partitions
-        return "topk-survivor"
+        # top_k_global survivor frame — accepted BY CONSTRUCTION, not by
+        # marker name (round-3 VERDICT item 5: a future unbounded global
+        # window over a frame that merely CARRIES an __lrnk column must
+        # not hide behind the marker).  Two shape conditions must hold
+        # in the visible subtree (the spark_partition_id Project itself
+        # often sits behind an AQE stage boundary, so we assert the
+        # signature the construction leaves above it):
+        #   1. a Filter __lrnk <= k feeds this window — its input is
+        #      rank-truncated to k rows per inner-window partition;
+        #   2. the Window PRODUCING __lrnk has a NON-EMPTY partition
+        #      spec ("AS __lrnk#N], [col#M" — partition list right after
+        #      the alias is non-empty), i.e. the rank is per-partition,
+        #      so the survivor count is k x n_partitions, bounded by
+        #      cluster width.  (__lrnk is operators/scale.py's private
+        #      marker; only top_k_global emits it, partitioned on
+        #      spark_partition_id.)
+        if re.search(r"Filter \(?__lrnk#\d+L? <= \d+", subtree) and (
+            re.search(r"AS __lrnk#\d+L?\], \[\w+#\d+", subtree)
+        ):
+            return "topk-survivor"
+        return "UNBOUNDED"
     if re.search(r"TakeOrderedAndProject|GlobalLimit|CollectLimit", subtree):
         return "limit-bounded"
     return "UNBOUNDED"
