@@ -852,21 +852,23 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sample",
     """
     SELECT CAST(doc_id AS BIGINT) AS id,
-           CAST((GREATEST(octet_length(encode(text)) // 64, 1) + 7) // 8
-                AS BIGINT) AS n_sampled_frames
-    FROM documents
-    WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+           CAST((4 + doc_id % 4 + 1) // 2 AS BIGINT) AS n_sampled_frames
+    FROM documents WHERE doc_id % 3 = 2
     """,
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample every 8th fake frame from video rows; output one row per
-    video with its sampled-frame count (row-expanding seam +
-    reaggregate).  The oracle replays the fake demux arithmetic —
-    frames = max(bytes // 64, 1), sampled = ceil(frames / 8) — over the
-    UTF-8 byte length (round-2 VERDICT item 7: was rows-only)."""
-    docs = _t(spark, sf_dir, "documents")
-    media = M.attach_fake_media(docs, "text", "doc_id")
-    frames = M.sample_frames(media, every_n=8, frame_bytes=64)
+    """Sample every 2nd frame from REAL Motion-JPEG AVI containers on
+    the corpus's video rows (doc_id % 3 = 2, the media-type split
+    attach_fake_media uses) — demux-only, no pixel decode, the
+    cheap-path contract of frame sampling (round-3 VERDICT item 4:
+    replaces the fixed-size fake chunking with a real RIFF chunk walk).
+    Output one row per video with its sampled-frame count.  The oracle
+    replays the mux arithmetic — attach_avi_video writes
+    4 + doc_id%4 frames, sampling every 2nd keeps ceil(frames/2) —
+    so a demuxer that drops or double-counts chunks hash-mismatches."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
+    media = M.attach_avi_video(docs, "doc_id")
+    frames = M.sample_frames_avi(media, every_n=2)
     return frames.groupBy("id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sampled_frames")
     )
@@ -1035,18 +1037,21 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_video_frames")  # real PNG-container demux — rows-only
+@query("multimodal_video_frames")  # real MJPEG-AVI demux+decode — rows-only
 def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video path end-to-end: each doc row gets an MJPEG-style
-    container of concatenated real PNG frames; ``decode_video_frames``
-    demuxes on the PNG signature and fully decodes every 2nd frame into
-    per-frame dimensions + mean luminance (the keyframe/shot-boundary
-    signal).  Completes the triad — real image (multimodal_decode),
-    real audio (multimodal_audio_features), real video — all on
-    stdlib-only codecs.  Output: per-video sampled-frame count and
-    luminance spread (row-expanding seam + reaggregate, stable rows)."""
+    """REAL video path end-to-end (round-3 VERDICT item 4): each doc
+    row gets a Motion-JPEG AVI — a standard RIFF container any desktop
+    player opens (functions/avi.py) — and ``decode_video_frames``
+    demuxes the 00dc chunks and fully entropy-decodes every 2nd JPEG
+    frame into per-frame dimensions + mean luminance (the
+    keyframe/shot-boundary signal).  Completes the triad — real image
+    (multimodal_decode), real audio (multimodal_audio_features), real
+    video — all on in-repo codecs.  Output: per-video sampled-frame
+    count and luminance spread (row-expanding seam + reaggregate,
+    stable rows).  Rows-only: luminance is lossy-codec output; the
+    frame COUNTS are oracle-checked by multimodal_frame_sample."""
     docs = _t(spark, sf_dir, "documents")
-    media = M.attach_png_video(docs, "doc_id")
+    media = M.attach_avi_video(docs, "doc_id")
     frames = M.decode_video_frames(media, every_n=2)
     return (
         frames.groupBy("id")
