@@ -134,8 +134,24 @@ def _jdbc_statement(
     """Run driver-side DDL/DML statements over one JDBC transaction with
     the reference's retry-with-backoff posture
     (`ETL_Multi_Lvl_API/load.py:117-165`: batched writes, retried, then
-    surfaced).  All statements commit atomically or roll back together."""
+    surfaced).  All statements commit atomically or roll back together.
+
+    Syntax-class failures (bad SQL, missing table) are NOT retried —
+    they are deterministic, so backoff only delays the real error
+    (ADVICE r3); only transient driver/connection errors get the
+    backoff loop."""
     import time
+
+    def _nonretryable(ex: Exception) -> bool:
+        je = getattr(ex, "java_exception", None)
+        seen = 0
+        while je is not None and seen < 8:
+            name = je.getClass().getName()
+            if "SQLSyntaxError" in name or "SqlSyntaxError" in name:
+                return True
+            je = je.getCause()
+            seen += 1
+        return False
 
     jvm = spark._jvm
     last = None
@@ -149,13 +165,17 @@ def _jdbc_statement(
                 st.execute(text)
             conn.commit()
             return
-        except Exception as ex:  # noqa: BLE001 — retry any driver error
+        except Exception as ex:  # noqa: BLE001 — retry transient errors
             last = ex
             if conn is not None:
                 try:
                     conn.rollback()
                 except Exception:
                     pass
+            if _nonretryable(ex):
+                raise RuntimeError(
+                    f"JDBC statement failed (non-retryable): {ex}"
+                ) from ex
             time.sleep(retry_backoff_s * (2**attempt))
         finally:
             if conn is not None:
@@ -193,9 +213,12 @@ def upsert_jdbc(
        backoff and rolled back atomically on failure.
 
     Duplicate keys WITHIN the batch collapse first (same contract as
-    ``sinks.upsert_parquet``).  Works against any ANSI database Spark
-    has a dialect for; the integration test drives it through embedded
-    Derby (the in-sandbox stand-in for the reference's Postgres).
+    ``sinks.upsert_parquet``).  Targets Derby/Postgres-style dialects
+    (double-quoted identifiers, correlation names on DELETE) — the
+    integration test drives it through embedded Derby, the in-sandbox
+    stand-in for the reference's Postgres; MySQL-family dialects need a
+    different DELETE form (ADVICE r3: the earlier "any ANSI database"
+    claim overstated this).
     """
     keys = list(keys)
     updates = df.dropDuplicates(keys)
@@ -235,6 +258,15 @@ def upsert_jdbc(
     match = " AND ".join(
         f"{keyexpr('t', k)} = {keyexpr('s', k)}" for k in keys
     )
+    # table/staging names are interpolated VERBATIM — deliberately NOT
+    # q()-quoted like the column list (ADVICE r3 asked for consistency,
+    # but Spark's JDBC writer also interpolates the dbtable option
+    # verbatim into its CREATE/INSERT SQL, so the merge must spell the
+    # name the exact same way or a case-folding database resolves two
+    # different tables: Derby folds unquoted 'aq' to AQ at create time,
+    # and a quoted "aq" here then misses it — measured by the live test).
+    # Callers whose names need quoting pass them pre-quoted, same as
+    # they must for the writer.
     _jdbc_statement(
         df.sparkSession,
         url,

@@ -104,9 +104,21 @@ def test_partitioned_jdbc_scan(spark, url):
 
 
 def test_statement_retry_surfaces_failure(spark, url):
-    """A statement that cannot succeed must raise after the retry
-    budget, not silently pass (reference load.py retry posture)."""
-    with pytest.raises(RuntimeError, match="failed after 1 attempts"):
+    """A statement that cannot succeed must raise, and a syntax-class
+    failure (missing table) must surface IMMEDIATELY — deterministic
+    errors are not retried (ADVICE r3), so even a large retry budget
+    returns fast with the non-retryable message."""
+    import time
+
+    t0 = time.perf_counter()
+    with pytest.raises(RuntimeError, match="non-retryable"):
         _jdbc_statement(
-            spark, url, ["DELETE FROM no_such_table"], max_retries=1
+            spark,
+            url,
+            ["DELETE FROM no_such_table"],
+            max_retries=10,
+            retry_backoff_s=2.0,
         )
+    # 10 retries at 2s exponential backoff would take >2000s; the
+    # non-retryable path must skip all of it
+    assert time.perf_counter() - t0 < 5.0
