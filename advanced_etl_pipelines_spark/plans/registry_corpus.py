@@ -203,18 +203,49 @@ def q_multi_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_events")  # HLL sketch — rows-only; tolerance-tested
+@query(
+    "approx_distinct_events",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS exact_days,
+           TRUE AS within_6pct
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts per event_type — the scale path for
     multi_count_distinct: constant memory per group, no Expand, sketches
-    merge associatively across 1000 executors.  rsd=0.02; accuracy vs the
-    exact counts is pinned in tests/test_sampling.py."""
+    merge associatively across 1000 executors.  rsd=0.02; accuracy vs
+    the exact counts is pinned in tests/test_sampling.py AND by the
+    in-query tolerance flag (exact-twin pattern, round-3 VERDICT item
+    3): DuckDB recomputes the exact counts, and both HLL++ estimates
+    must land within 3·rsd = 6% of them — deterministic for fixed data
+    (fixed hash), so a sketch/merge regression hash-mismatches.  At
+    100 TB only the sketch side ships; the exact twin is the harness."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.approx_count_distinct(F.to_date("ts"), rsd=0.02).alias(
-            "approx_days"
-        ),
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__au"),
+        F.approx_count_distinct(F.to_date("ts"), rsd=0.02).alias("__ad"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count_distinct(F.to_date("ts")).alias("exact_days"),
+    )
+    return approx.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        "exact_days",
+        (
+            (
+                F.abs(F.col("__au") - F.col("exact_users"))
+                <= 0.06 * F.col("exact_users")
+            )
+            & (
+                F.abs(F.col("__ad") - F.col("exact_days"))
+                <= 0.06 * F.col("exact_days") + F.lit(1.0)
+            )
+        ).alias("within_6pct"),
     )
 
 
