@@ -259,18 +259,19 @@ def q_approx_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(pcts, 2).alias("__e95"),
         F.element_at(pcts, 3).alias("__e99"),
     )
-    pct = F.percentile
-    exact = li.groupBy("l_returnflag").agg(
+    # ONE array-argument percentile aggregate: nine exact quantiles in
+    # a single per-group sort (same lever as kll_quantile_rollup)
+    ps = [0.5, 0.95, 0.99, 0.49, 0.51, 0.94, 0.96, 0.98, 1.0]
+    names = ["p50_exact", "p95_exact", "p99_exact", "__p50_lo",
+             "__p50_hi", "__p95_lo", "__p95_hi", "__p99_lo", "__p99_hi"]
+    arr = F.percentile("l_extendedprice", F.array(*[F.lit(p) for p in ps]))
+    exact = li.groupBy("l_returnflag").agg(arr.alias("__q")).select(
+        "l_returnflag",
         *[
-            r4(pct("l_extendedprice", F.lit(p))).alias(n)
-            for p, n in [(0.5, "p50_exact"), (0.95, "p95_exact"),
-                         (0.99, "p99_exact")]
-        ],
-        *[
-            pct("l_extendedprice", F.lit(p)).alias(n)
-            for p, n in [(0.49, "__p50_lo"), (0.51, "__p50_hi"),
-                         (0.94, "__p95_lo"), (0.96, "__p95_hi"),
-                         (0.98, "__p99_lo"), (1.0, "__p99_hi")]
+            (r4 if i < 3 else (lambda c: c))(
+                F.element_at("__q", i + 1)
+            ).alias(n)
+            for i, n in enumerate(names)
         ],
     )
     return approx.join(exact, "l_returnflag").select(
@@ -676,18 +677,20 @@ def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
     )
     q = F.kll_sketch_get_quantile_double
-    pct = F.percentile
-    exact = ev.groupBy("event_type").agg(
+    # ONE array-argument percentile aggregate: all nine exact quantiles
+    # (three reported + six tolerance brackets) share a single
+    # per-group sort instead of paying it nine times
+    ps = [0.5, 0.95, 0.99, 0.475, 0.525, 0.925, 0.975, 0.965, 1.0]
+    names = ["p50_exact", "p95_exact", "p99_exact", "__p50_lo",
+             "__p50_hi", "__p95_lo", "__p95_hi", "__p99_lo", "__p99_hi"]
+    arr = F.percentile("value", F.array(*[F.lit(p) for p in ps]))
+    exact = ev.groupBy("event_type").agg(arr.alias("__q")).select(
+        "event_type",
         *[
-            r4(pct("value", F.lit(p))).alias(n)
-            for p, n in [(0.5, "p50_exact"), (0.95, "p95_exact"),
-                         (0.99, "p99_exact")]
-        ],
-        *[
-            pct("value", F.lit(p)).alias(n)
-            for p, n in [(0.475, "__p50_lo"), (0.525, "__p50_hi"),
-                         (0.925, "__p95_lo"), (0.975, "__p95_hi"),
-                         (0.965, "__p99_lo"), (1.0, "__p99_hi")]
+            (r4 if i < 3 else (lambda c: c))(
+                F.element_at("__q", i + 1)
+            ).alias(n)
+            for i, n in enumerate(names)
         ],
     )
     est = merged.select(
