@@ -2733,14 +2733,21 @@ def q_catalog_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (acc, c) -> (acc * 131 + c) % 1000000007)
                  + i * 40503) % 1000000007))) AS sg
           FROM g),
+    kb AS (SELECT doc_id, sg, UNNEST(range(0, 8)) AS bd FROM sig),
+    keyed AS (SELECT doc_id, sg, bd,
+                     sg[2*bd+1] AS s1, sg[2*bd+2] AS s2 FROM kb),
+    cpair AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keyed a JOIN keyed b
+        ON a.bd = b.bd AND a.s1 = b.s1 AND a.s2 = b.s2
+       AND a.doc_id < b.doc_id),
     cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             LEN(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) / 16.0
-               AS est
-      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      WHERE LEN(list_filter(range(0, 8),
-                bd -> a.sg[2*bd+1] = b.sg[2*bd+1]
-                  AND a.sg[2*bd+2] = b.sg[2*bd+2])) > 0),
+      SELECT cp.id_a, cp.id_b,
+             LEN(list_filter(range(1, 17), i -> sa.sg[i] = sb.sg[i]))
+               / 16.0 AS est
+      FROM cpair cp
+      JOIN sig sa ON sa.doc_id = cp.id_a
+      JOIN sig sb ON sb.doc_id = cp.id_b),
     pb AS (
       SELECT c.est,
              LEN(list_distinct(list_intersect(ga.grams, gb.grams))) * 1.0

@@ -267,14 +267,21 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (acc, c) -> (acc * 131 + c) % 1000000007)
                  + i * 40503) % 1000000007))) AS sg
           FROM g),
+    kb AS (SELECT doc_id, sg, UNNEST(range(0, 8)) AS bd FROM sig),
+    keyed AS (SELECT doc_id, sg, bd,
+                     sg[2*bd+1] AS s1, sg[2*bd+2] AS s2 FROM kb),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keyed a JOIN keyed b
+        ON a.bd = b.bd AND a.s1 = b.s1 AND a.s2 = b.s2
+       AND a.doc_id < b.doc_id),
     scored AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             LEN(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) / 16.0
-               AS est
-      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      WHERE LEN(list_filter(range(0, 8),
-                bd -> a.sg[2*bd+1] = b.sg[2*bd+1]
-                  AND a.sg[2*bd+2] = b.sg[2*bd+2])) > 0)
+      SELECT c.id_a, c.id_b,
+             LEN(list_filter(range(1, 17), i -> sa.sg[i] = sb.sg[i]))
+               / 16.0 AS est
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b)
     SELECT id_a, id_b, ROUND(1e-9 + est, 4) AS est_jaccard
     FROM scored WHERE est >= 0.25
     """,
@@ -321,9 +328,13 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN CAST(POW(2, 47 - b) AS BIGINT) ELSE 0 END))
                AS simhash
            FROM hs),
+    kb AS (SELECT doc_id, simhash, UNNEST(range(0, 4)) AS bd FROM sh),
+    keyed AS (SELECT doc_id, simhash, bd,
+                     (simhash >> (12 * bd)) & 4095 AS bucket FROM kb),
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keyed a JOIN keyed b
+        ON a.bd = b.bd AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
     cnt AS (
       SELECT doc_id, COUNT(*) AS n FROM (
