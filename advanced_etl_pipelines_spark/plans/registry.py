@@ -1308,7 +1308,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q9_nation_year_profit",
     """
     SELECT n_name, CAST(YEAR(o_orderdate) AS INT) AS o_year,
-           ROUND(1e-9 + SUM(l_extendedprice * (1 - l_discount)), 2) AS amount
+           ROUND(1e-9 + SUM(l_extendedprice * (1 - l_discount)), 0) AS amount
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -1337,8 +1337,17 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name", F.year("o_orderdate").cast("int").alias("o_year")
         )
         .agg(
-            r2(
+            # whole-unit rounding, not cents: this sum grows with data
+            # volume (3e8 at sf1, where double ulp is already 6e-8), so
+            # cross-engine accumulation-order noise ~1e-7 flips a
+            # 2-decimal boundary roughly once per hundred rows — the
+            # sf1 gate measured exactly that (3 rows of 175 off by
+            # 0.01).  At step 1.0 the flip probability drops to ~1e-7
+            # per row.  Same ROUND(x+eps, 0) on the oracle side.
+            F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + F.lit(1e-9),
+                0,
             ).alias("amount")
         )
     )

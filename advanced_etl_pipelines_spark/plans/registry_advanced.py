@@ -22,6 +22,9 @@ from advanced_etl_pipelines_spark.functions import text as T
 from advanced_etl_pipelines_spark.operators.dedup import POLY_P, poly_hash
 from advanced_etl_pipelines_spark.operators.sampling import KNUTH, MOD
 from advanced_etl_pipelines_spark.plans.registry import _t, query, r2, r4
+from advanced_etl_pipelines_spark.plans.registry_llm import (
+    _POSTING_JACCARD_SQL,
+)
 from advanced_etl_pipelines_spark.operators.caching import (
     tracked_persist,
 )
@@ -1266,11 +1269,8 @@ def q_text_fingerprint_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
                    AS grams
           FROM tk WHERE LEN(toks) >= 3),
-    pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-              FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-              WHERE LEN(list_distinct(list_intersect(a.grams, b.grams))) * 1.0
-                    / LEN(list_distinct(list_concat(a.grams, b.grams)))
-                    >= 0.15),
+    {_POSTING_JACCARD_SQL},
+    pairs AS (SELECT pja AS ia, pjb AS ib FROM jac WHERE jaccard >= 0.15),
     edges AS (SELECT ia AS a, ib AS b FROM pairs
               UNION SELECT ib, ia FROM pairs),
     reach(node, comp) AS (
@@ -1888,11 +1888,8 @@ def q_decile_mobility_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
                    AS grams
           FROM surv1 WHERE LEN(toks) >= 3),
-    prs AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-            FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-            WHERE LEN(list_distinct(list_intersect(a.grams, b.grams))) * 1.0
-                  / LEN(list_distinct(list_concat(a.grams, b.grams)))
-                  >= 0.15),
+    {_POSTING_JACCARD_SQL},
+    prs AS (SELECT pja AS ia, pjb AS ib FROM jac WHERE jaccard >= 0.15),
     edges AS (SELECT ia AS a, ib AS b FROM prs
               UNION SELECT ib, ia FROM prs),
     reach(node, comp) AS (
@@ -3583,12 +3580,11 @@ def q_rolling_corr_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
                    AS grams
           FROM tk WHERE LEN(toks) >= 3),
-    prs AS (SELECT a.source AS sa, b.source AS sb
-            FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-            WHERE LEN(list_distinct(list_intersect(a.grams, b.grams)))
-                  * 1.0
-                  / LEN(list_distinct(list_concat(a.grams, b.grams)))
-                  >= 0.15)
+    {_POSTING_JACCARD_SQL},
+    prs AS (SELECT ga.source AS sa, gb.source AS sb
+            FROM jac JOIN g ga ON ga.doc_id = jac.pja
+                     JOIN g gb ON gb.doc_id = jac.pjb
+            WHERE jaccard >= 0.15)
     SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
            CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
     FROM prs GROUP BY 1, 2
@@ -7479,13 +7475,11 @@ def q_quality_length_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
                    AS grams
           FROM tk WHERE LEN(toks) >= 3),
-    prs AS (SELECT a.source AS src_origin, b.source AS src_copy
-            FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-            WHERE a.source <> b.source
-              AND LEN(list_distinct(list_intersect(a.grams, b.grams)))
-                  * 1.0
-                  / LEN(list_distinct(list_concat(a.grams, b.grams)))
-                  >= 0.15)
+    {_POSTING_JACCARD_SQL},
+    prs AS (SELECT ga.source AS src_origin, gb.source AS src_copy
+            FROM jac JOIN g ga ON ga.doc_id = jac.pja
+                     JOIN g gb ON gb.doc_id = jac.pjb
+            WHERE ga.source <> gb.source AND jaccard >= 0.15)
     SELECT src_origin, src_copy, CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM prs GROUP BY 1, 2
     """,

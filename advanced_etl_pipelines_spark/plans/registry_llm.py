@@ -43,6 +43,28 @@ _TOKENS_SQL = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 )
 
+# Shared oracle fragment: exact n-gram Jaccard PAIRS from a `g` CTE of
+# (doc_id, lang, grams[list_distinct]) via an inverted-index POSTING
+# join — gram-equality is hash-joinable, so cost scales with posting
+# collisions, exactly like the engine-side plan.  The earlier form
+# (`g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id` with the
+# Jaccard in WHERE) was a nested-loop over every same-lang pair —
+# 250M list-intersections at sf1; the sf1 gate sat on one query for an
+# hour before this rewrite.  COUNT(*) = |intersection| because grams
+# are distinct; union = |A| + |B| - inter.
+_POSTING_JACCARD_SQL = """
+    pj AS (SELECT pa.doc_id AS pja, pb.doc_id AS pjb, COUNT(*) AS inter
+           FROM (SELECT doc_id, lang, UNNEST(grams) AS gram FROM g) pa
+           JOIN (SELECT doc_id, lang, UNNEST(grams) AS gram FROM g) pb
+             ON pa.gram = pb.gram AND pa.lang = pb.lang
+            AND pa.doc_id < pb.doc_id
+           GROUP BY 1, 2),
+    jac AS (SELECT pj.pja, pj.pjb,
+                   pj.inter * 1.0
+                   / (LEN(ga.grams) + LEN(gb.grams) - pj.inter) AS jaccard
+            FROM pj JOIN g ga ON ga.doc_id = pj.pja
+                    JOIN g gb ON gb.doc_id = pj.pjb)"""
+
 
 @query(
     "text_stats",
@@ -217,13 +239,11 @@ def q_dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (SELECT doc_id, lang,
                  list_distinct(list_transform(range(1, LEN(toks) - 1),
                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
-          FROM tk WHERE LEN(toks) >= 3)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(1e-9 + LEN(list_distinct(list_intersect(a.grams, b.grams))) * 1.0
-                 / LEN(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
-    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE LEN(list_distinct(list_intersect(a.grams, b.grams))) * 1.0
-          / LEN(list_distinct(list_concat(a.grams, b.grams))) >= 0.15
+          FROM tk WHERE LEN(toks) >= 3),
+    {_POSTING_JACCARD_SQL}
+    SELECT pja AS id_a, pjb AS id_b,
+           ROUND(1e-9 + jaccard, 4) AS jaccard
+    FROM jac WHERE jaccard >= 0.15
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1115,10 +1135,8 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_distinct(list_transform(range(1, LEN(toks) - 1),
                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
           FROM tk WHERE LEN(toks) >= 3),
-    pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-              FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-              WHERE LEN(list_distinct(list_intersect(a.grams, b.grams))) * 1.0
-                    / LEN(list_distinct(list_concat(a.grams, b.grams))) >= 0.15),
+    {_POSTING_JACCARD_SQL},
+    pairs AS (SELECT pja AS ia, pjb AS ib FROM jac WHERE jaccard >= 0.15),
     edges AS (SELECT ia AS a, ib AS b FROM pairs
               UNION SELECT ib, ia FROM pairs),
     reach(node, comp) AS (
