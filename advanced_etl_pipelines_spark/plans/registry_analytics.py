@@ -302,7 +302,8 @@ def q_winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT SUM(rev) AS tot FROM s),
     r AS (
       SELECT l_partkey, rev, tot,
-             SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum
+             SUM(rev) OVER (ORDER BY ROUND(1e-9 + rev, 2) DESC,
+                            l_partkey) AS cum
       FROM s CROSS JOIN t)
     SELECT l_partkey,
            ROUND(1e-9 + rev, 2) AS rev,
@@ -324,7 +325,15 @@ def q_heavy_hitters_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     local cum <= global cum and every true answer row survives the
     prune; the global window then runs over ~(result x n_partitions)
     rows, bounded by the answer size times cluster width — not by
-    |parts|, which is ~20M at 100x."""
+    |parts|, which is ~20M at 100x.
+
+    The running sum orders by the OUTPUT-rounded revenue (r2), not the
+    raw double: mathematically-tied parts (the sf1 replicas) carry
+    ~1e-7 cross-engine accumulation noise in the raw sums, so a raw
+    ordering resolves their ties differently per engine and the
+    cumulative shares diverge (caught by the sf1 answer gate); at the
+    rounded key, ties fall through to the deterministic l_partkey
+    tiebreak on both engines."""
     li = _t(spark, sf_dir, "lineitem")
     s = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -333,7 +342,7 @@ def q_heavy_hitters_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = s.agg(F.sum("rev").alias("tot"))
     wl = Window.partitionBy("__pid").orderBy(
-        F.desc("rev"), F.asc("l_partkey")
+        F.desc(r2(F.col("rev"))), F.asc("l_partkey")
     )
     pruned = (
         s.withColumn("__pid", F.spark_partition_id())
@@ -342,7 +351,7 @@ def q_heavy_hitters_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("lcum") - F.col("rev") <= F.col("tot") * 0.01)
         .drop("__pid", "lcum")
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+    w = Window.orderBy(F.desc(r2(F.col("rev"))), F.asc("l_partkey"))
     r = pruned.withColumn("cum", F.sum("rev").over(w))
     return r.where(
         F.col("cum") - F.col("rev") <= F.col("tot") * 0.01
@@ -375,7 +384,8 @@ def q_heavy_hitters_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT lang, token, s,
              ROW_NUMBER() OVER (PARTITION BY lang
-                                ORDER BY s DESC, token) AS rnk
+                                ORDER BY ROUND(1e-9 + s, 4) DESC,
+                                         token) AS rnk
       FROM score)
     SELECT lang, token, ROUND(1e-9 + s, 4) AS tfidf, CAST(rnk AS INT) AS rnk
     FROM ranked WHERE rnk <= 5
@@ -408,7 +418,13 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s")
         )
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("s"), F.asc("token"))
+    # rank by the OUTPUT-rounded score: mathematically-tied terms (sf1
+    # replicas) differ by ~1e-10 of engine-specific float noise in the
+    # raw sum, so a raw ordering picks different "top" terms per engine
+    # — at r4 the ties collapse and the token tiebreak decides on both
+    w = Window.partitionBy("lang").orderBy(
+        F.desc(r4(F.col("s"))), F.asc("token")
+    )
     return (
         score.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 5)
