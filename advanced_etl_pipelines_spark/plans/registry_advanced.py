@@ -4538,8 +4538,8 @@ def q_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per GROUP BY l_partkey HAVING COUNT(*) >= 3),
     r AS (
       SELECT l_partkey, n_suppliers, sd / mu AS cv,
-             ROW_NUMBER() OVER (ORDER BY sd / mu DESC, l_partkey ASC)
-               AS rnk
+             ROW_NUMBER() OVER (ORDER BY ROUND(1e-9 + sd / mu, 4) DESC,
+                                l_partkey ASC) AS rnk
       FROM disp)
     SELECT l_partkey, CAST(n_suppliers AS BIGINT) AS n_suppliers,
            ROUND(1e-9 + cv, 4) AS price_cv, CAST(rnk AS BIGINT) AS rnk
@@ -4574,7 +4574,12 @@ def q_price_dispersion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sd") / F.col("mu")).alias("cv"),
         )
     )
-    top = top_k_global(disp, [F.desc("cv"), F.asc("l_partkey")], 20)
+    # rank by the OUTPUT-rounded cv: mathematically-tied parts (sf1
+    # replicas) differ only by engine-specific float noise in the raw
+    # ratio, which resolved the ties differently per engine
+    top = top_k_global(
+        disp, [F.desc(r4(F.col("cv"))), F.asc("l_partkey")], 20
+    )
     return top.select(
         "l_partkey",
         F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
@@ -6793,8 +6798,9 @@ def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (
       SELECT l_partkey, n_years, slope, avg_price,
              slope / avg_price AS rel_drift,
-             ROW_NUMBER() OVER (ORDER BY ABS(slope / avg_price) DESC,
-                                l_partkey ASC) AS rnk
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(1e-9 + ABS(slope / avg_price), 4) DESC,
+                        l_partkey ASC) AS rnk
       FROM fit)
     SELECT l_partkey, CAST(n_years AS BIGINT) AS n_years,
            ROUND(1e-9 + slope, 4) AS slope_per_year,
@@ -6831,9 +6837,11 @@ def q_part_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_drift", F.col("slope") / F.col("avg_price")
         )
     )
+    # rank by the OUTPUT-rounded |drift| (sf1-replica ties resolved by
+    # engine-specific float noise in the raw ratio otherwise)
     top = top_k_global(
         fit,
-        [F.desc(F.abs(F.col("rel_drift"))), F.asc("l_partkey")],
+        [F.desc(r4(F.abs(F.col("rel_drift")))), F.asc("l_partkey")],
         15,
     )
     return top.select(
