@@ -2856,7 +2856,7 @@ def q_minhash_vs_exact_calibration(
            ROUND(1e-9 + lvl, 4) AS level,
            ROUND(1e-9 + trd, 4) AS trend,
            ROUND(1e-9 + lvl + 7 * trd, 4) AS forecast,
-           ROUND(1e-9 + sse, 4) AS sse
+           ROUND(1e-9 + sse, 0) AS sse
     FROM walk WHERE rn = n
     """,
 )
@@ -2892,7 +2892,11 @@ def q_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("level")).alias("level"),
         r4(F.col("trend")).alias("trend"),
         r4(F.col("forecast")).alias("forecast"),
-        r4(F.col("sse")).alias("sse"),
+        # whole-unit rounding: the recursive SSE reaches 3.4e10 at
+        # sf1, where double ulp (4e-6) already exceeds 4-decimal
+        # resolution — the sf1 gate caught a 2e-4 cross-engine
+        # accumulation gap; at step 1.0 the flip risk is ~1e-10
+        F.round(F.col("sse") + F.lit(1e-9), 0).alias("sse"),
     )
 
 
