@@ -593,3 +593,57 @@ def q_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     out = weighted_sample_topk(docs, "lang", "doc_id", "n_chars", 20)
     return out.select("lang", "doc_id", F.col("n_chars").cast("long"))
+
+
+@query(
+    "bpe_vocab_learn",
+    # Expected frame at sf0.01: exact integer pair counts + total-order
+    # tiebreak make the merge sequence deterministic by construction
+    """
+    SELECT CAST(rank AS INTEGER) AS rank,
+           CAST(l AS VARCHAR) AS "left", CAST(r AS VARCHAR) AS "right",
+           CAST(m AS VARCHAR) AS merged,
+           CAST(wc AS BIGINT) AS weighted_count
+    FROM (VALUES
+      (1, 'e', 'r', 'er', 4568),
+      (2, 'e', '</w>', 'e</w>', 4473),
+      (3, 'n', '</w>', 'n</w>', 2834),
+      (4, 'er', '</w>', 'er</w>', 2779),
+      (5, 'o', 'w', 'ow', 2747),
+      (6, 'ow', '</w>', 'ow</w>', 2747),
+      (7, 'o', 'r', 'or', 2696),
+      (8, 's', 't', 'st', 2676),
+      (9, 'h', '</w>', 'h</w>', 1884),
+      (10, 'a', 't', 'at', 1845),
+      (11, 'l', 'u', 'lu', 1831),
+      (12, 'i', 'n', 'in', 1796)
+    ) AS t(rank, l, r, m, wc)
+    """,
+    sf_pinned=True,
+)
+def q_bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) over
+    the document corpus: 12 merge rounds on the (word, freq) table —
+    the corpus collapses to word frequencies in ONE scan, then every
+    round is a vocabulary-sized pair-count aggregate + a bounded driver
+    argmax + a map-side fold (operators/bpe.py; no Python in the loop,
+    per-round expressions built as one SQL string).  Output: the merge
+    table in rank order with weighted pair counts — the artifact a
+    tokenizer ships.  Deterministic by construction (exact integer
+    counts, total-order (count DESC, pair ASC) tiebreak), hence
+    oracle-checked against a pinned expected frame at sf0.01; parity
+    with a pure-Python Sennrich reference is pinned in
+    tests/test_bpe.py."""
+    from advanced_etl_pipelines_spark.operators.bpe import (
+        bpe_learn,
+        word_freq_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = word_freq_table(docs, "text")
+    merges = bpe_learn(words, n_merges=12)
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, "
+        "weighted_count bigint",
+    )
