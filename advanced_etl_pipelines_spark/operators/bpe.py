@@ -133,3 +133,37 @@ def bpe_learn(
             "symbols", _merge_expr(a, b)
         ).localCheckpoint()
     return merges
+
+
+def bpe_segment(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[int, str, str, str, int]],
+    keep_cols: list[str] | None = None,
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Apply a learned merge list to segment text — the INFERENCE half
+    of the tokenizer: each word becomes chars + end-of-word marker,
+    then every merge folds in rank order (BPE application is just
+    replaying the merge sequence).  Entirely map-side: explode to words,
+    k stacked ``aggregate`` HOFs, NO shuffle and no Python — per-word
+    cost is O(k x word length) with k fixed by the vocabulary, which is
+    what makes tokenization embarrassingly parallel at 100 TB.
+
+    Output: one row per word — ``keep_cols`` passed through, ``symbols``
+    (the subword tokens) and ``n_subwords``; callers aggregate (e.g.
+    fertility per language) without ever shuffling the symbol arrays."""
+    from advanced_etl_pipelines_spark.functions.text import word_tokens
+
+    keep = list(keep_cols or [])
+    base = df.select(
+        *keep, F.explode(word_tokens(text_col)).alias("word")
+    ).select(
+        *keep,
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(end_of_word))
+        ).alias("symbols"),
+    )
+    for _rank, a, b, _m, _cnt in merges:
+        base = base.withColumn("symbols", _merge_expr(a, b))
+    return base.withColumn("n_subwords", F.size("symbols"))

@@ -647,3 +647,49 @@ def q_bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank int, left string, right string, merged string, "
         "weighted_count bigint",
     )
+
+
+@query(
+    "bpe_fertility_by_lang",
+    # Expected frame at sf0.01 (deterministic: exact-count merges +
+    # deterministic segmentation folds)
+    """
+    SELECT CAST(lang AS VARCHAR) AS lang,
+           CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_subwords,
+           CAST(f AS DOUBLE) AS fertility
+    FROM (VALUES
+      ('de', 3549, 15248, 4.2964),
+      ('en', 11757, 50460, 4.2919),
+      ('es', 3958, 17049, 4.3075),
+      ('fr', 3758, 16143, 4.2956),
+      ('zh', 4143, 17898, 4.3201)
+    ) AS t(lang, w, s, f)
+    """,
+    sf_pinned=True,
+)
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report: learn 12 BPE merges on the corpus
+    (operators/bpe.py), re-segment every document with them, and report
+    per-language words, subword tokens, fertility (subwords/word) and
+    compression vs raw characters+markers — the numbers a tokenizer
+    evaluation tables (high fertility on a language = the vocabulary
+    underserves it).  Training runs on the vocabulary-bounded
+    (word, freq) table; segmentation is a shuffle-free map pass (k
+    stacked folds), so the only corpus-sized exchange is the final
+    per-lang aggregate carrying three longs per word.  Deterministic
+    end to end -> expected-frame oracle at sf0.01."""
+    from advanced_etl_pipelines_spark.operators.bpe import (
+        bpe_learn,
+        bpe_segment,
+        word_freq_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_learn(word_freq_table(docs, "text"), n_merges=12)
+    seg = bpe_segment(docs, "text", merges, keep_cols=["lang"])
+    return seg.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_subwords").cast("bigint").alias("n_subwords"),
+        r4(F.sum("n_subwords") / F.count(F.lit(1))).alias("fertility"),
+    )

@@ -87,3 +87,40 @@ def test_bpe_exhausts_gracefully(spark):
     got = bpe_learn(words, 10)
     # 'ab</w>' has 2 pairs -> exactly 2 merges then exhaustion
     assert len(got) == 2
+
+
+def test_bpe_segment_counts(spark):
+    """Segmenting with the learned merges reproduces the reference
+    segmentation's symbol counts."""
+    from advanced_etl_pipelines_spark.operators.bpe import (
+        bpe_learn,
+        bpe_segment,
+    )
+
+    data = [("low lower newest widest", "x")]
+    df = spark.createDataFrame(data, "text string, tag string")
+    words = [("low", 1), ("lower", 1), ("newest", 1), ("widest", 1)]
+    wdf = spark.createDataFrame(words, "word string, freq long")
+    merges = bpe_learn(wdf, 4)
+
+    # reference segmentation: replay merges over each word
+    def seg(word):
+        syms = list(word) + ["</w>"]
+        for _r, a, b, _m, _c in merges:
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            syms = ns
+        return syms
+
+    got = {
+        tuple(r["symbols"]): r["n_subwords"]
+        for r in bpe_segment(df, "text", merges, keep_cols=["tag"]).collect()
+    }
+    exp = {tuple(seg(w)): len(seg(w)) for w, _ in words}
+    assert got == exp
