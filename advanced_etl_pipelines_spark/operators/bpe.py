@@ -135,6 +135,33 @@ def bpe_learn(
     return merges
 
 
+def bpe_segment_vocab(
+    words: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Segment a DISTINCT-word frame (column ``word``) with a learned
+    merge list: chars + end-of-word marker, then every merge folds in
+    rank order (BPE application is just replaying the merge sequence).
+    Adds ``symbols`` (the subword tokens) and ``n_subwords``.
+
+    This is where the k stacked ``aggregate`` HOF folds run — over the
+    VOCABULARY-bounded table, not the corpus.  Segmentation is a pure
+    function of the word, so the corpus never pays the fold cost (the
+    first cut of ``bpe_segment`` folded every corpus token: 22 s at
+    sf0.1 vs <1 s for the vocab-join form, a gap that only widens with
+    data since vocabulary grows sublinearly)."""
+    base = words.withColumn(
+        "symbols",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(end_of_word))
+        ),
+    )
+    for _rank, a, b, _m, _cnt in merges:
+        base = base.withColumn("symbols", _merge_expr(a, b))
+    return base.withColumn("n_subwords", F.size("symbols"))
+
+
 def bpe_segment(
     df: DataFrame,
     text_col: str,
@@ -142,28 +169,29 @@ def bpe_segment(
     keep_cols: list[str] | None = None,
     end_of_word: str = "</w>",
 ) -> DataFrame:
-    """Apply a learned merge list to segment text — the INFERENCE half
-    of the tokenizer: each word becomes chars + end-of-word marker,
-    then every merge folds in rank order (BPE application is just
-    replaying the merge sequence).  Entirely map-side: explode to words,
-    k stacked ``aggregate`` HOFs, NO shuffle and no Python — per-word
-    cost is O(k x word length) with k fixed by the vocabulary, which is
-    what makes tokenization embarrassingly parallel at 100 TB.
+    """Tokenize a corpus with a learned merge list — the INFERENCE half
+    of the tokenizer.  Output: one row per corpus word — ``keep_cols``
+    passed through, ``symbols`` and ``n_subwords``.
 
-    Output: one row per word — ``keep_cols`` passed through, ``symbols``
-    (the subword tokens) and ``n_subwords``; callers aggregate (e.g.
-    fertility per language) without ever shuffling the symbol arrays."""
+    Plan shape: explode to tokens, distinct to the vocabulary, segment
+    the vocabulary (``bpe_segment_vocab``), equi-join the tokens back.
+    Both the distinct and the join shuffle corpus-sized streams of
+    SHORT WORDS with map-side partial aggregation — never symbol
+    arrays — and at 100 TB the vocabulary side (10-100M rows) stays
+    joinable while per-token fold work would be corpus-bounded.  AQE
+    picks broadcast when the vocab fits.  Callers that only need
+    per-group token counts should pre-aggregate (word, group) counts
+    and join ``bpe_segment_vocab`` directly — see
+    ``bpe_fertility_by_lang``."""
     from advanced_etl_pipelines_spark.functions.text import word_tokens
 
     keep = list(keep_cols or [])
-    base = df.select(
+    toks = df.select(
         *keep, F.explode(word_tokens(text_col)).alias("word")
-    ).select(
-        *keep,
-        F.concat(
-            F.split(F.col("word"), ""), F.array(F.lit(end_of_word))
-        ).alias("symbols"),
     )
-    for _rank, a, b, _m, _cnt in merges:
-        base = base.withColumn("symbols", _merge_expr(a, b))
-    return base.withColumn("n_subwords", F.size("symbols"))
+    vocab = bpe_segment_vocab(
+        toks.select("word").distinct(), merges, end_of_word
+    )
+    return toks.join(vocab, "word").select(
+        *keep, "word", "symbols", "n_subwords"
+    )

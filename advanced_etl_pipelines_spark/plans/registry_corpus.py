@@ -675,21 +675,41 @@ def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression vs raw characters+markers — the numbers a tokenizer
     evaluation tables (high fertility on a language = the vocabulary
     underserves it).  Training runs on the vocabulary-bounded
-    (word, freq) table; segmentation is a shuffle-free map pass (k
-    stacked folds), so the only corpus-sized exchange is the final
-    per-lang aggregate carrying three longs per word.  Deterministic
-    end to end -> expected-frame oracle at sf0.01."""
+    (word, freq) table; for scoring, the corpus collapses to
+    (lang, word) counts FIRST (map-side partial agg), the k fold
+    expressions run only over the vocabulary (bpe_segment_vocab), and
+    the join back is vocab-sized — the corpus never pays per-token
+    fold cost.  Deterministic end to end -> expected-frame oracle at
+    sf0.01."""
+    from advanced_etl_pipelines_spark.functions.text import word_tokens
     from advanced_etl_pipelines_spark.operators.bpe import (
         bpe_learn,
-        bpe_segment,
+        bpe_segment_vocab,
         word_freq_table,
     )
 
     docs = _t(spark, sf_dir, "documents")
     merges = bpe_learn(word_freq_table(docs, "text"), n_merges=12)
-    seg = bpe_segment(docs, "text", merges, keep_cols=["lang"])
-    return seg.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_words"),
-        F.sum("n_subwords").cast("bigint").alias("n_subwords"),
-        r4(F.sum("n_subwords") / F.count(F.lit(1))).alias("fertility"),
+    counts = (
+        docs.select(
+            "lang", F.explode(word_tokens("text")).alias("word")
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = bpe_segment_vocab(
+        counts.select("word").distinct(), merges
+    ).select("word", "n_subwords")
+    return (
+        counts.join(vocab, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_subwords"))
+            .cast("bigint")
+            .alias("n_subwords"),
+            r4(
+                F.sum(F.col("n") * F.col("n_subwords")) / F.sum("n")
+            ).alias("fertility"),
+        )
     )
