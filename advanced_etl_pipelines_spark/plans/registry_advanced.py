@@ -7874,3 +7874,99 @@ def q_discount_depth_response(
             ),
         )
     )
+
+
+@query(
+    "link_prediction_adamic_adar",
+    """
+    WITH pairs AS (
+      SELECT s, d FROM (
+        SELECT a.l_partkey AS s, b.l_partkey AS d, COUNT(*) AS co
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2)
+      WHERE co >= 2),
+    und AS (
+      SELECT s AS x, d AS z FROM pairs
+      UNION ALL
+      SELECT d AS x, s AS z FROM pairs),
+    deg AS (SELECT z, COUNT(*) AS dg FROM und GROUP BY z HAVING COUNT(*) >= 2),
+    arm AS (
+      SELECT u.x, u.z, 1.0 / LN(dg) AS w
+      FROM und u JOIN deg ON u.z = deg.z),
+    sc AS (
+      SELECT a.x AS s, b.x AS d, SUM(a.w) AS aa, COUNT(*) AS n_common
+      FROM arm a JOIN arm b ON a.z = b.z AND a.x < b.x
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT * FROM sc
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pairs p WHERE p.s = sc.s AND p.d = sc.d)),
+    r AS (
+      SELECT s, d, n_common, ROUND(1e-9 + aa, 4) AS aa_r,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(1e-9 + aa, 4) DESC, s ASC, d ASC) AS rnk
+      FROM cand)
+    SELECT CAST(s AS BIGINT) AS node_a, CAST(d AS BIGINT) AS node_b,
+           CAST(n_common AS BIGINT) AS n_common, aa_r AS aa_score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 20
+    """,
+)
+def q_link_prediction_adamic_adar(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Link prediction on the REPEAT co-purchase graph (part pairs
+    co-purchased in >= 2 distinct orders): top-20 not-yet-connected
+    pairs by Adamic-Adar score (sum of 1/ln(degree) over common
+    neighbors) — the "which edge closes next" primitive behind
+    co-purchase recommendation, the predictive sibling of
+    triangle_count_copurchase (descriptive) and
+    item_item_similarity_topk (existing edges only).
+
+    The co >= 2 support floor is load-bearing at scale: the raw
+    co-occurrence graph is DENSE under wide baskets (avg degree ~150
+    at sf0.01 -> sum(deg^2) wedge volume in the billions by sf0.1,
+    measured), while repeat co-purchase prunes the random-collision
+    edges and keeps the wedge set ~constant in sf (33k -> 10k measured
+    sf0.01 -> sf0.1) — the same noise floor association_rules_pairs
+    applies via min-support.  Plan: wedge enumeration through the
+    middle node (operators/graph.py::adamic_adar_topk) — one
+    self-join of the undirected adjacency, map-side 1/ln(deg) weights,
+    pair hash-aggregate, anti-join against the edge set, two-level
+    bounded top-k on the ROUNDED score so float summation order can't
+    reorder the cut.  At 100 TB the max_middle_degree hub cap further
+    bounds wedges at n*D^2 (hubs score ~nothing per pair but dominate
+    wedge volume)."""
+    from advanced_etl_pipelines_spark.operators.graph import (
+        adamic_adar_topk,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("s"),
+            F.col("b.l_partkey").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= 2)
+        .select("s", "d")
+        .transform(tracked_persist)
+    )
+    top = adamic_adar_topk(pairs, "s", "d", 20)
+    return top.select(
+        F.col("s").cast("bigint").alias("node_a"),
+        F.col("d").cast("bigint").alias("node_b"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.col("aa_r").alias("aa_score"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )

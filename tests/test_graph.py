@@ -171,3 +171,36 @@ def test_kcore_warns_when_max_iter_truncates(spark):
         warnings.simplefilter("always")
         k_core(df, "s", "d", k=2, max_iter=1).collect()
     assert any("fixpoint" in str(w.message) for w in caught)
+
+
+def test_adamic_adar_topk_hand_computed(spark):
+    """Tiny graph with hand-computed AA scores: edges (1,2),(1,3),
+    (2,3),(3,4).  Non-edges at distance 2: (1,4) and (2,4), both with
+    common neighbor {3} (deg 3) -> score 1/ln(3) = 0.9102; tie broken
+    by node id."""
+    from advanced_etl_pipelines_spark.operators.graph import (
+        adamic_adar_topk,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "s long, d long"
+    )
+    got = adamic_adar_topk(edges, "s", "d", 5).orderBy("rnk").collect()
+    assert [(r["s"], r["d"], r["aa_r"], r["n_common"], r["rnk"]) for r in got] == [
+        (1, 4, 0.9102, 1, 1),
+        (2, 4, 0.9102, 1, 2),
+    ]
+
+
+def test_adamic_adar_hub_cap_drops_middles(spark):
+    """max_middle_degree excludes hub middles from scoring: capping at
+    2 removes node 3 (degree 3), leaving no distance-2 candidates."""
+    from advanced_etl_pipelines_spark.operators.graph import (
+        adamic_adar_topk,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "s long, d long"
+    )
+    got = adamic_adar_topk(edges, "s", "d", 5, max_middle_degree=2)
+    assert got.count() == 0
