@@ -713,3 +713,78 @@ def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+@query(
+    "unigram_lm_fertility",
+    # Expected frame at sf0.01 (deterministic: exact integer piece
+    # frequencies, fixed Viterbi fold order, strict-inequality
+    # tiebreak — three repeated runs hash-identical)
+    """
+    SELECT CAST(lang AS VARCHAR) AS lang,
+           CAST(w AS BIGINT) AS n_words,
+           CAST(p AS BIGINT) AS n_pieces,
+           CAST(f AS DOUBLE) AS fertility,
+           CAST(nll AS DOUBLE) AS nll_per_piece
+    FROM (VALUES
+      ('de', 3549, 5309, 1.4959, 5.3404),
+      ('en', 11757, 17666, 1.5026, 5.3147),
+      ('es', 3958, 5935, 1.4995, 5.3313),
+      ('fr', 3758, 5635, 1.4995, 5.3325),
+      ('zh', 4143, 6236, 1.5052, 5.3299)
+    ) AS t(lang, w, p, f, nll)
+    """,
+    sf_pinned=True,
+)
+def q_unigram_lm_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM (SentencePiece-family, Kudo 2018) tokenizer report:
+    build the frequency-scored piece vocabulary, Viterbi-segment the
+    corpus, and report per-language fertility plus mean negative
+    log-likelihood per piece — the second tokenizer family beside
+    bpe_fertility_by_lang, trained WITHOUT a driver loop (piece
+    scoring is one aggregate; BPE needs a merge round-trip per rank).
+
+    Scale shape (operators/unigram_lm.py): candidate explode and
+    Viterbi DP are vocabulary-bounded; the corpus pays exactly two
+    hash aggregates — (lang, word) counts and the final per-lang
+    rollup — plus a vocab-sized join.  Deterministic end to end ->
+    expected-frame oracle at sf0.01."""
+    from advanced_etl_pipelines_spark.functions.text import word_tokens
+    from advanced_etl_pipelines_spark.operators.bpe import (
+        word_freq_table,
+    )
+    from advanced_etl_pipelines_spark.operators.unigram_lm import (
+        unigram_piece_table,
+        unigram_viterbi_words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = word_freq_table(docs, "text")
+    pieces = unigram_piece_table(wf)
+    seg = unigram_viterbi_words(wf, pieces)
+    counts = (
+        docs.select(
+            "lang", F.explode(word_tokens("text")).alias("word")
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.join(seg, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_pieces"))
+            .cast("bigint")
+            .alias("n_pieces"),
+            r4(
+                F.sum(F.col("n") * F.col("n_pieces")) / F.sum("n")
+            ).alias("fertility"),
+            r4(
+                -F.sum(F.col("n") * F.col("logprob"))
+                / F.sum(F.col("n") * F.col("n_pieces"))
+            ).alias("nll_per_piece"),
+        )
+    )

@@ -460,3 +460,111 @@ def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(types).cast("long").alias("n_events"),
         F.array_join(F.slice(types, 1, 5), ",").alias("first5"),
     )
+
+
+@query(
+    "seasonal_decompose_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, SUM(value) AS v
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, day, v,
+             AVG(v) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS ma,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS wn
+      FROM daily),
+    det AS (
+      SELECT event_type, isodow(day) - 1 AS wd, v - ma AS dt
+      FROM t WHERE wn = 7),
+    wdm AS (
+      SELECT event_type, wd, AVG(dt) AS m, COUNT(*) AS n_days
+      FROM det GROUP BY 1, 2),
+    ctr AS (SELECT event_type, AVG(m) AS mm FROM wdm GROUP BY 1),
+    seas AS (
+      SELECT wdm.event_type, wd, n_days, m - mm AS seasonal
+      FROM wdm JOIN ctr ON wdm.event_type = ctr.event_type),
+    rem AS (
+      SELECT det.event_type, det.dt, det.dt - seas.seasonal AS r
+      FROM det JOIN seas
+        ON det.event_type = seas.event_type AND det.wd = seas.wd),
+    st AS (
+      SELECT event_type, VAR_POP(r) AS vr, VAR_POP(dt) AS vd
+      FROM rem GROUP BY 1)
+    SELECT seas.event_type,
+           CAST(wd AS INTEGER) AS weekday,
+           CAST(n_days AS BIGINT) AS n_days,
+           ROUND(1e-9 + seasonal, 4) AS seasonal,
+           ROUND(1e-9 + GREATEST(0, 1 - vr / vd), 4)
+             AS seasonal_strength
+    FROM seas JOIN st ON seas.event_type = st.event_type
+    """,
+)
+def q_seasonal_decompose_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical additive seasonal decomposition (statsmodels
+    ``seasonal_decompose``, period=7) of the per-type daily value
+    series: trend = centered 7-day moving average (full windows only),
+    seasonal = zero-centered weekday means of the detrended series,
+    plus Hyndman's seasonal-strength statistic
+    max(0, 1 - var(remainder)/var(detrended)) — the decomposition
+    underlying weekday_seasonality_index (ratio-to-average) and
+    anomaly_seasonal_adjusted, made explicit.
+
+    Scale shape: the only corpus-sized work is the daily pre-aggregate;
+    everything after runs on (types x days) rows with windows
+    PARTITIONED BY event_type — one hash exchange, each series sorts
+    independently, no global sort.  Output is (types x 7) rows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    t = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.avg("v").over(w).alias("ma"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    ).where(F.col("wn") == 7)
+    det = t.select(
+        "event_type",
+        F.weekday("day").alias("wd"),
+        (F.col("v") - F.col("ma")).alias("dt"),
+    )
+    wdm = det.groupBy("event_type", "wd").agg(
+        F.avg("dt").alias("m"), F.count(F.lit(1)).alias("n_days")
+    )
+    ctr = wdm.groupBy("event_type").agg(F.avg("m").alias("mm"))
+    seas = wdm.join(ctr, "event_type").select(
+        "event_type",
+        "wd",
+        "n_days",
+        (F.col("m") - F.col("mm")).alias("seasonal"),
+    )
+    rem = det.join(seas.select("event_type", "wd", "seasonal"),
+                   ["event_type", "wd"]).select(
+        "event_type",
+        "dt",
+        (F.col("dt") - F.col("seasonal")).alias("r"),
+    )
+    st = rem.groupBy("event_type").agg(
+        F.var_pop("r").alias("vr"), F.var_pop("dt").alias("vd")
+    )
+    return seas.join(st, "event_type").select(
+        "event_type",
+        F.col("wd").cast("int").alias("weekday"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        r4(F.col("seasonal")).alias("seasonal"),
+        r4(
+            F.greatest(F.lit(0.0), 1 - F.col("vr") / F.col("vd"))
+        ).alias("seasonal_strength"),
+    )
