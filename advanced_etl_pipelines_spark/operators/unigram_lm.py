@@ -106,22 +106,36 @@ def unigram_piece_table(
     )
 
 
+def occ_frame(words: DataFrame, max_len: int = 4) -> DataFrame:
+    """The substring-occurrence lattice (word, freq, s, l, p) — the
+    iteration-INVARIANT half of every lattice pass (only piece
+    probabilities change between EM rounds).  Callers running several
+    passes build this once, ``tracked_persist`` it, and hand it to
+    ``unigram_em_step`` / ``unigram_viterbi_words`` so the explode is
+    paid once, not per iteration."""
+    return words.select(
+        "word",
+        "freq",
+        F.explode(
+            F.expr(_OCC_EXPR.format(max_len=max_len))
+        ).alias("o"),
+    ).select("word", "freq", "o.s", "o.l", F.col("o.p").alias("p"))
+
+
 def unigram_viterbi_words(
     words: DataFrame,
     pieces: DataFrame,
     max_len: int = 4,
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """Viterbi-segment each DISTINCT word of a (word, ...) frame
     against a (p, lp) piece table.  Returns (word, logprob, n_pieces).
 
     The candidate join is an equi-join on the piece string (vocab-
     bounded both sides); the DP itself is one map-side HOF per word."""
-    occ = words.select(
-        "word",
-        F.explode(
-            F.expr(_OCC_EXPR.format(max_len=max_len))
-        ).alias("o"),
-    ).select("word", "o.s", "o.l", F.col("o.p").alias("p"))
+    if occ is None:
+        occ = occ_frame(words, max_len)
+    occ = occ.select("word", "s", "l", "p")
     cand = (
         occ.join(pieces.select("p", "lp"), "p")
         .groupBy("word")
@@ -144,4 +158,107 @@ def unigram_viterbi_words(
         "word",
         F.col("fin.sc").alias("logprob"),
         F.col("fin.np").alias("n_pieces"),
+    )
+
+
+# Forward ("inside") pass over the lattice: alpha[i] = total probability
+# of char prefix [0, i) under all segmentations; alpha[0] = 1 at index 1.
+_ALPHA_EXPR = """
+aggregate(
+  sequence(1, char_length(word)),
+  array(cast(1.0 as double)),
+  (acc, i) -> concat(acc, array(
+    aggregate(
+      filter(cs, c -> c.s + c.l = i),
+      cast(0.0 as double),
+      (m, c) -> m + element_at(acc, c.s + 1) * c.pr))))
+"""
+
+# Backward ("outside") pass, stored REVERSED so each step only reads
+# already-computed entries: element_at(.., L - i + 1) = beta[i];
+# beta[L] = 1 at index 1.
+_BETA_EXPR = """
+aggregate(
+  sequence(char_length(word) - 1, 0, -1),
+  array(cast(1.0 as double)),
+  (acc, i) -> concat(acc, array(
+    aggregate(
+      filter(cs, c -> c.s = i),
+      cast(0.0 as double),
+      (m, c) -> m + c.pr * element_at(
+        acc, char_length(word) - (c.s + c.l) + 1)))))
+"""
+
+# Posterior expected count of each candidate piece occurrence, in
+# integer MICRO-UNITS (x 1e6): quantizing the per-word E-step output
+# before the cross-word sum turns the M-step into exact integer
+# arithmetic — float summation order can no longer perturb the model,
+# so iterated EM is bit-reproducible on any partitioning.  (The same
+# fixed-point trick ships in production ML reducers for exactly this
+# reason; the quantization IS part of the algorithm definition.)
+_POSTERIOR_EXPR = """
+transform(cs, c -> named_struct(
+  'p', c.p,
+  'cnt', cast(round(freq * 1e6 *
+    element_at(al, c.s + 1) * c.pr *
+    element_at(be, char_length(word) - (c.s + c.l) + 1)
+    / element_at(al, char_length(word) + 1)) as bigint)))
+"""
+
+
+def unigram_em_step(
+    words: DataFrame,
+    pieces: DataFrame,
+    max_len: int = 4,
+    occ: DataFrame | None = None,
+) -> DataFrame:
+    """One EM iteration of the unigram LM (Kudo 2018 §3.2): E-step =
+    forward-backward over each DISTINCT word's segmentation lattice
+    (two ``aggregate`` HOFs, map-side, vocabulary-bounded); M-step =
+    re-normalized expected piece counts.
+
+    Returns a refreshed (p, freq, lp) piece frame where ``freq`` is
+    the expected count in integer micro-units.  Deterministic: the
+    per-word lattice folds run in fixed order, the per-(word, piece)
+    posteriors are quantized to micro-units BEFORE the cross-word
+    aggregate, and the M-step normalizer is a sum of longs — so the
+    new probabilities are exact ratios of integers, identical under
+    any partitioning.  Single-character pieces are floored at one
+    micro-unit (the lattice must stay connected).
+
+    Pass a prebuilt (persisted) ``occ_frame`` result via ``occ`` when
+    iterating: the substring explode is the only corpus-vocabulary-
+    sized scan in the loop and it never changes between rounds.
+    """
+    if occ is None:
+        occ = occ_frame(words, max_len)
+    cand = (
+        occ.join(pieces.select("p", F.exp("lp").alias("pr")), "p")
+        .groupBy("word", "freq")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("s", "l", "p", "pr"))
+            ).alias("cs")
+        )
+    )
+    post = (
+        cand.withColumn("al", F.expr(_ALPHA_EXPR))
+        .withColumn("be", F.expr(_BETA_EXPR))
+        .select(F.explode(F.expr(_POSTERIOR_EXPR)).alias("e"))
+        .groupBy(F.col("e.p").alias("p"))
+        .agg(F.sum("e.cnt").alias("raw"))
+        .select(
+            "p",
+            F.when(
+                F.char_length("p") == 1,
+                F.greatest(F.col("raw"), F.lit(1)),
+            )
+            .otherwise(F.col("raw"))
+            .alias("freq"),
+        )
+        .where(F.col("freq") > 0)
+    )
+    z = post.groupBy().agg(F.sum("freq").alias("z"))
+    return post.crossJoin(F.broadcast(z)).select(
+        "p", "freq", (F.log("freq") - F.log("z")).alias("lp")
     )

@@ -788,3 +788,89 @@ def q_unigram_lm_fertility(
             ).alias("nll_per_piece"),
         )
     )
+
+
+@query(
+    "unigram_em_refined",
+    # Expected frame at sf0.01 (deterministic: the E-step posterior is
+    # quantized to integer micro-units BEFORE the cross-word sum, so
+    # both EM rounds are exact integer arithmetic under any
+    # partitioning — three repeated runs hash-identical)
+    """
+    SELECT CAST(lang AS VARCHAR) AS lang,
+           CAST(w AS BIGINT) AS n_words,
+           CAST(p AS BIGINT) AS n_pieces,
+           CAST(f AS DOUBLE) AS fertility,
+           CAST(nll AS DOUBLE) AS nll_per_piece
+    FROM (VALUES
+      ('de', 3549, 5309, 1.4959, 3.8996),
+      ('en', 11757, 17666, 1.5026, 3.9020),
+      ('es', 3958, 5935, 1.4995, 3.8945),
+      ('fr', 3758, 5635, 1.4995, 3.9131),
+      ('zh', 4143, 6236, 1.5052, 3.8988)
+    ) AS t(lang, w, p, f, nll)
+    """,
+    sf_pinned=True,
+)
+def q_unigram_em_refined(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two EM refinement rounds of the unigram LM (Kudo 2018 §3.2 —
+    the SentencePiece training loop proper) on top of the
+    frequency-seeded piece table, then the same per-language
+    fertility / NLL report as unigram_lm_fertility.  EM reallocates
+    probability mass from substring-frequency artifacts to pieces
+    that actually participate in good segmentations, dropping
+    NLL/piece by ~27% over the seed model.
+
+    Scale shape: the substring lattice (occ_frame) is the only
+    vocabulary-sized scan and is built + persisted ONCE — each EM
+    round is then a vocab-sized broadcast-join + two map-side
+    forward/backward HOF folds + one hash aggregate over candidate
+    pieces.  The corpus pays two hash aggregates total, exactly as
+    the Viterbi-only query.  E-step posteriors quantize to integer
+    micro-units before the M-step sum -> bit-reproducible."""
+    from advanced_etl_pipelines_spark.functions.text import word_tokens
+    from advanced_etl_pipelines_spark.operators.bpe import (
+        word_freq_table,
+    )
+    from advanced_etl_pipelines_spark.operators.unigram_lm import (
+        occ_frame,
+        unigram_em_step,
+        unigram_piece_table,
+        unigram_viterbi_words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = word_freq_table(docs, "text").transform(tracked_persist)
+    occ = occ_frame(wf).transform(tracked_persist)
+    pieces = unigram_piece_table(wf)
+    for _ in range(2):
+        pieces = unigram_em_step(
+            wf, pieces, occ=occ
+        ).transform(tracked_persist)
+    seg = unigram_viterbi_words(wf, pieces, occ=occ)
+    counts = (
+        docs.select(
+            "lang", F.explode(word_tokens("text")).alias("word")
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.join(seg, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_pieces"))
+            .cast("bigint")
+            .alias("n_pieces"),
+            r4(
+                F.sum(F.col("n") * F.col("n_pieces")) / F.sum("n")
+            ).alias("fertility"),
+            r4(
+                -F.sum(F.col("n") * F.col("logprob"))
+                / F.sum(F.col("n") * F.col("n_pieces"))
+            ).alias("nll_per_piece"),
+        )
+    )
