@@ -355,3 +355,93 @@ def adamic_adar_topk(
     return top_k_global(
         ranked, [F.desc("aa_r"), F.asc("s"), F.asc("d")], k
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iters: int = 2,
+    small_parts: int | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, the RAK algorithm): every node starts as its own label;
+    each round, every node adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label id — the strict
+    deterministic variant (classic async LPA tie-breaks randomly and is
+    run-order dependent; a fixed synchronous schedule plus min-label
+    ties makes the whole computation a pure function of the edge list,
+    so the registry oracle can replay it as unrolled SQL, exactly like
+    ``pagerank``'s chained CTEs).
+
+    [extension] — the community-structure member of the graph family
+    (components = connectivity, k-core = density, triangles =
+    clustering, pagerank = centrality, this = mesoscale grouping).
+
+    Plan shape per round (same discipline as ``pagerank``): the
+    node-sized label frame broadcasts INTO the edge join — the edge
+    list, the only data-scale frame, never re-shuffles; per-(node,
+    label) counts hash-aggregate map-side first; the argmax is one
+    ``max_by`` over a (count, -label) struct, no window.  Lineage is
+    cut per round with ``localCheckpoint``.  At node counts past the
+    broadcast budget, hash-partition edges and labels on the join key
+    once and every round becomes a co-located join — the plan is the
+    textbook iterate-join shape either way.
+
+    Fixed ``iters`` rather than convergence-test: synchronous LPA can
+    2-cycle on bipartite-ish regions, so production runs bound rounds
+    anyway (GraphFrames' LPA does exactly this).
+
+    Returns (node, label).  Deterministic given the edge list.
+    """
+    if small_parts is None:
+        shuffle = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        small_parts = max(shuffle // 8, 4)
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("s"),
+            F.col(dst).cast("long").alias("d"),
+        )
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .coalesce(small_parts)
+        .localCheckpoint()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iters):
+        counts = (
+            e.join(
+                F.broadcast(
+                    labels.select(F.col("node").alias("s"), "label")
+                ),
+                "s",
+            )
+            .groupBy("d", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        new = counts.groupBy(F.col("d").alias("node")).agg(
+            F.expr(
+                "max_by(label, struct(cnt, -label))"
+            ).alias("new_label")
+        )
+        labels = (
+            labels.join(
+                F.broadcast(new), "node", "left"
+            )
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .coalesce(small_parts)
+            .localCheckpoint()
+        )
+    return labels

@@ -264,3 +264,51 @@ def histogram2d(
         .groupBy("xbucket", "ybucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def maintain_additive_agg(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Incremental view maintenance for additive aggregates (the
+    delta-propagation rule of Blakeley et al. 1986 / the Differential
+    Dataflow sum algebra): given the CURRENT aggregate state
+    ``base_agg`` (one row per key, the ``sum_cols`` totals) and a
+    signed changelog delta (same columns; retractions carry negative
+    contributions), produce the refreshed aggregate WITHOUT touching
+    the base fact table.
+
+    Plan shape: one hash aggregate over the delta (delta-sized, the
+    whole point), then a full-outer join on the group key against the
+    base state and a coalesced sum per measure.  Groups whose row-count
+    measure nets to zero disappear (the group-deletion case callers
+    must not forget) — callers pass the count measure in ``sum_cols``
+    and filter on it.  At 100 TB the base state is a bucketed table on
+    ``keys`` and the refresh is a delta-sized co-located merge — the
+    fact table is never rescanned; this is exactly the update path a
+    MERGE-maintained materialized view runs per micro-batch.
+
+    Returns one row per surviving key with refreshed ``sum_cols``.
+    """
+    d_agg = delta.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+    b = base_agg.select(
+        *keys, *[F.col(c).alias(f"__b_{c}") for c in sum_cols]
+    )
+    d = d_agg.select(
+        *keys, *[F.col(c).alias(f"__d_{c}") for c in sum_cols]
+    )
+    merged = b.join(d, list(keys), "full_outer")
+    return merged.select(
+        *keys,
+        *[
+            (
+                F.coalesce(F.col(f"__b_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in sum_cols
+        ],
+    )

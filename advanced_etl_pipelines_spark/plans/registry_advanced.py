@@ -7970,3 +7970,215 @@ def q_link_prediction_adamic_adar(
         F.col("aa_r").alias("aa_score"),
         F.col("rnk").cast("bigint").alias("rnk"),
     )
+
+
+@query(
+    "incremental_agg_maintenance",
+    """
+    WITH signed AS (
+      SELECT user_id,
+             CASE event_type WHEN 'signup' THEN 1
+                             WHEN 'error' THEN -1 ELSE 0 END AS dr,
+             CASE event_type WHEN 'signup' THEN value
+                             WHEN 'error' THEN -value
+                             ELSE value END AS dv
+      FROM events)
+    SELECT user_id,
+           CAST(SUM(dr) AS BIGINT) AS net_rows,
+           ROUND(1e-9 + SUM(dv), 4) AS net_value
+    FROM signed
+    GROUP BY user_id
+    HAVING SUM(dr) > 0
+    ORDER BY user_id
+    """,
+)
+def q_incremental_agg_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental materialized-view maintenance (Blakeley et al. 1986
+    delta propagation): a per-user (row-count, value-total) aggregate
+    is FIRST materialized from the changelog prefix before 2024-01-21,
+    then refreshed by applying only the signed post-split delta through
+    operators/relational.py maintain_additive_agg — the base facts are
+    never rescanned.  Changelog algebra: signup = insert (+1, +value),
+    error = retraction (-1, -value), other events = in-place value
+    delta (0, +value); groups whose row count nets to zero disappear.
+
+    The DuckDB oracle recomputes the view FLAT over the whole log —
+    equality of the two is precisely the IVM correctness statement
+    (delta application == recomputation), so the oracle checks the
+    algorithm, not just the arithmetic.  At 100 TB the base state is a
+    key-bucketed table and each refresh is a delta-sized co-located
+    merge: the cost of maintenance is proportional to the CHANGE, not
+    to the data."""
+    from advanced_etl_pipelines_spark.operators.relational import (
+        maintain_additive_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    signed = ev.select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "signup", F.lit(1))
+        .when(F.col("event_type") == "error", F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("dr"),
+        F.when(F.col("event_type") == "error", -F.col("value"))
+        .otherwise(F.col("value"))
+        .alias("dv"),
+    )
+    split = F.lit("2024-01-21").cast("timestamp")
+    base = signed.where(F.col("ts") < split).groupBy("user_id").agg(
+        F.sum("dr").alias("dr"), F.sum("dv").alias("dv")
+    )
+    delta = signed.where(F.col("ts") >= split).select(
+        "user_id", "dr", "dv"
+    )
+    refreshed = maintain_additive_agg(
+        base, delta, ["user_id"], ["dr", "dv"]
+    )
+    return (
+        refreshed.where(F.col("dr") > 0)
+        .select(
+            "user_id",
+            F.col("dr").cast("bigint").alias("net_rows"),
+            r4(F.col("dv")).alias("net_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# closed-form 16-bit Morton interleave (z = pk bits at odd positions,
+# sk bits at even): generated once, identical arithmetic in both
+# engines — no lateral/HOF needed on the DuckDB side
+_Z32 = " + ".join(
+    f"(((pk16 >> {i}) & 1) << {2 * i + 1})"
+    f" + (((sk16 >> {i}) & 1) << {2 * i})"
+    for i in range(16)
+)
+
+
+@query(
+    "zorder_layout_pruning",
+    f"""
+    WITH dims AS (
+      SELECT MAX(l_partkey) AS pmax, MAX(l_suppkey) AS smax,
+             MAX(l_orderkey) AS omax
+      FROM lineitem),
+    coded AS (
+      SELECT l_partkey, l_suppkey,
+             ((l_partkey - 1) * 65536) // pmax AS pk16,
+             ((l_suppkey - 1) * 65536) // smax AS sk16,
+             ((l_orderkey - 1) * 64) // omax AS nat_bucket
+      FROM lineitem, dims),
+    z AS (
+      SELECT l_partkey, l_suppkey, nat_bucket,
+             ({_Z32}) >> 26 AS z_bucket
+      FROM coded),
+    zb AS (
+      SELECT z_bucket,
+             MAX(l_partkey) - MIN(l_partkey) + 1 AS pr,
+             MAX(l_suppkey) - MIN(l_suppkey) + 1 AS sr
+      FROM z GROUP BY z_bucket),
+    nb AS (
+      SELECT nat_bucket,
+             MAX(l_partkey) - MIN(l_partkey) + 1 AS pr,
+             MAX(l_suppkey) - MIN(l_suppkey) + 1 AS sr
+      FROM z GROUP BY nat_bucket)
+    SELECT CAST((SELECT COUNT(*) FROM zb) AS BIGINT) AS n_buckets_z,
+           CAST((SELECT COUNT(*) FROM nb) AS BIGINT) AS n_buckets_nat,
+           ROUND(1e-9 + (SELECT AVG(CAST(pr AS DOUBLE) / pmax) FROM zb, dims), 4)
+             AS cov_pk_z,
+           ROUND(1e-9 + (SELECT AVG(CAST(sr AS DOUBLE) / smax) FROM zb, dims), 4)
+             AS cov_sk_z,
+           ROUND(1e-9 + (SELECT AVG(CAST(pr AS DOUBLE) / pmax) FROM nb, dims), 4)
+             AS cov_pk_nat,
+           ROUND(1e-9 + (SELECT AVG(CAST(sr AS DOUBLE) / smax) FROM nb, dims), 4)
+             AS cov_sk_nat
+    """,
+)
+def q_zorder_layout_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Z-order (Morton-curve) data-layout planner: interleave the bits
+    of the two filter dimensions (partkey, suppkey), bucket rows by the
+    top 6 z-bits into 64 'files', and measure per-file min/max coverage
+    of each dimension — the statistic a lakehouse OPTIMIZE ZORDER
+    decision is made from.  Reported against the natural
+    (insertion/orderkey) layout: z-order shrinks BOTH dimensions'
+    per-file ranges to ~sqrt(1/64) of the domain, while the natural
+    layout prunes neither — the measured justification for multi-
+    dimensional clustering at 100 TB, where file-level min/max skipping
+    is the difference between scanning 1/8 and scanning everything.
+
+    Engine shape: the Morton code is a closed-form 32-term bit
+    expression (module constant _Z32) evaluated map-side in whole-stage
+    codegen — no UDF, no sort; bucketing is arithmetic on the code, so
+    the whole layout simulation is two hash aggregates.  Rank
+    normalization to 16-bit uses exact BIGINT floor division, identical
+    in both engines.  In production the z expression feeds
+    ``df.repartitionByRange(64, F.col('z'))`` + sortWithinPartitions to
+    actually WRITE the layout; this query is the planning/diagnostic
+    half, deliberately write-free."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey"
+    )
+    dims = li.agg(
+        F.max("l_partkey").alias("pmax"),
+        F.max("l_suppkey").alias("smax"),
+        F.max("l_orderkey").alias("omax"),
+    )
+    coded = li.crossJoin(F.broadcast(dims)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr("((l_partkey - 1) * 65536) div pmax").alias("pk16"),
+        F.expr("((l_suppkey - 1) * 65536) div smax").alias("sk16"),
+        F.expr("((l_orderkey - 1) * 64) div omax").alias("nat_bucket"),
+        "pmax",
+        "smax",
+    )
+    z = coded.select(
+        "l_partkey",
+        "l_suppkey",
+        "nat_bucket",
+        "pmax",
+        "smax",
+        F.expr(f"({_Z32}) >> 26").alias("z_bucket"),
+    )
+
+    def bucket_cov(frame, bcol):
+        per = frame.groupBy(bcol, "pmax", "smax").agg(
+            (
+                F.max("l_partkey") - F.min("l_partkey") + 1
+            ).alias("pr"),
+            (
+                F.max("l_suppkey") - F.min("l_suppkey") + 1
+            ).alias("sr"),
+        )
+        return per.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.avg(F.col("pr").cast("double") / F.col("pmax")).alias(
+                "cp"
+            ),
+            F.avg(F.col("sr").cast("double") / F.col("smax")).alias(
+                "cs"
+            ),
+        )
+    zc = bucket_cov(z, "z_bucket").select(
+        F.col("n").alias("n_buckets_z"),
+        F.col("cp").alias("cov_pk_z"),
+        F.col("cs").alias("cov_sk_z"),
+    )
+    nc = bucket_cov(z, "nat_bucket").select(
+        F.col("n").alias("n_buckets_nat"),
+        F.col("cp").alias("cov_pk_nat"),
+        F.col("cs").alias("cov_sk_nat"),
+    )
+    return zc.crossJoin(nc).select(
+        "n_buckets_z",
+        "n_buckets_nat",
+        r4(F.col("cov_pk_z")).alias("cov_pk_z"),
+        r4(F.col("cov_sk_z")).alias("cov_sk_z"),
+        r4(F.col("cov_pk_nat")).alias("cov_pk_nat"),
+        r4(F.col("cov_sk_nat")).alias("cov_sk_nat"),
+    )

@@ -1628,3 +1628,248 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deaths").cast("long").alias("deaths"),
         F.round(F.lit(1e-9) + F.col("s"), 6).alias("survival"),
     )
+
+
+@query(
+    "community_label_propagation",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey),
+    l0 AS (
+      SELECT DISTINCT s AS node, s AS label FROM e),
+    c1 AS (
+      SELECT e.d, l0.label, COUNT(*) AS cnt
+      FROM e JOIN l0 ON e.s = l0.node GROUP BY e.d, l0.label),
+    n1 AS (
+      SELECT d AS node, label FROM (
+        SELECT d, label,
+               ROW_NUMBER() OVER (PARTITION BY d
+                   ORDER BY cnt DESC, label ASC) AS rn
+        FROM c1) WHERE rn = 1),
+    l1 AS (
+      SELECT l0.node, COALESCE(n1.label, l0.label) AS label
+      FROM l0 LEFT JOIN n1 ON l0.node = n1.node),
+    c2 AS (
+      SELECT e.d, l1.label, COUNT(*) AS cnt
+      FROM e JOIN l1 ON e.s = l1.node GROUP BY e.d, l1.label),
+    n2 AS (
+      SELECT d AS node, label FROM (
+        SELECT d, label,
+               ROW_NUMBER() OVER (PARTITION BY d
+                   ORDER BY cnt DESC, label ASC) AS rn
+        FROM c2) WHERE rn = 1),
+    l2 AS (
+      SELECT l1.node, COALESCE(n2.label, l1.label) AS label
+      FROM l1 LEFT JOIN n2 ON l1.node = n2.node)
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS size
+    FROM l2 GROUP BY label
+    ORDER BY size DESC, label ASC LIMIT 10
+    """,
+)
+def q_community_label_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection by deterministic synchronous label
+    propagation (operators/graph.py label_propagation — RAK 2007 with
+    min-label ties) over the part co-purchase graph, 2 rounds; output
+    the 10 largest communities.  The mesoscale complement of the graph
+    family: pagerank ranks nodes, components find connectivity, this
+    groups the co-purchase neighborhood structure.
+
+    The DuckDB oracle replays both synchronous rounds as chained CTEs
+    (the same fixed-iteration-unroll pattern as pagerank_copurchase) —
+    integer labels and counts, so the comparison is exact, no
+    rounding.  Every node of the symmetric co-purchase graph appears
+    as a destination, so the SQL l0 seed over edge sources is the full
+    node set."""
+    from advanced_etl_pipelines_spark.operators.graph import (
+        label_propagation,
+    )
+    from advanced_etl_pipelines_spark.operators.scale import top_k_global
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("s"),
+            F.col("b.l_partkey").alias("d"),
+        )
+    )
+    labels = label_propagation(edges, "s", "d", iters=2)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    return top_k_global(
+        sizes, [F.desc("size"), F.asc("label")], 10
+    ).select(F.col("label").cast("bigint").alias("label"), "size")
+
+
+@query(
+    "theilsen_slope_by_nation",
+    """
+    WITH m AS (
+      SELECT n.n_name,
+             (EXTRACT(YEAR FROM o.o_orderdate) - 1992) * 12
+               + EXTRACT(MONTH FROM o.o_orderdate) AS mi,
+             SUM(o.o_totalprice) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, mi),
+    p AS (
+      SELECT a.n_name,
+             (b.rev - a.rev) / (b.mi - a.mi) AS slope
+      FROM m a JOIN m b
+        ON a.n_name = b.n_name AND a.mi < b.mi),
+    ts AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             ROUND(1e-9 + MEDIAN(slope), 4) AS theil_sen_slope
+      FROM p GROUP BY n_name),
+    ols AS (
+      SELECT n_name, ROUND(1e-9 + REGR_SLOPE(rev, mi), 4) AS ols_slope
+      FROM m GROUP BY n_name)
+    SELECT ts.n_name, ts.n_pairs, ts.theil_sen_slope, ols.ols_slope
+    FROM ts JOIN ols ON ts.n_name = ols.n_name
+    ORDER BY ts.n_name
+    """,
+)
+def q_theilsen_slope_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil–Sen robust trend estimator (Theil 1950 / Sen 1968): per
+    nation, the MEDIAN of all pairwise slopes between monthly revenue
+    points — the breakdown-resistant complement of the OLS trend
+    (trend_regression_daily / regr_slope_by_nation), reported side by
+    side with the OLS slope so outlier months are visible as the gap
+    between the two.
+
+    Scale shape: the pair explode is CALENDAR-squared, not data-
+    squared — the monthly rollup first reduces the fact table to
+    (nation x month) rows (one hash aggregate over the join), and only
+    that bounded frame self-joins (~84 months -> ~3.5k pairs per key,
+    forever, regardless of fact-table size).  The exact per-key median
+    runs on those bounded groups.  This is the honest way to run an
+    O(n^2) estimator at 100 TB: collapse to the estimator's true
+    support (the calendar) before the quadratic step."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1992)) * 12
+                + F.month("o_orderdate")
+            ).alias("mi"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.n_name") == F.col("b.n_name"))
+            & (F.col("a.mi") < F.col("b.mi")),
+        )
+        .select(
+            F.col("a.n_name").alias("n_name"),
+            (
+                (F.col("b.rev") - F.col("a.rev"))
+                / (F.col("b.mi") - F.col("a.mi")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    ts = pairs.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        r4(F.expr("percentile(slope, 0.5)")).alias("theil_sen_slope"),
+    )
+    ols = monthly.groupBy("n_name").agg(
+        r4(
+            F.covar_pop("rev", F.col("mi").cast("double"))
+            / F.var_pop(F.col("mi").cast("double"))
+        ).alias("ols_slope")
+    )
+    return (
+        ts.join(ols, "n_name")
+        .select("n_name", "n_pairs", "theil_sen_slope", "ols_slope")
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "pareto_frontier_parts",
+    """
+    WITH cand AS (
+      SELECT p_size AS size, MIN(p_retailprice) AS mp
+      FROM part GROUP BY p_size),
+    fr AS (
+      SELECT size, mp FROM cand a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cand b
+        WHERE b.size > a.size AND b.mp <= a.mp))
+    SELECT CAST(fr.size AS INTEGER) AS p_size,
+           ROUND(1e-9 + fr.mp, 2) AS frontier_price,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM fr JOIN part
+      ON part.p_size = fr.size AND part.p_retailprice = fr.mp
+    GROUP BY fr.size, fr.mp
+    ORDER BY p_size
+    """,
+)
+def q_pareto_frontier_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skyline / Pareto-frontier query (Borzsony, Kossmann & Stocker,
+    ICDE'01): the parts not dominated in (MINIMIZE retail price,
+    MAXIMIZE size) — no other part is at-least-as-good on both axes
+    and strictly better on one.  The classic multi-criteria OLAP
+    operator the reference family lacks entirely.
+
+    Scale shape — the bounded-domain skyline reduction: dominance only
+    ever needs the cheapest part PER SIZE, and size is a bounded
+    attribute domain (50 distinct values in TPC-H, and any real
+    catalog's size/quality axis is similarly enumerable).  So the
+    data-scale work is ONE hash aggregate (min price per size); the
+    quadratic dominance test runs on that <=|domain| candidate frame
+    via a broadcast self-anti-join (50x50, constant forever); winners
+    broadcast-join back to collect the tied parts at each frontier
+    point.  An unbounded second axis would instead use the
+    sort-by-one-axis running-min formulation over range partitions —
+    this query pins the domain-bounded form."""
+    part = _t(spark, sf_dir, "part").select("p_size", "p_retailprice")
+    cand = part.groupBy(F.col("p_size").alias("size")).agg(
+        F.min("p_retailprice").alias("mp")
+    )
+    dom = cand.select(
+        F.col("size").alias("bs"), F.col("mp").alias("bmp")
+    )
+    frontier = cand.join(
+        F.broadcast(dom),
+        (F.col("bs") > F.col("size")) & (F.col("bmp") <= F.col("mp")),
+        "left_anti",
+    )
+    return (
+        part.join(
+            F.broadcast(frontier),
+            (part.p_size == frontier.size)
+            & (part.p_retailprice == frontier.mp),
+        )
+        .groupBy("size", "mp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .select(
+            F.col("size").cast("int").alias("p_size"),
+            r2(F.col("mp")).alias("frontier_price"),
+            "n_parts",
+        )
+        .orderBy("p_size")
+    )

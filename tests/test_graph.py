@@ -204,3 +204,57 @@ def test_adamic_adar_hub_cap_drops_middles(spark):
     )
     got = adamic_adar_topk(edges, "s", "d", 5, max_middle_degree=2)
     assert got.count() == 0
+
+
+# ---------------------------------------------------------------- LPA
+
+
+def _lpa(spark, edges, iters=2):
+    from advanced_etl_pipelines_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(edges, "s long, d long")
+    sym = df.union(df.selectExpr("d as s", "s as d"))
+    return {
+        r["node"]: r["label"]
+        for r in label_propagation(sym, "s", "d", iters=iters).collect()
+    }
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two triangles {1,2,3} and {10,11,12} joined by one bridge edge
+    3-10: after three synchronous min-tie rounds each triangle has
+    settled on one label; the bridge does not merge them.  (Hand
+    trace: round 2 leaves node 10 still carrying its own label while
+    11/12 have adopted 3 — synchronous updates propagate one hop per
+    round, which is why the operator takes ``iters`` rather than
+    assuming instant convergence.)"""
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    got = _lpa(spark, tri1 + tri2 + [(3, 10)], iters=3)
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11] == got[12]
+    assert got[1] != got[10]
+
+
+def test_lpa_min_label_tie_break(spark):
+    """A node whose neighbors' labels are all distinct (every count
+    ties at 1) must adopt the SMALLEST neighbor label — round 1 on a
+    star: center 100 sees {1,2,3}, adopts 1."""
+    got = _lpa(spark, [(100, 1), (100, 2), (100, 3)], iters=1)
+    assert got[100] == 1
+
+
+def test_lpa_deterministic_across_runs(spark):
+    """Same edges, three runs, identical labelings (synchronous
+    schedule + min-label ties are partitioning-independent)."""
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(30), rng.randrange(30)) for _ in range(60)
+    ]
+    edges = [(s, d) for s, d in edges if s != d]
+    runs = [sorted(_lpa(spark, edges).items()) for _ in range(3)]
+    assert runs[0] == runs[1] == runs[2]

@@ -296,3 +296,70 @@ def test_histogram2d_degenerate_range_buckets_to_zero(spark):
     assert all(r["xbucket"] == 0 for r in rows)
     assert {r["ybucket"] for r in rows} == {0, 1}
     assert sum(r["cnt"] for r in rows) == 10
+
+
+# ------------------------------------------------- IVM delta merge
+
+
+def test_maintain_additive_agg_hand_case(spark):
+    """Base state {a: (2 rows, 10.0)}, delta retracts one 'a' row
+    (-1, -4.0), deletes key 'b' entirely via a net-zero... and inserts
+    a brand-new key 'c': refreshed state must update a, surface c, and
+    expose b's zero row count for the caller's existence filter."""
+    from advanced_etl_pipelines_spark.operators.relational import (
+        maintain_additive_agg,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 2, 10.0), ("b", 1, 5.0)],
+        "k string, n long, v double",
+    )
+    delta = spark.createDataFrame(
+        [("a", -1, -4.0), ("b", -1, -5.0), ("c", 1, 7.0)],
+        "k string, n long, v double",
+    )
+    got = {
+        r["k"]: (r["n"], r["v"])
+        for r in maintain_additive_agg(
+            base, delta, ["k"], ["n", "v"]
+        ).collect()
+    }
+    assert got["a"] == (1, 6.0)
+    assert got["b"] == (0, 0.0)     # net-zero group: caller filters
+    assert got["c"] == (1, 7.0)     # appeared only in the delta
+
+
+def test_maintain_additive_agg_matches_flat_recompute(spark):
+    """IVM correctness statement on random data: base prefix + delta
+    application == flat aggregate over the full log."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (f"k{rng.randrange(8)}", rng.choice([1, -1]), rng.uniform(-5, 5))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, n long, v double")
+    half = spark.createDataFrame(rows[:150], "k string, n long, v double")
+    rest = spark.createDataFrame(rows[150:], "k string, n long, v double")
+    from advanced_etl_pipelines_spark.operators.relational import (
+        maintain_additive_agg,
+    )
+    from pyspark.sql import functions as F
+
+    base = half.groupBy("k").agg(
+        F.sum("n").alias("n"), F.sum("v").alias("v")
+    )
+    inc = {
+        r["k"]: (r["n"], round(r["v"], 6))
+        for r in maintain_additive_agg(
+            base, rest, ["k"], ["n", "v"]
+        ).collect()
+    }
+    flat = {
+        r["k"]: (r["n"], round(r["v"], 6))
+        for r in df.groupBy("k")
+        .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+        .collect()
+    }
+    assert inc == flat
