@@ -8119,7 +8119,12 @@ def q_zorder_layout_pruning(
     in both engines.  In production the z expression feeds
     ``df.repartitionByRange(64, F.col('z'))`` + sortWithinPartitions to
     actually WRITE the layout; this query is the planning/diagnostic
-    half, deliberately write-free."""
+    half, deliberately write-free.  The WRITE half already ships as
+    operators/scale.py ``zorder_value`` / ``write_zorder_layout``
+    (pinned by tests/test_scale.py); this query uses its own exact
+    BIGINT floor-division normalization instead of that operator's
+    float min/max scaling because the DuckDB oracle must reproduce the
+    bucket assignment bit-for-bit."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_orderkey"
     )
