@@ -8187,3 +8187,209 @@ def q_zorder_layout_pruning(
         r4(F.col("cov_pk_nat")).alias("cov_pk_nat"),
         r4(F.col("cov_sk_nat")).alias("cov_sk_nat"),
     )
+
+
+@query(
+    "spearman_corr_bounded",
+    """
+    WITH t AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS epc
+      FROM lineitem),
+    eb AS (SELECT MIN(epc) AS lo, MAX(epc) AS hi FROM t),
+    tb AS (
+      SELECT q, d, ((epc - lo) * 256) // (hi - lo + 1) AS pb
+      FROM t, eb),
+    qr AS (
+      SELECT v, SUM(n) OVER (ORDER BY v) - n + (n + 1) / 2.0 AS r
+      FROM (SELECT q AS v, COUNT(*) AS n FROM tb GROUP BY q)),
+    dr AS (
+      SELECT v, SUM(n) OVER (ORDER BY v) - n + (n + 1) / 2.0 AS r
+      FROM (SELECT d AS v, COUNT(*) AS n FROM tb GROUP BY d)),
+    pr AS (
+      SELECT v, SUM(n) OVER (ORDER BY v) - n + (n + 1) / 2.0 AS r
+      FROM (SELECT pb AS v, COUNT(*) AS n FROM tb GROUP BY pb)),
+    ranked AS (
+      SELECT qr.r AS rq, dr.r AS rd, pr.r AS rp
+      FROM tb JOIN qr ON tb.q = qr.v
+              JOIN dr ON tb.d = dr.v
+              JOIN pr ON tb.pb = pr.v)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(1e-9 + CORR(rq, rd), 4) AS rho_qty_disc,
+           ROUND(1e-9 + CORR(rq, rp), 4) AS rho_qty_price,
+           ROUND(1e-9 + CORR(rd, rp), 4) AS rho_disc_price
+    FROM ranked
+    """,
+)
+def q_spearman_corr_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation (grade correlation) between lineitem
+    quantity, discount, and price band — the monotonic-association
+    complement of the Pearson matrix (corr_matrix_lineitem), robust to
+    the fat price tail that drags Pearson around.
+
+    The scale problem with Spearman is the RANK: a naive global
+    row_number is a single-partition sort.  Here every ranked variable
+    has a BOUNDED DOMAIN (quantity 1-50, discount 11 ticks, price
+    quantized onto a 256-band grid with exact integer-cents
+    arithmetic), so mid-rank (average-rank, the standard tie
+    convention) per distinct VALUE is a prefix sum over the tiny
+    distinct-value frame — data-scale work is one hash aggregate per
+    variable plus three broadcast joins back, and Pearson-on-ranks is
+    a single corr() reduce.  Quantizing the continuous axis first is
+    what production systems do (grade correlation on a fixed grid);
+    the exact-cents BIGINT banding makes the bucket assignment
+    bit-identical across engines.  The unpartitioned window runs over
+    <=256 rows by construction -> whitelisted in tests/test_plans.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100)
+        .cast("bigint")
+        .alias("d"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("epc"),
+    )
+    eb = t.agg(F.min("epc").alias("lo"), F.max("epc").alias("hi"))
+    tb = t.crossJoin(F.broadcast(eb)).select(
+        "q",
+        "d",
+        F.expr("((epc - lo) * 256) div (hi - lo + 1)").alias("pb"),
+    )
+
+    def avg_rank(col):
+        cnt = tb.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        w = (
+            Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return cnt.select(
+            "v",
+            (
+                F.sum("n").over(w)
+                - F.col("n")
+                + (F.col("n") + 1) / 2.0
+            ).alias(f"r_{col}"),
+        )
+
+    ranked = (
+        tb.join(F.broadcast(avg_rank("q")), tb.q == F.col("v"))
+        .drop("v")
+        .join(F.broadcast(avg_rank("d")), tb.d == F.col("v"))
+        .drop("v")
+        .join(F.broadcast(avg_rank("pb")), tb.pb == F.col("v"))
+        .drop("v")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        r4(F.corr("r_q", "r_d")).alias("rho_qty_disc"),
+        r4(F.corr("r_q", "r_pb")).alias("rho_qty_price"),
+        r4(F.corr("r_d", "r_pb")).alias("rho_disc_price"),
+    )
+
+
+@query(
+    "neyman_allocation_sample",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS stratum,
+             COUNT(*) AS nh,
+             STDDEV_POP(o_totalprice) AS sh
+      FROM orders GROUP BY o_orderpriority),
+    tot AS (SELECT SUM(nh * sh) AS z FROM s),
+    alloc AS (
+      SELECT stratum, nh, sh,
+             ROUND(1e-9 + LEAST(1.0, (1000.0 * nh * sh / z) / nh), 6)
+               AS keep_rate
+      FROM s, tot),
+    kept AS (
+      SELECT o.o_orderpriority AS stratum, COUNT(*) AS n_kept,
+             AVG(o.o_totalprice) AS kept_mean
+      FROM orders o JOIN alloc a ON o.o_orderpriority = a.stratum
+      WHERE (((o.o_orderkey % 2147483648) * 2654435761) % 4294967296)
+            / 4294967296.0 < a.keep_rate
+      GROUP BY o.o_orderpriority)
+    SELECT a.stratum,
+           CAST(a.nh AS BIGINT) AS n_pop,
+           ROUND(1e-9 + a.sh, 2) AS stddev_price,
+           a.keep_rate,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           ROUND(1e-9 + k.kept_mean, 2) AS kept_mean_price
+    FROM alloc a LEFT JOIN kept k ON a.stratum = k.stratum
+    ORDER BY a.stratum
+    """,
+)
+def q_neyman_allocation_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Neyman-optimal stratified sampling (Neyman 1934): a fixed
+    survey budget of 1000 rows is allocated across order-priority
+    strata proportional to N_h * S_h — size TIMES within-stratum
+    spread — the allocation that minimizes the stratified estimator's
+    variance (proportional allocation ignores S_h; uniform ignores
+    both).  The high-variance strata get oversampled, exactly what a
+    quality-audit or labeling-budget pipeline wants.
+
+    Shape: one aggregate for per-stratum (N_h, S_h), a broadcast of
+    the 5-row allocation table, then the map-side deterministic
+    keep (unit_hash(key) < rate — same rerun-stable Bernoulli as
+    operators/sampling.py stratified_sample / the temperature-sampling
+    query) and one aggregate over survivors.  No corpus-scale shuffle;
+    the keep rate is rounded to 6 decimals on BOTH engines so the
+    stddev reduce-order noise (~1e-12 relative) can never flip a
+    hash-vs-rate comparison."""
+    from advanced_etl_pipelines_spark.operators.sampling import unit_hash
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    s = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.stddev_pop("o_totalprice").alias("sh"),
+    )
+    tot = s.agg(F.sum(F.col("nh") * F.col("sh")).alias("z"))
+    alloc = s.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "nh",
+        "sh",
+        F.round(
+            F.lit(1e-9)
+            + F.least(
+                F.lit(1.0),
+                (F.lit(1000.0) * F.col("nh") * F.col("sh") / F.col("z"))
+                / F.col("nh"),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    kept = (
+        o.join(
+            F.broadcast(alloc.select("stratum", "keep_rate")),
+            o.o_orderpriority == F.col("stratum"),
+        )
+        .where(unit_hash("o_orderkey") < F.col("keep_rate"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.avg("o_totalprice").alias("kept_mean"),
+        )
+    )
+    return (
+        alloc.join(kept, "stratum", "left_outer")
+        .select(
+            "stratum",
+            F.col("nh").cast("bigint").alias("n_pop"),
+            r2(F.col("sh")).alias("stddev_price"),
+            "keep_rate",
+            F.coalesce("n_kept", F.lit(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            r2(F.col("kept_mean")).alias("kept_mean_price"),
+        )
+        .orderBy("stratum")
+    )

@@ -101,6 +101,8 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     "user_growth_curve": "window over per-day first-seen counts",
     "hierarchical_revenue_shares": "window over region/nation rollup",
     "revenue_ma_crossover": "window over per-day revenue",
+    "spearman_corr_bounded": "windows over distinct-value counts "
+    "(quantity 50, discount 11, price bands 256)",
 }
 
 
