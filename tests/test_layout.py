@@ -60,3 +60,35 @@ def test_zorder_locality_beats_shuffled_layout(spark, tmp_path):
         == spark.read.parquet(rpath).where(pred).count()
     )
     assert z_files * 2 <= r_files, (z_files, r_files)
+
+
+def test_dynamic_partition_pruning_on_date_partitioned_fact(
+    spark, tmp_path
+):
+    """Dynamic partition pruning: a fact table PARTITIONED BY month,
+    joined to a dim filtered at runtime, must scan only the partitions
+    the dim's keys select — the plan carries a dynamicpruning
+    subquery on the partition column instead of a full scan.  This is
+    the mechanism that makes star joins over a date-partitioned 100 TB
+    fact read days, not years; pinned here so a conf regression or a
+    partition-column type change can't silently turn it off."""
+    from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+
+    o = read_sf_table(spark, "/root/testdata/sf0.001", "orders")
+    fact = o.withColumn(
+        "omonth", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "fact_by_month")
+    fact.write.partitionBy("omonth").parquet(path)
+    f = spark.read.parquet(path)
+    # runtime-filtered dim: months of 1995 only, not a literal IN list
+    dim = (
+        fact.select("omonth")
+        .distinct()
+        .where(F.col("omonth").startswith("1995"))
+    )
+    joined = f.join(dim, "omonth").groupBy("omonth").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = {r["omonth"] for r in joined.collect()}
+    assert got and all(m.startswith("1995") for m in got)
