@@ -8393,3 +8393,224 @@ def q_neyman_allocation_sample(
         )
         .orderBy("stratum")
     )
+
+
+@query(
+    "k_anonymity_audit",
+    """
+    WITH qi AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             c_custkey
+      FROM customer),
+    g AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             COUNT(*) AS grp_n,
+             COUNT(DISTINCT c_custkey % 7) AS l_div
+      FROM qi GROUP BY c_nationkey, c_mktsegment, bal_band)
+    SELECT CAST(k AS INTEGER) AS k,
+           CAST(COUNT(*) FILTER (WHERE grp_n < k) AS BIGINT)
+             AS groups_below_k,
+           CAST(COALESCE(SUM(grp_n) FILTER (WHERE grp_n < k), 0)
+                AS BIGINT) AS rows_below_k,
+           ROUND(1e-9 + COALESCE(SUM(grp_n) FILTER (WHERE grp_n < k), 0)
+                 * 100.0 / SUM(grp_n), 4) AS pct_rows_at_risk,
+           CAST(COUNT(*) FILTER (WHERE l_div < 2) AS BIGINT)
+             AS groups_below_l2
+    FROM g CROSS JOIN (VALUES (2), (5), (10)) AS ks(k)
+    GROUP BY k ORDER BY k
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    2007) over the customer quasi-identifier triple (nation, market
+    segment, $1000 account-balance band): for k in {2, 5, 10}, how
+    many QI equivalence classes are smaller than k and what fraction
+    of ROWS sits in them — the re-identification exposure a release
+    of this projection would carry.  l-diversity uses a 7-class
+    synthetic sensitive attribute (custkey mod 7, the deterministic
+    stand-in for a real sensitive column) and counts classes with
+    fewer than 2 distinct sensitive values.
+
+    The privacy gate a training-data pipeline runs before exporting
+    user-derived tables.  Shape: ONE hash aggregate over the QI tuple
+    (the only data-scale pass, count + small exact distinct), then
+    the k-threshold sweep is a 3-way rollup of the group-size frame —
+    the audit cost does not depend on k.  At 100 TB the QI aggregate
+    is the same shuffle any groupBy pays; generalization search
+    (coarsening bands until k holds) reruns only the small frame."""
+    c = _t(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+            "bal_band"
+        ),
+        (F.col("c_custkey") % 7).alias("sens"),
+    )
+    g = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("grp_n"),
+        F.countDistinct("sens").alias("l_div"),
+    )
+    ks = spark.createDataFrame([(2,), (5,), (10,)], "k int")
+    below = F.col("grp_n") < F.col("k")
+    return (
+        g.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(below, 1).otherwise(0))
+            .cast("bigint")
+            .alias("groups_below_k"),
+            F.sum(F.when(below, F.col("grp_n")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_below_k"),
+            r4(
+                F.sum(F.when(below, F.col("grp_n")).otherwise(0))
+                * 100.0
+                / F.sum("grp_n")
+            ).alias("pct_rows_at_risk"),
+            F.sum(F.when(F.col("l_div") < 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("groups_below_l2"),
+        )
+        .orderBy("k")
+    )
+
+
+# Croston fold, shared shape on both engines: elements are mapped to
+# accumulator-shaped structs first (z = demand, p = 0, w = week, n = 1)
+# so the fold can start FROM the first element (DuckDB's list_reduce
+# has no explicit init); the first step replaces p with the first gap,
+# later steps EWMA both components with alpha = 0.2.
+_CROSTON_SPARK = """
+aggregate(
+  slice(m, 2, size(m) - 1),
+  element_at(m, 1),
+  (a, x) -> named_struct(
+    'z', cast(0.2 as double) * x.z + cast(0.8 as double) * a.z,
+    'p', CASE WHEN a.n = 1
+              THEN cast(x.w - a.w as double)
+              ELSE cast(0.2 as double) * (x.w - a.w)
+                   + cast(0.8 as double) * a.p END,
+    'w', x.w,
+    'n', a.n + 1))
+"""
+
+
+@query(
+    "croston_intermittent_demand",
+    """
+    WITH wk AS (
+      SELECT l_partkey,
+             DATEDIFF('day', DATE '1992-01-01',
+                      CAST(l_shipdate AS DATE)) // 7 AS w,
+             CAST(SUM(l_quantity) AS DOUBLE) AS d
+      FROM lineitem GROUP BY l_partkey, w),
+    series AS (
+      SELECT l_partkey,
+             array_agg({'z': d, 'p': CAST(0 AS DOUBLE),
+                        'w': w, 'n': 1} ORDER BY w) AS m
+      FROM wk GROUP BY l_partkey),
+    folded AS (
+      SELECT l_partkey, len(m) AS n_weeks,
+             list_reduce(m, (a, x) -> {
+               'z': CAST(0.2 AS DOUBLE) * x.z
+                    + CAST(0.8 AS DOUBLE) * a.z,
+               'p': CASE WHEN a.n = 1
+                         THEN CAST(x.w - a.w AS DOUBLE)
+                         ELSE CAST(0.2 AS DOUBLE) * (x.w - a.w)
+                              + CAST(0.8 AS DOUBLE) * a.p END,
+               'w': x.w,
+               'n': a.n + 1}) AS f
+      FROM series WHERE len(m) >= 5)
+    SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+           CAST(n_weeks AS BIGINT) AS n_demand_weeks,
+           ROUND(1e-9 + f.z, 4) AS z_final,
+           ROUND(1e-9 + f.p, 4) AS p_final,
+           ROUND(1e-9 + f.z / f.p, 4) AS croston_forecast
+    FROM folded
+    ORDER BY croston_forecast DESC, l_partkey ASC LIMIT 20
+    """,
+)
+def q_croston_intermittent_demand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Croston's method (Croston 1972), the standard forecaster for
+    INTERMITTENT demand — series that are zero most periods, which
+    wreck plain exponential smoothing: per part, EWMA the nonzero
+    weekly demand SIZE and the inter-demand INTERVAL separately
+    (alpha = 0.2); forecast = size / interval, demand per week.  The
+    spare-parts / slow-mover planning primitive, run over the weekly
+    part demand series; output the 20 hottest forecasts.
+
+    Scale shape: the weekly rollup is the only corpus-scale aggregate;
+    each part's fold then runs map-side as one ``aggregate`` HOF over
+    its calendar-BOUNDED demand list (<= weeks-in-history entries,
+    sorted in-group by sort_array — no window, no per-key shuffle
+    beyond the single groupBy).  The sequential EWMA recurrence is
+    inherently order-dependent, which is exactly why it lives in an
+    in-group fold instead of a cross-row window: partitioning can
+    never reorder it.  Both engines run the IDENTICAL fold arithmetic
+    (struct-mapped elements, first-gap init, 0.2/0.8 IEEE doubles), so
+    the oracle matches exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    wk = (
+        li.select(
+            "l_partkey",
+            F.floor(
+                F.datediff("l_shipdate", F.lit("1992-01-01")) / 7
+            )
+            .cast("bigint")
+            .alias("w"),
+            F.col("l_quantity").cast("double").alias("q"),
+        )
+        .groupBy("l_partkey", "w")
+        .agg(F.sum("q").alias("d"))
+    )
+    series = wk.groupBy("l_partkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("d").alias("z"),
+                    F.lit(0.0).alias("p"),
+                    F.col("w").alias("w"),
+                    F.lit(1).alias("n"),
+                )
+            )
+        ).alias("raw")
+    )
+    # sort_array ordered by the first struct field (z) — re-sort by w:
+    # build the struct with w FIRST for ordering, then rename via a
+    # transform into accumulator shape
+    series = wk.groupBy("l_partkey").agg(
+        F.expr(
+            "transform("
+            "  sort_array(collect_list(struct(w, d))),"
+            "  e -> named_struct("
+            "    'z', e.d, 'p', cast(0.0 as double),"
+            "    'w', e.w, 'n', 1))"
+        ).alias("m")
+    )
+    folded = (
+        series.where(F.size("m") >= 5)
+        .select(
+            "l_partkey",
+            F.size("m").cast("bigint").alias("n_demand_weeks"),
+            F.expr(_CROSTON_SPARK).alias("f"),
+        )
+        .select(
+            F.col("l_partkey").cast("bigint").alias("l_partkey"),
+            "n_demand_weeks",
+            r4(F.col("f.z")).alias("z_final"),
+            r4(F.col("f.p")).alias("p_final"),
+            r4(F.col("f.z") / F.col("f.p")).alias("croston_forecast"),
+        )
+    )
+    from advanced_etl_pipelines_spark.operators.scale import top_k_global
+
+    return top_k_global(
+        folded,
+        [F.desc("croston_forecast"), F.asc("l_partkey")],
+        20,
+    ).drop("rnk")
