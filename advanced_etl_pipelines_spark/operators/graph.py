@@ -130,6 +130,7 @@ def pagerank(
     damping: float = 0.85,
     dedupe_edges: bool = True,
     small_parts: int | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over an edge list — the canonical
     iterative-join workload, pure DataFrame ops (no GraphX/RDD).
@@ -149,7 +150,16 @@ def pagerank(
     node counts aren't funneled through a fixed handful of tasks
     (ADVICE.md round 2).
 
-    Returns (node, rank).  Deterministic given the edge list."""
+    ``weight`` names an optional positive edge-weight column (tie
+    strength / pre-aggregated multiplicity): flow then splits by weight
+    share of the source's total out-strength.  Weighted edges are
+    summed per (s, d) pair up front — the aggregated equivalent of
+    multigraph replication, and the form to use at scale (distinct-pair
+    join input instead of occurrence volume).
+
+    Returns (node, rank).  Deterministic given the edge list (exact
+    when weights are integer-valued; float weights carry the usual
+    reduce-order noise in the per-pair sum)."""
     # materialize the edge list ONCE — it re-enters the flow join every
     # iteration, and an upstream edge build (e.g. an order self-join)
     # would otherwise be recomputed per round
@@ -158,16 +168,28 @@ def pagerank(
             edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
         small_parts = max(shuffle // 8, 4)
+    wcols = [F.col(weight).cast("double").alias("ew")] if weight else []
     e = edges.select(
         F.col(src).cast("long").alias("s"),
         F.col(dst).cast("long").alias("d"),
+        *wcols,
     ).where(F.col("s").isNotNull() & F.col("d").isNotNull())
-    if dedupe_edges:
-        # simple-graph semantics; skipping it (dedupe_edges=False)
-        # treats repeated pairs as a MULTIGRAPH — flow splits by edge
-        # multiplicity (out-degree counts it too, so the chain stays
-        # stochastic), and saves the full-edge-list distinct shuffle
-        e = e.distinct()
+    if weight is None:
+        if dedupe_edges:
+            # simple-graph semantics; skipping it (dedupe_edges=False)
+            # treats repeated pairs as a MULTIGRAPH — flow splits by
+            # edge multiplicity (out-degree counts it too, so the chain
+            # stays stochastic), and saves the full-edge distinct
+            e = e.distinct()
+        e = e.withColumn("ew", F.lit(1.0))
+    else:
+        # weighted graph: an explicit weight column is the AGGREGATED
+        # form of the multigraph (weight = multiplicity or any positive
+        # tie strength) — at scale, pre-aggregating co-occurrence
+        # counts to weights shrinks the per-iteration join input from
+        # occurrence volume to distinct-pair volume.  Same stochastic
+        # chain: flow splits by weight share of the source's total.
+        e = e.groupBy("s", "d").agg(F.sum("ew").alias("ew"))
     e = e.localCheckpoint()
     # the (node) and (node, rank) frames are two orders of magnitude
     # smaller than the edges; keeping them on the full shuffle-partition
@@ -182,12 +204,13 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
-    # fold 1/out-degree into the edge list ONCE: per-iteration work is
-    # then a single broadcast join + aggregate
-    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    # fold weight/out-strength into the edge list ONCE: per-iteration
+    # work is then a single broadcast join + aggregate (unweighted
+    # graphs have ew = 1, so this reduces to the classic 1/out-degree)
+    outdeg = e.groupBy("s").agg(F.sum("ew").alias("deg"))
     ew = (
         e.join(outdeg, "s")
-        .select("s", "d", (1.0 / F.col("deg")).alias("w"))
+        .select("s", "d", (F.col("ew") / F.col("deg")).alias("w"))
         .localCheckpoint()
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()

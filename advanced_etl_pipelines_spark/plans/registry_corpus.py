@@ -874,3 +874,136 @@ def q_unigram_em_refined(
             ).alias("nll_per_piece"),
         )
     )
+
+
+@query(
+    "textrank_keywords",
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter({_TOKENS_SQL}, x -> LEN(x) >= 4) AS toks
+      FROM documents),
+    pos AS (
+      SELECT doc_id, t.i, t.w
+      FROM tk, UNNEST(list_transform(range(1, LEN(toks) + 1),
+                      i -> {{'i': i, 'w': toks[i]}})) AS u(t)),
+    vc AS (SELECT w, COUNT(*) AS c FROM pos GROUP BY w),
+    vocab AS (
+      SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS id
+      FROM vc ORDER BY c DESC, w ASC LIMIT 500),
+    pv AS (
+      SELECT pos.doc_id, pos.i, vocab.id
+      FROM pos JOIN vocab ON pos.w = vocab.w),
+    co AS (
+      SELECT a.id AS s, b.id AS d
+      FROM pv a JOIN pv b
+        ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      UNION ALL
+      SELECT a.id, b.id FROM pv a JOIN pv b
+        ON a.doc_id = b.doc_id AND b.i = a.i + 2),
+    e AS (
+      SELECT s, d, COUNT(*) AS cnt FROM (
+        SELECT s, d FROM co WHERE s <> d
+        UNION ALL
+        SELECT d, s FROM co WHERE s <> d) GROUP BY s, d),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT s AS node FROM e UNION ALL SELECT d FROM e)),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT s, SUM(cnt) AS deg FROM e GROUP BY s),
+    ew AS (SELECT e.s, e.d, e.cnt * 1.0 / deg.deg AS w
+           FROM e JOIN deg ON e.s = deg.s),
+    r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+    i1 AS (SELECT ew.d AS node, SUM(r0.pr * ew.w) AS inflow
+           FROM ew JOIN r0 ON ew.s = r0.node GROUP BY ew.d),
+    r1 AS (SELECT nodes.node,
+                  (1.0 - 0.85) / nn.n + 0.85 * COALESCE(i1.inflow, 0) AS pr
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN i1 ON nodes.node = i1.node),
+    i2 AS (SELECT ew.d AS node, SUM(r1.pr * ew.w) AS inflow
+           FROM ew JOIN r1 ON ew.s = r1.node GROUP BY ew.d),
+    r2 AS (SELECT nodes.node,
+                  (1.0 - 0.85) / nn.n + 0.85 * COALESCE(i2.inflow, 0) AS pr
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN i2 ON nodes.node = i2.node),
+    i3 AS (SELECT ew.d AS node, SUM(r2.pr * ew.w) AS inflow
+           FROM ew JOIN r2 ON ew.s = r2.node GROUP BY ew.d),
+    r3 AS (SELECT nodes.node,
+                  (1.0 - 0.85) / nn.n + 0.85 * COALESCE(i3.inflow, 0) AS pr
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN i3 ON nodes.node = i3.node)
+    SELECT vocab.w AS word,
+           ROUND(1e-9 + r3.pr * 1e6, 4) AS rank_ppm
+    FROM r3 JOIN vocab ON r3.node = vocab.id
+    ORDER BY r3.pr DESC, word ASC LIMIT 20
+    """,
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the word co-occurrence graph — words (length >= 4,
+    top-500 vocabulary) are nodes, an edge's weight counts how often
+    the pair co-occurs within a 3-token window, 3 power iterations,
+    top-20 keywords.  The graph and text families composed: the same
+    ``pagerank`` operator that ranks co-purchase hubs ranks corpus
+    keywords once the edge list is word co-occurrence.
+
+    Scale shape: tokenize + posexplode is the one corpus-scale pass;
+    co-occurrence is two EQUI-joins on (doc, position+offset) — never
+    a windowed self-cross — pre-aggregated to (pair, count) weights,
+    so the iterate-join input is distinct-pair volume, not occurrence
+    volume (the new ``weight=`` path of operators/graph.py pagerank).
+    Vocabulary ids come from the bounded two-level rank
+    (``top_k_global``), keeping the whole pipeline free of
+    unpartitioned corpus-scale windows.  The DuckDB oracle unrolls the
+    3 weighted iterations as chained CTEs, exactly like
+    pagerank_copurchase; ppm rounding absorbs reduce-order noise."""
+    from advanced_etl_pipelines_spark.functions.text import word_tokens
+    from advanced_etl_pipelines_spark.operators.graph import pagerank
+    from advanced_etl_pipelines_spark.operators.scale import top_k_global
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            word_tokens("text"), lambda x: F.length(x) >= 4
+        ).alias("toks"),
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("toks").alias("i", "w")
+    ).select("doc_id", (F.col("i") + 1).alias("i"), "w")
+    vc = pos.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = top_k_global(vc, [F.desc("c"), F.asc("w")], 500).select(
+        "w", F.col("rnk").alias("id")
+    )
+    pv = pos.join(F.broadcast(vocab), "w").select("doc_id", "i", "id")
+    a1 = pv.select("doc_id", "i", F.col("id").alias("s"))
+    co = None
+    for off in (1, 2):
+        b = pv.select(
+            "doc_id", (F.col("i") - off).alias("i"),
+            F.col("id").alias("d"),
+        )
+        j = a1.join(b, ["doc_id", "i"]).select("s", "d")
+        co = j if co is None else co.unionAll(j)
+    co = co.where(F.col("s") != F.col("d"))
+    e = (
+        co.unionAll(co.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .groupBy("s", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranks = pagerank(e, "s", "d", iters=3, weight="cnt")
+    out = (
+        ranks.join(
+            F.broadcast(vocab.select(F.col("id").alias("node"), "w")),
+            "node",
+        )
+        .select(
+            F.col("w").alias("word"),
+            (F.col("rank") * 1e6).alias("ppm"),
+            "rank",
+        )
+    )
+    return (
+        top_k_global(out, [F.desc("rank"), F.asc("word")], 20)
+        .select("word", r4(F.col("ppm")).alias("rank_ppm"))
+    )

@@ -258,3 +258,32 @@ def test_lpa_deterministic_across_runs(spark):
     edges = [(s, d) for s, d in edges if s != d]
     runs = [sorted(_lpa(spark, edges).items()) for _ in range(3)]
     assert runs[0] == runs[1] == runs[2]
+
+
+def test_pagerank_weighted_matches_multigraph_replication(spark):
+    """A weighted edge list must produce exactly the ranks of the
+    equivalent multigraph with each edge replicated weight times
+    (integer weights -> bit-identical flow splits)."""
+    from advanced_etl_pipelines_spark.operators.graph import pagerank
+
+    weighted = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1), (2, 1, 2), (3, 1, 1), (2, 3, 1)],
+        "s long, d long, w long",
+    )
+    multi_rows = []
+    for s, d, w in weighted.collect():
+        multi_rows += [(s, d)] * w
+    multi = spark.createDataFrame(multi_rows, "s long, d long")
+    rw = {
+        r["node"]: round(r["rank"], 12)
+        for r in pagerank(
+            weighted, "s", "d", iters=4, weight="w"
+        ).collect()
+    }
+    rm = {
+        r["node"]: round(r["rank"], 12)
+        for r in pagerank(
+            multi, "s", "d", iters=4, dedupe_edges=False
+        ).collect()
+    }
+    assert rw == rm
