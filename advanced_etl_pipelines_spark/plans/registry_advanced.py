@@ -8614,3 +8614,200 @@ def q_croston_intermittent_demand(
         [F.desc("croston_forecast"), F.asc("l_partkey")],
         20,
     ).drop("rnk")
+
+
+@query(
+    "difference_in_differences",
+    """
+    WITH labeled AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END
+               AS grp,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 'post'
+                  ELSE 'pre' END AS period,
+             value
+      FROM events WHERE event_type = 'purchase'),
+    cells AS (
+      SELECT grp, period, AVG(value) AS mean_value,
+             COUNT(*) AS n
+      FROM labeled GROUP BY grp, period)
+    SELECT
+      CAST((SELECT n FROM cells WHERE grp='treat' AND period='pre')
+           AS BIGINT) AS n_treat_pre,
+      CAST((SELECT n FROM cells WHERE grp='treat' AND period='post')
+           AS BIGINT) AS n_treat_post,
+      CAST((SELECT n FROM cells WHERE grp='control' AND period='pre')
+           AS BIGINT) AS n_ctrl_pre,
+      CAST((SELECT n FROM cells WHERE grp='control' AND period='post')
+           AS BIGINT) AS n_ctrl_post,
+      ROUND(1e-9 +
+        ((SELECT mean_value FROM cells WHERE grp='treat' AND period='post')
+       - (SELECT mean_value FROM cells WHERE grp='treat' AND period='pre'))
+      - ((SELECT mean_value FROM cells WHERE grp='control' AND period='post')
+       - (SELECT mean_value FROM cells WHERE grp='control' AND period='pre')),
+        4) AS did_estimate
+    """,
+)
+def q_difference_in_differences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Difference-in-differences (Card & Krueger 1994 design): the
+    treatment effect estimated as (treat post - treat pre) minus
+    (control post - control pre) — the causal-inference workhorse for
+    before/after comparisons with a parallel-trends control.  Cohorts
+    here are the deterministic user-id parity split and the period
+    boundary is 2024-01-16; outcome = mean purchase value.
+
+    One hash aggregate over the four (group, period) cells, then pure
+    arithmetic on the 4-row frame — the estimator costs exactly one
+    groupBy at any scale.  The four cell counts ship alongside the
+    point estimate so downstream can compute its preferred variance."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    labeled = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "treat")
+        .otherwise("control")
+        .alias("grp"),
+        F.when(
+            F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+            "post",
+        )
+        .otherwise("pre")
+        .alias("period"),
+        "value",
+    )
+    cells = labeled.groupBy("grp", "period").agg(
+        F.avg("value").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    flat = cells.select(
+        F.concat_ws("_", "grp", "period").alias("cell"), "m", "n"
+    )
+    m = {
+        "tpre": F.max(F.when(F.col("cell") == "treat_pre", F.col("m"))),
+        "tpost": F.max(F.when(F.col("cell") == "treat_post", F.col("m"))),
+        "cpre": F.max(F.when(F.col("cell") == "control_pre", F.col("m"))),
+        "cpost": F.max(F.when(F.col("cell") == "control_post", F.col("m"))),
+        "ntpre": F.max(F.when(F.col("cell") == "treat_pre", F.col("n"))),
+        "ntpost": F.max(F.when(F.col("cell") == "treat_post", F.col("n"))),
+        "ncpre": F.max(F.when(F.col("cell") == "control_pre", F.col("n"))),
+        "ncpost": F.max(F.when(F.col("cell") == "control_post", F.col("n"))),
+    }
+    return flat.agg(
+        m["ntpre"].cast("bigint").alias("n_treat_pre"),
+        m["ntpost"].cast("bigint").alias("n_treat_post"),
+        m["ncpre"].cast("bigint").alias("n_ctrl_pre"),
+        m["ncpost"].cast("bigint").alias("n_ctrl_post"),
+        r4(
+            (m["tpost"] - m["tpre"]) - (m["cpost"] - m["cpre"])
+        ).alias("did_estimate"),
+    )
+
+
+@query(
+    "huber_location_by_segment",
+    """
+    WITH base AS (
+      SELECT c_mktsegment AS seg, c_acctbal AS x FROM customer),
+    m0 AS (
+      SELECT seg, MEDIAN(x) AS m, COUNT(*) AS n, AVG(x) AS plain_mean
+      FROM base GROUP BY seg),
+    sc AS (
+      SELECT b.seg, GREATEST(MEDIAN(ABS(b.x - m0.m)) * 1.4826, 1e-9)
+               AS s
+      FROM base b JOIN m0 ON b.seg = m0.seg GROUP BY b.seg),
+    i1 AS (
+      SELECT b.seg,
+             SUM(LEAST(1.0, 1.345 * sc.s / GREATEST(ABS(b.x - m0.m), 1e-12)) * b.x)
+             / SUM(LEAST(1.0, 1.345 * sc.s / GREATEST(ABS(b.x - m0.m), 1e-12)))
+               AS m
+      FROM base b JOIN m0 ON b.seg = m0.seg JOIN sc ON b.seg = sc.seg
+      GROUP BY b.seg),
+    i2 AS (
+      SELECT b.seg,
+             SUM(LEAST(1.0, 1.345 * sc.s / GREATEST(ABS(b.x - i1.m), 1e-12)) * b.x)
+             / SUM(LEAST(1.0, 1.345 * sc.s / GREATEST(ABS(b.x - i1.m), 1e-12)))
+               AS m
+      FROM base b JOIN i1 ON b.seg = i1.seg JOIN sc ON b.seg = sc.seg
+      GROUP BY b.seg),
+    i3 AS (
+      SELECT b.seg,
+             SUM(LEAST(1.0, 1.345 * sc.s / GREATEST(ABS(b.x - i2.m), 1e-12)) * b.x)
+             / SUM(LEAST(1.0, 1.345 * sc.s / GREATEST(ABS(b.x - i2.m), 1e-12)))
+               AS m
+      FROM base b JOIN i2 ON b.seg = i2.seg JOIN sc ON b.seg = sc.seg
+      GROUP BY b.seg)
+    SELECT m0.seg AS c_mktsegment,
+           CAST(m0.n AS BIGINT) AS n,
+           ROUND(1e-9 + m0.m, 4) AS median_bal,
+           ROUND(1e-9 + sc.s, 4) AS mad_scale,
+           ROUND(1e-9 + m0.plain_mean, 4) AS plain_mean,
+           ROUND(1e-9 + i3.m, 4) AS huber_mean
+    FROM m0 JOIN sc ON m0.seg = sc.seg JOIN i3 ON m0.seg = i3.seg
+    ORDER BY c_mktsegment
+    """,
+)
+def q_huber_location_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Huber M-estimator of location (Huber 1964) per market segment:
+    3 fixed IRLS rounds with psi-weights w = min(1, 1.345*s/|x - m|),
+    seeded at the exact group median with MAD*1.4826 scale — the
+    robust mean that downweights (not drops) tail balances, reported
+    beside the plain mean so the outlier pull is visible.  Completes
+    the robust-statistics family: MAD anomaly flags point outliers,
+    Theil-Sen robustifies slopes, winsorized/trimmed hard-clip — this
+    one is the smooth-reweighting estimator production monitoring
+    favors.
+
+    Shape: each IRLS round is ONE hash aggregate over the data joined
+    to the broadcast 5-row current-estimate frame — fixed iteration
+    count, so the whole estimator is 5 aggregates (median, MAD, 3
+    rounds) and unrolls into oracle SQL the same way the fixed-round
+    graph queries do."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("x"),
+    )
+    m0 = c.groupBy("seg").agg(
+        F.expr("percentile(x, 0.5)").alias("m"),
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("plain_mean"),
+    )
+    sc = (
+        c.join(F.broadcast(m0.select("seg", "m")), "seg")
+        .groupBy("seg")
+        .agg(
+            F.greatest(
+                F.expr("percentile(abs(x - m), 0.5)") * 1.4826,
+                F.lit(1e-9),
+            ).alias("s")
+        )
+    )
+    cur = m0.select("seg", "m")
+    for _ in range(3):
+        w = F.least(
+            F.lit(1.0),
+            F.lit(1.345)
+            * F.col("s")
+            / F.greatest(F.abs(F.col("x") - F.col("m")), F.lit(1e-12)),
+        )
+        cur = (
+            c.join(F.broadcast(cur), "seg")
+            .join(F.broadcast(sc), "seg")
+            .groupBy("seg")
+            .agg((F.sum(w * F.col("x")) / F.sum(w)).alias("m"))
+        )
+    return (
+        m0.select("seg", "n", "m", "plain_mean")
+        .join(F.broadcast(sc), "seg")
+        .join(cur.select("seg", F.col("m").alias("hm")), "seg")
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            F.col("n").cast("bigint").alias("n"),
+            r4(F.col("m")).alias("median_bal"),
+            r4(F.col("s")).alias("mad_scale"),
+            r4(F.col("plain_mean")).alias("plain_mean"),
+            r4(F.col("hm")).alias("huber_mean"),
+        )
+        .orderBy("c_mktsegment")
+    )
