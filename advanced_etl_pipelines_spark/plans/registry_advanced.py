@@ -8811,3 +8811,211 @@ def q_huber_location_by_segment(
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "attribution_shapley",
+    """
+    WITH conv AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click'  THEN 1 ELSE 0 END)
+           + MAX(CASE WHEN event_type = 'view'   THEN 2 ELSE 0 END)
+           + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+           + MAX(CASE WHEN event_type = 'error'  THEN 8 ELSE 0 END)
+               AS mask,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id),
+    cm AS (
+      SELECT mask, COUNT(*) AS n_conv FROM conv
+      WHERE converted = 1 GROUP BY mask),
+    subsets AS (SELECT UNNEST(range(0, 16)) AS s),
+    v AS (
+      SELECT s.s, COALESCE(SUM(cm.n_conv), 0) AS v
+      FROM subsets s LEFT JOIN cm ON (cm.mask & s.s) = cm.mask
+      GROUP BY s.s),
+    channels AS (
+      SELECT * FROM (VALUES ('click', 1), ('view', 2),
+                            ('signup', 4), ('error', 8))
+        AS c(channel, bit)),
+    phi AS (
+      SELECT c.channel,
+             SUM(CASE bit_count(vs.s)
+                   WHEN 0 THEN 0.25 WHEN 1 THEN 1.0/12
+                   WHEN 2 THEN 1.0/12 WHEN 3 THEN 0.25 END
+                 * (vi.v - vs.v)) AS shapley
+      FROM channels c
+      JOIN v vs ON (vs.s & c.bit) = 0
+      JOIN v vi ON vi.s = vs.s + c.bit
+      GROUP BY c.channel)
+    SELECT phi.channel,
+           ROUND(1e-9 + phi.shapley, 4) AS shapley_conversions,
+           ROUND(1e-9 + phi.shapley * 100.0
+                 / SUM(phi.shapley) OVER (), 4) AS share_pct
+    FROM phi ORDER BY phi.channel
+    """,
+)
+def q_attribution_shapley(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT Shapley-value channel attribution (Shapley 1953; the
+    data-driven attribution model behind Google's DDA): each
+    non-conversion channel's credit is its average marginal
+    contribution across all 2^4 coalitions, with the coalition value
+    v(S) = conversions reachable through S alone (converters whose
+    touched-channel set is contained in S).  Completes the attribution
+    family: last-touch (positional), position-based (heuristic),
+    Markov removal (path-based), Shapley (cooperative-game).
+
+    Scale shape — the bounded-lattice reduction: the ONLY data-scale
+    work is one per-user aggregate folding the journey into a 4-bit
+    channel mask + converted flag, then one count per mask (<= 16
+    rows).  v(S) is a subset-sum over the 16x16 containment join,
+    Shapley weights are a CASE on bit_count — everything after the
+    first aggregate is constant-sized forever, the same trick as
+    pareto_frontier_parts (bounded domain) and attribution_markov
+    (event-type-bounded transition matrix).  phi sums to v(N) - v(0)
+    by the efficiency axiom, so share_pct is a true decomposition."""
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            + F.max(F.when(F.col("event_type") == "view", 2).otherwise(0))
+            + F.max(
+                F.when(F.col("event_type") == "signup", 4).otherwise(0)
+            )
+            + F.max(
+                F.when(F.col("event_type") == "error", 8).otherwise(0)
+            )
+        ).alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    cm = (
+        conv.where(F.col("converted") == 1)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n_conv"))
+    )
+    subsets = ev.sparkSession.range(16).select(
+        F.col("id").cast("int").alias("s")
+    )
+    v = (
+        subsets.join(
+            F.broadcast(cm),
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).alias("v"))
+    )
+    channels = ev.sparkSession.createDataFrame(
+        [("click", 1), ("view", 2), ("signup", 4), ("error", 8)],
+        "channel string, bit int",
+    )
+    vs = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    vi = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    w = (
+        F.when(F.bit_count("s0") == 0, F.lit(0.25))
+        .when(F.bit_count("s0") == 1, F.lit(1.0 / 12))
+        .when(F.bit_count("s0") == 2, F.lit(1.0 / 12))
+        .otherwise(F.lit(0.25))
+    )
+    phi = (
+        channels.join(
+            F.broadcast(vs),
+            F.col("s0").bitwiseAND(F.col("bit")) == 0,
+        )
+        .join(
+            F.broadcast(vi),
+            F.col("s1") == F.col("s0") + F.col("bit"),
+        )
+        .groupBy("channel")
+        .agg(F.sum(w * (F.col("v1") - F.col("v0"))).alias("shapley"))
+    )
+    tot = phi.agg(F.sum("shapley").alias("t"))
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            r4(F.col("shapley")).alias("shapley_conversions"),
+            r4(F.col("shapley") * 100.0 / F.col("t")).alias(
+                "share_pct"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
+    "sprt_conversion_monitor",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             COUNT(*) AS n_events,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_purch
+      FROM events GROUP BY day),
+    llr AS (
+      SELECT day, n_events, n_purch,
+             SUM(n_purch * LN(0.21 / 0.19)
+                 + (n_events - n_purch) * LN(0.79 / 0.81))
+               OVER (ORDER BY day) AS cum_llr
+      FROM daily)
+    SELECT day,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_purch AS BIGINT) AS n_purch,
+           ROUND(1e-9 + cum_llr, 4) AS cum_llr,
+           CASE WHEN cum_llr >= LN(19.0) THEN 'accept_h1'
+                WHEN cum_llr <= -LN(19.0) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr ORDER BY day
+    """,
+)
+def q_sprt_conversion_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wald's sequential probability ratio test (Wald 1945) as a daily
+    conversion-rate monitor: H0 p = 0.19 vs H1 p = 0.21, cumulative
+    binomial log-likelihood ratio over the day sequence, decision
+    boundaries +-ln(19) (alpha = beta = 0.05).  Unlike a fixed-horizon
+    test (ab_test_zstat), SPRT is the always-valid sequential form —
+    the experiment stops the first day the trajectory leaves the
+    corridor, with both error rates controlled DESPITE daily peeking.
+    The full trajectory ships so the crossing day is visible.
+
+    One corpus-scale day aggregate; the cumulative LLR is a window
+    over the per-day frame (calendar-bounded, whitelisted like
+    cusum_changepoint_daily) and the boundary test is arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purch"),
+    )
+    import math
+
+    la = math.log(0.21 / 0.19)
+    lb = math.log(0.79 / 0.81)
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    llr = daily.withColumn(
+        "cum_llr",
+        F.sum(
+            F.col("n_purch") * F.lit(la)
+            + (F.col("n_events") - F.col("n_purch")) * F.lit(lb)
+        ).over(w),
+    )
+    bound = math.log(19.0)
+    return llr.select(
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_purch").cast("bigint").alias("n_purch"),
+        r4(F.col("cum_llr")).alias("cum_llr"),
+        F.when(F.col("cum_llr") >= bound, "accept_h1")
+        .when(F.col("cum_llr") <= -bound, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("day")

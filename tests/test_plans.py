@@ -103,6 +103,7 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     "revenue_ma_crossover": "window over per-day revenue",
     "spearman_corr_bounded": "windows over distinct-value counts "
     "(quantity 50, discount 11, price bands 256)",
+    "sprt_conversion_monitor": "window over per-day aggregates",
 }
 
 
