@@ -105,14 +105,19 @@ def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
       percent_rank = (rank - 1) / (n - 1)
       cume_dist    = cum_rows / n
 
-    The cumulative sums come from the distributed prefix-sum
-    (range-partitioned, broadcast offsets) and the 25 output customers
-    from the two-level top-k — no single-partition sort anywhere, which
-    is the form that survives |customers| at 100 TB.  Oracle = the
-    plain window SQL, pinning the closed forms to the ANSI
-    definitions."""
+    Because only the top-25 survivors need ranks, the cumulative
+    counts reduce to per-THRESHOLD totals: for each survivor spend t,
+    rank = #rows above t + 1 and dense_rank = #blocks above t + 1 —
+    one broadcast theta-join of the distinct-spend frame against the
+    <=25 thresholds and one hash aggregate.  No prefix-sum machinery,
+    no range exchange, no persist (this query spent two rounds on the
+    'weak' list paying exactly those fixed costs — BASELINE.md r3
+    carries the measured history); the survivors come from the
+    two-level top-k.  A full-output rank listing (every customer, not
+    a top-k) would still use global_running_sums — that is what it is
+    for.  Oracle = the plain window SQL, pinning the closed forms to
+    the ANSI definitions."""
     from advanced_etl_pipelines_spark.operators.scale import (
-        global_running_sums,
         top_k_global,
     )
 
@@ -120,26 +125,40 @@ def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = orders.groupBy("o_custkey").agg(
         r2(F.sum("o_totalprice")).alias("spend")
     )
-    d = agg.groupBy("spend").agg(
-        F.count(F.lit(1)).alias("c"), F.lit(1).alias("one")
-    )
-    run = global_running_sums(d, [F.desc("spend")], ["c", "one"])
-    n = agg.agg(F.count(F.lit(1)).alias("n"))
-    metrics = run.crossJoin(F.broadcast(n)).select(
-        "spend",
-        (F.col("cum_c") - F.col("c") + 1).alias("rnk"),
-        F.col("cum_one").alias("drnk"),
-        r4(
-            (F.col("cum_c") - F.col("c"))
-            / F.greatest(F.col("n") - 1, F.lit(1))
-        ).alias("pct_rank"),
-        r4(F.col("cum_c") / F.col("n")).alias("cume"),
-    )
     top = top_k_global(
         agg, [F.desc("spend"), F.asc("o_custkey")], 25
     ).drop("rnk")
-    # broadcast the 25-row side; the metrics frame is |distinct spends|
-    return metrics.join(F.broadcast(top), "spend").select(
+    thr = top.select(F.col("spend").alias("t")).distinct()
+    d = agg.groupBy("spend").agg(F.count(F.lit(1)).alias("c"))
+    # blocks at-or-above each threshold: <= 25 blocks per threshold by
+    # construction (thresholds ARE the top spends), so the join output
+    # is O(k^2) rows however large |distinct spends| grows
+    per_t = (
+        d.join(F.broadcast(thr), F.col("spend") >= F.col("t"))
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when(F.col("spend") > F.col("t"), F.col("c"))
+                .otherwise(0)
+            ).alias("rows_gt"),
+            F.sum(
+                F.when(F.col("spend") > F.col("t"), 1).otherwise(0)
+            ).alias("blocks_gt"),
+            F.sum("c").alias("rows_ge"),
+        )
+    )
+    n = agg.agg(F.count(F.lit(1)).alias("n"))
+    metrics = per_t.crossJoin(F.broadcast(n)).select(
+        F.col("t").alias("spend"),
+        (F.col("rows_gt") + 1).alias("rnk"),
+        (F.col("blocks_gt") + 1).alias("drnk"),
+        r4(
+            F.col("rows_gt")
+            / F.greatest(F.col("n") - 1, F.lit(1))
+        ).alias("pct_rank"),
+        r4(F.col("rows_ge") / F.col("n")).alias("cume"),
+    )
+    return top.join(F.broadcast(metrics), "spend").select(
         "o_custkey", "spend", "rnk", "drnk", "pct_rank", "cume"
     )
 
