@@ -9019,3 +9019,129 @@ def q_sprt_conversion_monitor(
         .otherwise("continue")
         .alias("decision"),
     ).orderBy("day")
+
+
+# two-sided normal p-value from |z| via the Abramowitz & Stegun 7.1.26
+# erf polynomial (max abs error 1.5e-7) — neither engine ships erf, and
+# a shared closed-form polynomial is bit-portable where libm is not.
+# p = erfc(|z|/sqrt(2)) = t*(a1 + t*(a2 + t*(a3 + t*(a4 + t*a5))))
+#     * exp(-x*x),  t = 1/(1 + 0.3275911*x),  x = |z|*0.7071067811865476
+_AS_P_SQL = """(
+  (1.0 / (1.0 + 0.3275911 * (ABS({z}) * 0.7071067811865476)))
+  * (0.254829592 + (1.0 / (1.0 + 0.3275911 * (ABS({z}) * 0.7071067811865476)))
+  * (-0.284496736 + (1.0 / (1.0 + 0.3275911 * (ABS({z}) * 0.7071067811865476)))
+  * (1.421413741 + (1.0 / (1.0 + 0.3275911 * (ABS({z}) * 0.7071067811865476)))
+  * (-1.453152027 + (1.0 / (1.0 + 0.3275911 * (ABS({z}) * 0.7071067811865476)))
+  * 1.061405429))))
+  * EXP(-(ABS({z}) * 0.7071067811865476) * (ABS({z}) * 0.7071067811865476))
+)"""
+
+
+@query(
+    "fdr_bh_nation_tests",
+    f"""
+    WITH pern AS (
+      SELECT n.n_name, COUNT(*) AS n_orders,
+             AVG(o.o_totalprice) AS m
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name),
+    g AS (
+      SELECT AVG(o_totalprice) AS mg, STDDEV_SAMP(o_totalprice) AS sg
+      FROM orders),
+    z AS (
+      SELECT n_name, n_orders,
+             ROUND(1e-9 + (m - mg) / (sg / SQRT(n_orders)), 4) AS zv
+      FROM pern, g),
+    p AS (
+      SELECT n_name, n_orders, zv,
+             ROUND(1e-9 + {_AS_P_SQL.format(z='zv')}, 6) AS pval
+      FROM z),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pval ASC, n_name ASC)
+               AS rk, COUNT(*) OVER () AS m_tests
+      FROM p),
+    kmax AS (
+      SELECT COALESCE(MAX(rk), 0) AS k FROM ranked
+      WHERE pval <= rk * 0.1 / m_tests)
+    SELECT n_name, CAST(n_orders AS BIGINT) AS n_orders, zv AS zscore,
+           pval,
+           CAST(rk AS BIGINT) AS bh_rank,
+           CAST(CASE WHEN rk <= kmax.k THEN 1 ELSE 0 END AS INTEGER)
+             AS rejected
+    FROM ranked, kmax
+    ORDER BY pval ASC, n_name ASC
+    """,
+)
+def q_fdr_bh_nation_tests(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control (BH 1995) over 25 simultaneous
+    per-nation tests: each nation's mean order value vs the global
+    mean (one-sample z), then the step-up procedure at q = 0.1 —
+    reject the k smallest p-values where k is the largest rank with
+    p_k <= k/m*q.  THE guardrail for dashboard-scale multiple testing
+    (25 nations peeked at once inflate naive alpha to ~72%).
+
+    Engine notes: neither Spark nor DuckDB ships erf, so the normal
+    tail comes from the shared Abramowitz-Stegun 7.1.26 polynomial
+    (module constant, max error 1.5e-7) evaluated on the ROUNDED z —
+    identical literal arithmetic on both engines, which is what makes
+    a special-function p-value oracle-checkable at all.  Shape: two
+    aggregates (per-nation, global), then every BH step runs on the
+    25-row frame (bounded window, whitelisted)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pern = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.avg("o_totalprice").alias("m"),
+        )
+    )
+    g = o.agg(
+        F.avg("o_totalprice").alias("mg"),
+        F.stddev_samp("o_totalprice").alias("sg"),
+    )
+    z = pern.crossJoin(F.broadcast(g)).select(
+        "n_name",
+        "n_orders",
+        r4(
+            (F.col("m") - F.col("mg"))
+            / (F.col("sg") / F.sqrt("n_orders"))
+        ).alias("zv"),
+    )
+    p = z.withColumn(
+        "pval",
+        F.round(
+            F.lit(1e-9) + F.expr(_AS_P_SQL.format(z="zv")), 6
+        ),
+    )
+    w = Window.orderBy(F.asc("pval"), F.asc("n_name"))
+    ranked = p.withColumn("rk", F.row_number().over(w)).withColumn(
+        "m_tests", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    kmax = ranked.where(
+        F.col("pval") <= F.col("rk") * 0.1 / F.col("m_tests")
+    ).agg(F.coalesce(F.max("rk"), F.lit(0)).alias("k"))
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            "n_name",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("zv").alias("zscore"),
+            "pval",
+            F.col("rk").cast("bigint").alias("bh_rank"),
+            F.when(F.col("rk") <= F.col("k"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("rejected"),
+        )
+        .orderBy(F.asc("pval"), F.asc("n_name"))
+    )

@@ -104,6 +104,7 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     "spearman_corr_bounded": "windows over distinct-value counts "
     "(quantity 50, discount 11, price bands 256)",
     "sprt_conversion_monitor": "window over per-day aggregates",
+    "fdr_bh_nation_tests": "windows over the 25-nation test frame",
 }
 
 
