@@ -462,11 +462,16 @@ def test_q15_max_filter_no_window(spark, queries):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_rank_family_uses_prefix_sum(spark, queries):
+def test_rank_family_uses_threshold_join(spark, queries):
     """window_rank_family: all four rank metrics are closed forms over
-    the distributed prefix-sum — __pid windows present, no
-    customer-frame global rank()/percent_rank() window."""
+    per-threshold totals — a broadcast theta-join against the <=25
+    survivor thresholds plus one aggregate.  Neither the old global
+    rank windows NOR the prefix-sum machinery (__pid range exchange +
+    persist) may reappear; the only windows left are top_k_global's
+    bounded survivor ranks."""
     plan = _plan(queries["window_rank_family"](spark, SF))
-    assert "__pid" in plan
-    assert "percent_rank(" not in plan
+    assert "__pid" not in plan                      # no prefix sum
+    assert "percent_rank(" not in plan              # no ANSI windows
     assert "dense_rank(" not in plan
+    assert "BroadcastNestedLoopJoin" in plan        # threshold theta-join
+    assert "RangePartitioning" not in plan          # no range exchange
