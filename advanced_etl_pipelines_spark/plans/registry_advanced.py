@@ -9145,3 +9145,131 @@ def q_fdr_bh_nation_tests(
         )
         .orderBy(F.asc("pval"), F.asc("n_name"))
     )
+
+
+@query(
+    "brier_decomposition",
+    f"""
+    WITH tk AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks
+                FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM tk
+           WHERE len(toks) > 0),
+    f AS (SELECT doc_id,
+                 {_POLY_HASH_SQL.format(s='tok')} % 64 AS bucket
+          FROM ex),
+    w AS (SELECT i AS bucket,
+                 ((i * 2654435761) % 4294967296) / 4294967296.0 - 0.5 AS w
+          FROM range(0, 64) t(i)),
+    s AS (SELECT doc_id, AVG(w.w) AS logit
+          FROM f JOIN w USING (bucket) GROUP BY doc_id),
+    scored AS (
+      SELECT tk.doc_id,
+             ROUND(1e-9 + 1.0 / (1.0 + EXP(-8.0 * s.logit)), 4) AS p,
+             CASE WHEN tk.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM tk JOIN s ON tk.doc_id = s.doc_id),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(p * 20) AS BIGINT), 19) AS bin,
+             COUNT(*) AS nb, AVG(p) AS sb, AVG(y) AS ob
+      FROM scored GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n, AVG(y) AS obar,
+                   AVG((p - y) * (p - y)) AS brier
+            FROM scored)
+    SELECT CAST(tot.n AS BIGINT) AS n_docs,
+           ROUND(1e-9 + tot.obar, 6) AS base_rate,
+           ROUND(1e-9 + tot.brier, 6) AS brier,
+           ROUND(1e-9 + SUM(nb * (sb - ob) * (sb - ob)) / tot.n, 6)
+             AS reliability,
+           ROUND(1e-9 + SUM(nb * (ob - tot.obar) * (ob - tot.obar))
+                 / tot.n, 6) AS resolution,
+           ROUND(1e-9 + tot.obar * (1 - tot.obar), 6) AS uncertainty,
+           ROUND(1e-9 + tot.brier
+                 - (SUM(nb * (sb - ob) * (sb - ob)) / tot.n
+                    - SUM(nb * (ob - tot.obar) * (ob - tot.obar)) / tot.n
+                    + tot.obar * (1 - tot.obar)), 6) AS residual
+    FROM binned, tot
+    GROUP BY tot.n, tot.obar, tot.brier
+    """,
+)
+def q_brier_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Murphy decomposition of the Brier score (Murphy 1973):
+    brier = reliability - resolution + uncertainty (+ a within-bin
+    variance residual), computed for the hash-bucket quality
+    classifier's score against the lang='en' label over 20 probability
+    bins.  This is the CALIBRATION half of classifier eval the
+    confusion matrix (tree_score_confusion) can't see: reliability
+    says how far bin confidence sits from bin hit-rate, resolution
+    says whether the score separates outcomes at all.  Expected here:
+    resolution near zero — the untrained hash-weight scorer carries no
+    label signal, and the decomposition exposes exactly that (a useful
+    negative control to pin: a metric that CANNOT flag an
+    uninformative model would be a broken metric).
+
+    Shape: the scoring pass is the same explode + broadcast-weight
+    join + doc aggregate as quality_classifier_linear; the
+    decomposition adds one 20-bin aggregate and a scalar rollup —
+    nothing beyond two hash aggregates at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", T.word_tokens("text").alias("toks")
+    ).where(F.size("toks") > 0)
+    feat = tok.select(
+        "doc_id", F.explode("toks").alias("tok")
+    ).select("doc_id", (poly_hash(F.col("tok")) % 64).alias("bucket"))
+    weights = spark.range(64).select(
+        F.col("id").alias("bucket"),
+        (
+            ((F.col("id") * F.lit(KNUTH)) % F.lit(MOD))
+            / F.lit(float(MOD))
+            - 0.5
+        ).alias("w"),
+    )
+    s = (
+        feat.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.avg("w").alias("logit"))
+    )
+    scored = tok.select("doc_id", "lang").join(s, "doc_id").select(
+        F.round(
+            F.lit(1e-9) + 1.0 / (1.0 + F.exp(-8.0 * F.col("logit"))),
+            4,
+        ).alias("p"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    binned = scored.groupBy(
+        F.least(F.floor(F.col("p") * 20), F.lit(19))
+        .cast("bigint")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.avg("p").alias("sb"),
+        F.avg("y").alias("ob"),
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("obar"),
+        F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias(
+            "brier"
+        ),
+    )
+    r6 = lambda c: F.round(F.lit(1e-9) + c, 6)  # noqa: E731
+    contrib = binned.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "obar",
+        "brier",
+        (F.col("nb") * (F.col("sb") - F.col("ob")) ** 2).alias("rc"),
+        (F.col("nb") * (F.col("ob") - F.col("obar")) ** 2).alias("sc"),
+    )
+    rel = F.sum("rc") / F.first("n")
+    res = F.sum("sc") / F.first("n")
+    unc = F.first("obar") * (1 - F.first("obar"))
+    return contrib.groupBy().agg(
+        F.first("n").cast("bigint").alias("n_docs"),
+        r6(F.first("obar")).alias("base_rate"),
+        r6(F.first("brier")).alias("brier"),
+        r6(rel).alias("reliability"),
+        r6(res).alias("resolution"),
+        r6(unc).alias("uncertainty"),
+        r6(F.first("brier") - (rel - res + unc)).alias("residual"),
+    )

@@ -1873,3 +1873,46 @@ def q_pareto_frontier_parts(
         )
         .orderBy("p_size")
     )
+
+
+@query(
+    "lateral_top3_orders_per_nation",
+    """
+    SELECT n.n_name, t.o_orderkey, t.o_totalprice
+    FROM nation n,
+    LATERAL (
+      SELECT o.o_orderkey, o.o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 3) t
+    ORDER BY n.n_name ASC, t.o_totalprice DESC, t.o_orderkey ASC
+    """,
+)
+def q_lateral_top3_orders_per_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LATERAL correlated subquery (SQL:1999; Spark 4 supports it
+    natively): for each nation, the subquery re-executes with that
+    nation's key in scope — top-3 orders by value per nation, written
+    the declarative way instead of the window-rank idiom
+    (window_topk_per_group is the API twin; this pins the SQL
+    surface).  Catalyst DECORRELATES the lateral into a ranked join —
+    the plan is the same shuffle-on-key + per-group limit the window
+    form produces, which is exactly the point: the correlated
+    re-execution semantics cost nothing extra at scale.  Identical
+    SQL text runs on both engines."""
+    for t in ("nation", "customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"__lat_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        FROM __lat_nation n,
+        LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice
+          FROM __lat_orders o
+          JOIN __lat_customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 3) t
+        ORDER BY n.n_name ASC, t.o_totalprice DESC, t.o_orderkey ASC
+        """
+    )
