@@ -1916,3 +1916,218 @@ def q_lateral_top3_orders_per_nation(
         ORDER BY n.n_name ASC, t.o_totalprice DESC, t.o_orderkey ASC
         """
     )
+
+
+@query(
+    "mann_kendall_trend",
+    """
+    WITH m AS (
+      SELECT n.n_name,
+             (EXTRACT(YEAR FROM o.o_orderdate) - 1992) * 12
+               + EXTRACT(MONTH FROM o.o_orderdate) AS mi,
+             SUM(o.o_totalprice) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, mi),
+    p AS (
+      SELECT a.n_name,
+             CASE WHEN b.rev > a.rev THEN 1
+                  WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+      FROM m a JOIN m b ON a.n_name = b.n_name AND a.mi < b.mi),
+    s AS (
+      SELECT n_name, SUM(sgn) AS s, COUNT(*) AS n_pairs FROM p
+      GROUP BY n_name),
+    nm AS (SELECT n_name, COUNT(*) AS n FROM m GROUP BY n_name)
+    SELECT s.n_name,
+           CAST(nm.n AS BIGINT) AS n_months,
+           CAST(s.s AS BIGINT) AS kendall_s,
+           ROUND(1e-9 + s.s * 1.0 / s.n_pairs, 4) AS kendall_tau,
+           ROUND(1e-9 +
+             (CASE WHEN s.s > 0 THEN s.s - 1
+                   WHEN s.s < 0 THEN s.s + 1 ELSE 0 END)
+             / SQRT(nm.n * (nm.n - 1.0) * (2 * nm.n + 5.0) / 18.0), 4)
+             AS mk_z
+    FROM s JOIN nm ON s.n_name = nm.n_name
+    ORDER BY s.n_name
+    """,
+)
+def q_mann_kendall_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test (Mann 1945; Kendall 1975) on
+    the monthly revenue series per nation: S = sum of pairwise signs,
+    tau = S / n_pairs, and the continuity-corrected normal statistic
+    z = (S -/+ 1)/sqrt(n(n-1)(2n+5)/18) — the NONPARAMETRIC trend
+    detector that pairs with theilsen_slope_by_nation (same pair
+    frame: MK answers IS there a monotone trend, Theil-Sen answers
+    how steep).  Sign counts are exact integers, so everything before
+    the final two rounded ratios is integer arithmetic — no float
+    drift anywhere in the statistic.
+
+    Same bounded-pair scale shape as Theil-Sen: the monthly rollup
+    collapses the fact table first; the quadratic step runs on
+    calendar-bounded groups (~84 months per key, forever).  The
+    no-ties variance is exact here because monthly revenue sums never
+    tie in practice; a tie-corrected variance subtracts the
+    tie-group term and drops in without changing the plan."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1992)) * 12
+                + F.month("o_orderdate")
+            ).alias("mi"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.n_name") == F.col("b.n_name"))
+        & (F.col("a.mi") < F.col("b.mi")),
+    ).select(
+        F.col("a.n_name").alias("n_name"),
+        F.when(F.col("b.rev") > F.col("a.rev"), 1)
+        .when(F.col("b.rev") < F.col("a.rev"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    s = pairs.groupBy("n_name").agg(
+        F.sum("sgn").alias("s"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    nm = monthly.groupBy("n_name").agg(F.count(F.lit(1)).alias("n"))
+    corr_s = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(0)
+    )
+    return (
+        s.join(nm, "n_name")
+        .select(
+            "n_name",
+            F.col("n").cast("bigint").alias("n_months"),
+            F.col("s").cast("bigint").alias("kendall_s"),
+            r4(F.col("s") * 1.0 / F.col("n_pairs")).alias(
+                "kendall_tau"
+            ),
+            r4(
+                corr_s
+                / F.sqrt(
+                    F.col("n")
+                    * (F.col("n") - 1.0)
+                    * (2 * F.col("n") + 5.0)
+                    / 18.0
+                )
+            ).alias("mk_z"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "conformal_interval_coverage",
+    """
+    WITH j AS (
+      SELECT p.p_brand, l.l_extendedprice AS y,
+             (((l.l_orderkey * 7 + l.l_linenumber) % 2147483648)
+              * 2654435761) % 4294967296 / 4294967296.0 AS u
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    mu AS (
+      SELECT p_brand, AVG(y) AS pred FROM j WHERE u < 0.5
+      GROUP BY p_brand),
+    cal AS (
+      SELECT ABS(j.y - mu.pred) AS r
+      FROM j JOIN mu ON j.p_brand = mu.p_brand WHERE j.u < 0.5),
+    q AS (
+      SELECT ROUND(1e-9 + QUANTILE_CONT(r, 0.9), 4) AS q90,
+             COUNT(*) AS n_cal
+      FROM cal),
+    test AS (
+      SELECT CASE WHEN ROUND(1e-9 + ABS(j.y - mu.pred), 4) <= q.q90
+                  THEN 1 ELSE 0 END AS hit
+      FROM j JOIN mu ON j.p_brand = mu.p_brand CROSS JOIN q
+      WHERE j.u >= 0.5)
+    SELECT CAST(q.n_cal AS BIGINT) AS n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           q.q90,
+           ROUND(1e-9 + AVG(hit), 4) AS coverage
+    FROM test CROSS JOIN q
+    GROUP BY q.n_cal, q.q90
+    """,
+)
+def q_conformal_interval_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al. 2005; the
+    distribution-free UQ recipe): a per-brand mean-price predictor is
+    fit on the calibration half (deterministic unit-hash split), the
+    90th-percentile absolute residual becomes the interval half-width,
+    and the held-out half measures empirical coverage — which conformal
+    theory guarantees to land near 90% REGARDLESS of how bad the
+    predictor is.  The model-eval primitive that tells a pipeline how
+    wide its error bars really are.
+
+    Shape: one join + two hash aggregates (brand means, residual
+    quantile) + one scan of the test half with a broadcast scalar —
+    no sort, no window; the quantile interpolates identically in both
+    engines (same (n-1)p convention pinned by the Huber/Theil-Sen
+    medians), and the hit test compares 4-decimal-rounded residuals
+    against the 4-decimal quantile so float noise cannot flip a
+    boundary row."""
+    from advanced_etl_pipelines_spark.operators.sampling import unit_hash
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.col("l_extendedprice").alias("y"),
+        unit_hash(
+            F.col("l_orderkey") * 7 + F.col("l_linenumber")
+        ).alias("u"),
+    )
+    cal_half = j.where(F.col("u") < 0.5)
+    mu = cal_half.groupBy("p_brand").agg(F.avg("y").alias("pred"))
+    cal = cal_half.join(F.broadcast(mu), "p_brand").select(
+        F.abs(F.col("y") - F.col("pred")).alias("r")
+    )
+    q = cal.agg(
+        r4(F.expr("percentile(r, 0.9)")).alias("q90"),
+        F.count(F.lit(1)).alias("n_cal"),
+    )
+    test = (
+        j.where(F.col("u") >= 0.5)
+        .join(F.broadcast(mu), "p_brand")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "n_cal",
+            "q90",
+            F.when(
+                F.round(
+                    F.lit(1e-9) + F.abs(F.col("y") - F.col("pred")), 4
+                )
+                <= F.col("q90"),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    return test.groupBy("n_cal", "q90").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        r4(F.avg("hit")).alias("coverage"),
+    ).select(
+        F.col("n_cal").cast("bigint").alias("n_cal"),
+        "n_test",
+        "q90",
+        "coverage",
+    )
