@@ -64,14 +64,27 @@ def main() -> int:
     from advanced_etl_pipelines_spark.session import get_spark
 
     spark = get_spark("oracle-check")
-    con = duckdb.connect()
-    for t in TABLES:
-        # driver testdata = one file per table; make_scale_data output =
-        # a DIRECTORY of per-copy files (Spark reads either natively)
-        path = os.path.abspath(os.path.join(sf_dir, f"{t}.parquet"))
-        if os.path.isdir(path):
-            path = os.path.join(path, "*.parquet")
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    def fresh_con():
+        # Bounded DuckDB: the Spark JVM shares this box, and DuckDB's
+        # default budget (80% of RAM) collides with it on long gates —
+        # a 300-query sf1 run OOM-poisoned the connection and every
+        # later oracle died with it (round-4 incident).  Cap memory,
+        # give it a spill directory, and let the gate loop rebuild the
+        # connection on an OOM instead of failing the rest of the run.
+        c = duckdb.connect()
+        c.execute("SET memory_limit='32GB'")
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        for t in TABLES:
+            # driver testdata = one file per table; make_scale_data
+            # output = a DIRECTORY of per-copy files
+            path = os.path.abspath(os.path.join(sf_dir, f"{t}.parquet"))
+            if os.path.isdir(path):
+                path = os.path.join(path, "*.parquet")
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        return c
+
+    con = fresh_con()
 
     from advanced_etl_pipelines_spark.operators.caching import (
         release_tracked_caches,
@@ -124,7 +137,15 @@ def main() -> int:
                 record(name, "rowsonly", len(srows), t0)
             continue
         try:
-            res = con.execute(oracles[name])
+            try:
+                res = con.execute(oracles[name])
+            except duckdb.Error as e:
+                if "Out of Memory" not in str(e):
+                    raise
+                # reconnect once with a clean buffer pool and retry
+                con.close()
+                con = fresh_con()
+                res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as e:
