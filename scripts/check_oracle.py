@@ -65,15 +65,18 @@ def main() -> int:
 
     spark = get_spark("oracle-check")
 
-    def fresh_con():
+    def fresh_con(limit: str = "32GB"):
         # Bounded DuckDB: the Spark JVM shares this box, and DuckDB's
         # default budget (80% of RAM) collides with it on long gates —
         # a 300-query sf1 run OOM-poisoned the connection and every
         # later oracle died with it (round-4 incident).  Cap memory,
         # give it a spill directory, and let the gate loop rebuild the
-        # connection on an OOM instead of failing the rest of the run.
+        # connection on an OOM instead of failing the rest of the run;
+        # the retry escalates to 64GB for the one genuinely huge oracle
+        # (kcore's 24M-edge peel unroll) while keeping the steady-state
+        # budget small.
         c = duckdb.connect()
-        c.execute("SET memory_limit='32GB'")
+        c.execute(f"SET memory_limit='{limit}'")
         c.execute("SET temp_directory='/tmp/duckdb_spill'")
         for t in TABLES:
             # driver testdata = one file per table; make_scale_data
@@ -139,15 +142,21 @@ def main() -> int:
         try:
             try:
                 res = con.execute(oracles[name])
+                dcols = [d[0] for d in res.description]
+                drows = res.fetchall()
             except duckdb.Error as e:
                 if "Out of Memory" not in str(e):
                     raise
-                # reconnect once with a clean buffer pool and retry
+                # reconnect with a clean pool AND an escalated budget
+                # for the one genuinely huge oracle, then drop back to
+                # the bounded connection for the rest of the gate
                 con.close()
+                big = fresh_con("64GB")
+                res = big.execute(oracles[name])
+                dcols = [d[0] for d in res.description]
+                drows = res.fetchall()
+                big.close()
                 con = fresh_con()
-                res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
         except Exception as e:
             failures.append(name)
             record(name, "fail:duckdb-error", len(srows), t0)
