@@ -9273,3 +9273,114 @@ def q_brier_decomposition(
         r6(unc).alias("uncertainty"),
         r6(F.first("brier") - (rel - res + unc)).alias("residual"),
     )
+
+
+@query(
+    "classifier_auc_rank",
+    f"""
+    WITH tk AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks
+                FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM tk
+           WHERE len(toks) > 0),
+    f AS (SELECT doc_id,
+                 {_POLY_HASH_SQL.format(s='tok')} % 64 AS bucket
+          FROM ex),
+    w AS (SELECT i AS bucket,
+                 ((i * 2654435761) % 4294967296) / 4294967296.0 - 0.5 AS w
+          FROM range(0, 64) t(i)),
+    s AS (SELECT doc_id, AVG(w.w) AS logit
+          FROM f JOIN w USING (bucket) GROUP BY doc_id),
+    scored AS (
+      SELECT ROUND(1e-9 + 1.0 / (1.0 + EXP(-8.0 * s.logit)), 4) AS p,
+             CASE WHEN tk.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM tk JOIN s ON tk.doc_id = s.doc_id),
+    vc AS (SELECT p, COUNT(*) AS n, SUM(y) AS n_pos
+           FROM scored GROUP BY p),
+    rk AS (
+      SELECT p, n, n_pos,
+             SUM(n) OVER (ORDER BY p) - n + (n + 1) / 2.0 AS midrank
+      FROM vc),
+    agg AS (
+      SELECT SUM(n_pos * midrank) AS rank_sum,
+             SUM(n_pos) AS np, SUM(n - n_pos) AS nn
+      FROM rk)
+    SELECT CAST(np AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg,
+           ROUND(1e-9 +
+             (rank_sum - np * (np + 1) / 2.0) / (np * nn), 6) AS auc
+    FROM agg
+    """,
+)
+def q_classifier_auc_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROC AUC by the rank-sum identity (AUC = (R+ - n+(n+1)/2)/(n+ n-),
+    the Mann-Whitney U relation, with MIDRANKS so score ties count as
+    half — the exact tie-corrected AUC, not the trapezoid
+    approximation) for the hash-bucket quality classifier against the
+    lang='en' label.  Completes the classifier-eval trio: confusion
+    matrix (thresholded), Brier decomposition (calibration), AUC
+    (threshold-free ranking power); expected ~0.5 here — the same
+    uninformative-scorer negative control brier_decomposition pins.
+
+    Scale shape — the same bounded-domain midrank move as
+    spearman_corr_bounded: scores are 4-decimal-rounded, so distinct
+    score VALUES are a bounded grid; per-value (count, positives) is
+    one hash aggregate, the midrank prefix sum runs over that small
+    frame (whitelisted window), and the AUC is three scalar sums.  No
+    global sort of rows, ever."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", T.word_tokens("text").alias("toks")
+    ).where(F.size("toks") > 0)
+    feat = tok.select(
+        "doc_id", F.explode("toks").alias("tok")
+    ).select("doc_id", (poly_hash(F.col("tok")) % 64).alias("bucket"))
+    weights = spark.range(64).select(
+        F.col("id").alias("bucket"),
+        (
+            ((F.col("id") * F.lit(KNUTH)) % F.lit(MOD))
+            / F.lit(float(MOD))
+            - 0.5
+        ).alias("w"),
+    )
+    s = (
+        feat.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.avg("w").alias("logit"))
+    )
+    scored = tok.select("doc_id", "lang").join(s, "doc_id").select(
+        F.round(
+            F.lit(1e-9) + 1.0 / (1.0 + F.exp(-8.0 * F.col("logit"))),
+            4,
+        ).alias("p"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    vc = scored.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+    w = Window.orderBy("p").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rk = vc.select(
+        "n",
+        "n_pos",
+        (
+            F.sum("n").over(w) - F.col("n") + (F.col("n") + 1) / 2.0
+        ).alias("midrank"),
+    )
+    return rk.agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("n") - F.col("n_pos"))
+        .cast("bigint")
+        .alias("n_neg"),
+        F.round(
+            F.lit(1e-9)
+            + (
+                F.sum(F.col("n_pos") * F.col("midrank"))
+                - F.sum("n_pos") * (F.sum("n_pos") + 1) / 2.0
+            )
+            / (F.sum("n_pos") * F.sum(F.col("n") - F.col("n_pos"))),
+            6,
+        ).alias("auc"),
+    )

@@ -2131,3 +2131,87 @@ def q_conformal_interval_coverage(
         "q90",
         "coverage",
     )
+
+
+@query(
+    "periodogram_fixed_freqs",
+    """
+    WITH daily AS (
+      SELECT DATEDIFF('day', DATE '1992-01-01',
+                      CAST(o_orderdate AS DATE)) AS t,
+             SUM(o_totalprice) AS x
+      FROM orders GROUP BY t),
+    g AS (SELECT AVG(x) AS mu, COUNT(*) AS n FROM daily),
+    freqs AS (SELECT * FROM (VALUES (7.0), (30.4375), (91.3125),
+                                    (365.25)) AS f(period)),
+    terms AS (
+      SELECT f.period,
+             SUM((d.x - g.mu) * COS(2 * PI() * d.t / f.period)) AS c,
+             SUM((d.x - g.mu) * SIN(2 * PI() * d.t / f.period)) AS s,
+             MAX(g.n) AS n
+      FROM daily d CROSS JOIN g CROSS JOIN freqs f
+      GROUP BY f.period)
+    SELECT period,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND(1e-9 + 2.0 * (c * c + s * s) / n / 1e12, 4)
+             AS power_t
+    FROM terms ORDER BY period
+    """,
+)
+def q_periodogram_fixed_freqs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fixed-frequency periodogram (the Goertzel/single-bin DFT form of
+    Schuster 1898): spectral power of the mean-centered daily revenue
+    series at the four candidate periods a retail pipeline actually cares
+    about — weekly, monthly, quarterly, yearly — P(f) = 2(C² + S²)/n
+    with C,S the cos/sin-weighted sums.  The spectral complement of the
+    time-domain family (autocorrelation says "some periodicity",
+    Holt-Winters ASSUMES one; this measures candidate frequencies
+    directly, no FFT machinery).
+
+    Scale shape: a full FFT needs the series gathered and
+    power-of-two padded; probing k KNOWN frequencies needs only k
+    cos/sin-weighted SUMS — one hash aggregate over the (day x 4
+    frequency) cross, map-side expressible at any scale (the daily
+    frame is calendar-bounded anyway).  Power is reported in 1e12
+    units (revenue² scale) with 4-decimal rounding; cos/sin ULP
+    differences between engines' libm are ~1e-16 relative and vanish
+    under it."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff("o_orderdate", F.lit("1992-01-01")).alias("t")
+    ).agg(F.sum("o_totalprice").alias("x"))
+    g = daily.agg(
+        F.avg("x").alias("mu"), F.count(F.lit(1)).alias("n")
+    )
+    freqs = o.sparkSession.createDataFrame(
+        [(7.0,), (30.4375,), (91.3125,), (365.25,)], "period double"
+    )
+    two_pi = 2 * 3.141592653589793
+    terms = (
+        daily.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(freqs))
+        .groupBy("period")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("mu"))
+                * F.cos(F.lit(two_pi) * F.col("t") / F.col("period"))
+            ).alias("c"),
+            F.sum(
+                (F.col("x") - F.col("mu"))
+                * F.sin(F.lit(two_pi) * F.col("t") / F.col("period"))
+            ).alias("s"),
+            F.max("n").alias("n"),
+        )
+    )
+    return terms.select(
+        "period",
+        F.col("n").cast("bigint").alias("n_days"),
+        r4(
+            2.0
+            * (F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+            / F.col("n")
+            / 1e12
+        ).alias("power_t"),
+    ).orderBy("period")

@@ -105,6 +105,8 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     "(quantity 50, discount 11, price bands 256)",
     "sprt_conversion_monitor": "window over per-day aggregates",
     "fdr_bh_nation_tests": "windows over the 25-nation test frame",
+    "classifier_auc_rank": "midrank window over the bounded "
+    "distinct-score grid (4-decimal scores)",
 }
 
 
