@@ -2215,3 +2215,118 @@ def q_periodogram_fixed_freqs(
             / 1e12
         ).alias("power_t"),
     ).orderBy("period")
+
+
+@query(
+    "price_elasticity_loglog",
+    """
+    WITH pts AS (
+      SELECT p.p_brand,
+             LN(l.l_extendedprice / l.l_quantity) AS lp,
+             LN(l.l_quantity) AS lq
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_quantity > 0)
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(1e-9 + REGR_SLOPE(lq, lp), 4) AS elasticity,
+           ROUND(1e-9 + REGR_R2(lq, lp), 4) AS r2
+    FROM pts GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def q_price_elasticity_loglog(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Own-price demand elasticity by the log-log regression (the
+    econometric workhorse: in ln q = a + b ln p, the slope IS the
+    elasticity — percent quantity change per percent price change),
+    fit per brand over order lines with unit price = extended/qty.
+    Reported with R² so a near-zero fit (as expected on TPC-H's
+    price-independent quantities — another pinned negative control)
+    can't be mistaken for a real elasticity.
+
+    One scan + one hash aggregate per brand: REGR_SLOPE/R² are
+    single-pass moment aggregates (Σx, Σy, Σxy, Σx², Σy²), the same
+    shape in both engines — regression at 100 TB costs exactly one
+    groupBy."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "lp"
+        ),
+        F.log("l_quantity").alias("lq"),
+    )
+    sl = F.covar_pop("lq", "lp") / F.var_pop("lp")
+    r2v = (
+        F.covar_pop("lq", "lp")
+        * F.covar_pop("lq", "lp")
+        / (F.var_pop("lp") * F.var_pop("lq"))
+    )
+    return (
+        pts.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            r4(sl).alias("elasticity"),
+            r4(r2v).alias("r2"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "newsvendor_stock_levels",
+    """
+    WITH wk AS (
+      SELECT p.p_brand,
+             DATEDIFF('day', DATE '1992-01-01',
+                      CAST(l.l_shipdate AS DATE)) // 7 AS w,
+             SUM(l.l_quantity) AS demand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, w)
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_weeks,
+           ROUND(1e-9 + AVG(demand), 4) AS mean_demand,
+           ROUND(1e-9 + QUANTILE_CONT(demand, 0.8), 4) AS stock_q80,
+           ROUND(1e-9 + QUANTILE_CONT(demand, 0.95), 4) AS stock_q95
+    FROM wk GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def q_newsvendor_stock_levels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Newsvendor stocking levels (Edgeworth 1888; the single-period
+    inventory optimum): the profit-maximizing stock is the demand
+    QUANTILE at the critical ratio cu/(cu+co) — reported at 0.8 (cheap
+    understock) and 0.95 (expensive understock) per brand over weekly
+    demand, beside the mean that a naive plan would stock.  The
+    decision-theoretic companion to croston_intermittent_demand's
+    point forecast: Croston says what demand WILL be, this says what
+    to STOCK given asymmetric costs.
+
+    One weekly rollup (the only corpus-scale aggregate), then exact
+    interpolated quantiles per brand over calendar-bounded groups —
+    the same (n-1)p convention pinned across both engines by the
+    Huber/Theil-Sen medians."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    wk = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.floor(
+                F.datediff("l_shipdate", F.lit("1992-01-01")) / 7
+            ).alias("w"),
+        )
+        .agg(F.sum("l_quantity").alias("demand"))
+    )
+    return (
+        wk.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+            r4(F.avg("demand")).alias("mean_demand"),
+            r4(F.expr("percentile(demand, 0.8)")).alias("stock_q80"),
+            r4(F.expr("percentile(demand, 0.95)")).alias("stock_q95"),
+        )
+        .orderBy("p_brand")
+    )
