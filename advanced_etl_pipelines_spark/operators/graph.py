@@ -131,6 +131,7 @@ def pagerank(
     dedupe_edges: bool = True,
     small_parts: int | None = None,
     weight: str | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over an edge list — the canonical
     iterative-join workload, pure DataFrame ops (no GraphX/RDD).
@@ -213,8 +214,31 @@ def pagerank(
         .select("s", "d", (F.col("ew") / F.col("deg")).alias("w"))
         .localCheckpoint()
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
-    base = (1.0 - damping) / n
+    if seeds is None:
+        # classic PageRank: uniform start, uniform teleport
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+        reset = nodes.withColumn("r0", F.lit(1.0 / n))
+    else:
+        # PERSONALIZED PageRank (Jeh & Widom 2003): start AND teleport
+        # mass concentrate on the seed set, so ranks measure proximity
+        # to the seeds — the random-walk-with-restart recommendation
+        # primitive.  Seeds is a 1-column frame of node ids; mass is
+        # uniform over the seeds present in the graph.  The seed frame
+        # is node-sized at most (usually tiny) — broadcast-joined.
+        sd = seeds.select(
+            F.col(seeds.columns[0]).cast("long").alias("node")
+        ).distinct()
+        sd = nodes.join(F.broadcast(sd), "node").localCheckpoint()
+        k = sd.count()
+        if k == 0:
+            raise ValueError("pagerank: no seed id exists in the graph")
+        reset = nodes.join(
+            F.broadcast(sd.withColumn("r0", F.lit(1.0 / k))),
+            "node",
+            "left",
+        ).select("node", F.coalesce("r0", F.lit(0.0)).alias("r0"))
+        ranks = reset.withColumnRenamed("r0", "rank").localCheckpoint()
+    reset = reset.localCheckpoint()
     for _ in range(iters):
         # ranks is |nodes| rows — broadcast it so the (much larger) edge
         # list never shuffles; only the per-dst partial sums move.  At
@@ -230,7 +254,7 @@ def pagerank(
             .coalesce(small_parts)
         )
         ranks = (
-            nodes.join(
+            reset.join(
                 F.broadcast(contrib.withColumnRenamed("d", "node")),
                 "node",
                 "left",
@@ -238,7 +262,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    (1.0 - damping) * F.col("r0")
                     + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
             )

@@ -2330,3 +2330,96 @@ def q_newsvendor_stock_levels(
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "personalized_pagerank_recs",
+    """
+    WITH e AS MATERIALIZED (
+      SELECT a.l_partkey AS s, b.l_partkey AS d, COUNT(*) AS cnt
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+      GROUP BY s, d),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT s AS node FROM e UNION ALL SELECT d FROM e)),
+    seeds AS (
+      SELECT l_partkey AS node FROM lineitem
+      GROUP BY l_partkey
+      ORDER BY COUNT(*) DESC, l_partkey ASC LIMIT 2),
+    sg AS (SELECT seeds.node FROM seeds JOIN nodes USING (node)),
+    kk AS (SELECT COUNT(*) AS k FROM sg),
+    r0 AS MATERIALIZED (
+      SELECT nodes.node,
+             CASE WHEN sg.node IS NOT NULL THEN 1.0 / kk.k
+                  ELSE 0.0 END AS pr
+      FROM nodes CROSS JOIN kk
+      LEFT JOIN sg ON nodes.node = sg.node),
+    deg AS (SELECT s, SUM(cnt) AS deg FROM e GROUP BY s),
+    ew AS MATERIALIZED (SELECT e.s, e.d, e.cnt * 1.0 / deg.deg AS w
+           FROM e JOIN deg ON e.s = deg.s),
+    i1 AS (SELECT ew.d AS node, SUM(r0.pr * ew.w) AS inflow
+           FROM ew JOIN r0 ON ew.s = r0.node GROUP BY ew.d),
+    r1 AS (SELECT r0.node,
+                  0.15 * r0.pr + 0.85 * COALESCE(i1.inflow, 0) AS pr
+           FROM r0 LEFT JOIN i1 ON r0.node = i1.node),
+    i2 AS (SELECT ew.d AS node, SUM(r1.pr * ew.w) AS inflow
+           FROM ew JOIN r1 ON ew.s = r1.node GROUP BY ew.d),
+    r2 AS (SELECT r0.node,
+                  0.15 * r0.pr + 0.85 * COALESCE(i2.inflow, 0) AS pr
+           FROM r0 LEFT JOIN i2 ON r0.node = i2.node),
+    i3 AS (SELECT ew.d AS node, SUM(r2.pr * ew.w) AS inflow
+           FROM ew JOIN r2 ON ew.s = r2.node GROUP BY ew.d),
+    r3 AS (SELECT r0.node,
+                  0.15 * r0.pr + 0.85 * COALESCE(i3.inflow, 0) AS pr
+           FROM r0 LEFT JOIN i3 ON r0.node = i3.node)
+    SELECT r3.node, ROUND(1e-9 + r3.pr * 1e6, 4) AS ppr_ppm
+    FROM r3
+    WHERE r3.node NOT IN (SELECT node FROM sg)
+    ORDER BY r3.pr DESC, r3.node ASC LIMIT 10
+    """,
+)
+def q_personalized_pagerank_recs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Personalized PageRank recommendations (Jeh & Widom 2003 —
+    random walk with restart, the production co-purchase recommender
+    at Pinterest/Twitter scale): teleport mass restarts at the 2
+    best-selling seed parts instead of uniformly, so rank measures
+    graph PROXIMITY TO THE SEEDS; output the top-10 non-seed parts —
+    "customers who bought the bestsellers also buy these".  Uses the
+    ``seeds=`` path of operators/graph.py pagerank composed with the
+    ``weight=`` path (pre-aggregated co-purchase counts).
+
+    Same iterate-join cost model as pagerank_copurchase — per round
+    one broadcast join + aggregate over the weighted distinct-pair
+    edge list — plus a broadcast seed lookup.  Seeds are data-derived
+    (top-2 by line count, partkey ties) so the query is
+    scale-portable; the DuckDB oracle unrolls the 3 seeded iterations
+    with the identical 0.15*r0 + 0.85*inflow recurrence."""
+    from advanced_etl_pipelines_spark.operators.graph import pagerank
+    from advanced_etl_pipelines_spark.operators.scale import top_k_global
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("s"),
+            F.col("b.l_partkey").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    seeds = top_k_global(pc, [F.desc("c"), F.asc("l_partkey")], 2).select(
+        F.col("l_partkey").alias("node")
+    )
+    ranks = pagerank(
+        e, "s", "d", iters=3, weight="cnt", seeds=seeds
+    )
+    recs = ranks.join(F.broadcast(seeds), "node", "left_anti")
+    return (
+        top_k_global(recs, [F.desc("rank"), F.asc("node")], 10)
+        .select("node", r4(F.col("rank") * 1e6).alias("ppr_ppm"))
+    )

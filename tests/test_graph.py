@@ -287,3 +287,34 @@ def test_pagerank_weighted_matches_multigraph_replication(spark):
         ).collect()
     }
     assert rw == rm
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    """Two triangles joined by one bridge: seeding at node 1 must rank
+    its own triangle's members above the far triangle's, and the seed
+    itself highest; mass sums to ~1."""
+    from advanced_etl_pipelines_spark.operators.graph import pagerank
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    pairs = tri1 + tri2 + [(3, 10)]
+    und = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(und, "s long, d long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, "s", "d", iters=8, seeds=seeds).collect()
+    }
+    assert got[1] == max(got.values())
+    assert min(got[2], got[3]) > max(got[11], got[12])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_rejects_unknown_seeds(spark):
+    from advanced_etl_pipelines_spark.operators.graph import pagerank
+    import pytest
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "s long, d long")
+    seeds = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="no seed id"):
+        pagerank(edges, "s", "d", seeds=seeds)
