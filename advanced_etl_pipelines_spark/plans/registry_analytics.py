@@ -2423,3 +2423,74 @@ def q_personalized_pagerank_recs(
         top_k_global(recs, [F.desc("rank"), F.asc("node")], 10)
         .select("node", r4(F.col("rank") * 1e6).alias("ppr_ppm"))
     )
+
+
+@query(
+    "forecast_backtest_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS x
+      FROM orders GROUP BY d),
+    feat AS (
+      SELECT d, x,
+             LAG(x, 1) OVER (ORDER BY d) AS naive,
+             AVG(x) OVER (ORDER BY d
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS ma7,
+             LAG(x, 7) OVER (ORDER BY d) AS snaive,
+             ROW_NUMBER() OVER (ORDER BY d) AS rn
+      FROM daily)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(1e-9 + AVG(ABS(x - naive)) / 1e3, 4) AS mae_naive_k,
+           ROUND(1e-9 + AVG(ABS(x - ma7)) / 1e3, 4) AS mae_ma7_k,
+           ROUND(1e-9 + AVG(ABS(x - snaive)) / 1e3, 4) AS mae_snaive_k,
+           ROUND(1e-9 + AVG(ABS(x - ma7)) / AVG(ABS(x - naive)), 4)
+             AS mase_ma7
+    FROM feat WHERE rn > 7
+    """,
+)
+def q_forecast_backtest_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Walk-forward forecast backtest (the Hyndman-style eval every
+    forecasting chapter opens with): one-step MAE of three baseline
+    forecasters on daily revenue — naive (yesterday), 7-day trailing
+    mean, seasonal-naive (same weekday last week) — plus MASE (MA7
+    error scaled by the naive error, the scale-free skill score;
+    < 1 means the model beats persistence).  The evaluation half the
+    forecasting family was missing: Holt-Winters/Croston/seasonal
+    decompose produce forecasts, this measures whether any of them
+    earns its keep against the baselines every paper demands.
+
+    One corpus-scale day aggregate; all lag/rolling features are
+    windows over the calendar-bounded daily frame (whitelisted, same
+    class as cusum/sprt), first 7 warm-up days excluded on both
+    engines."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    w = Window.orderBy("d")
+    feat = daily.select(
+        "x",
+        F.lag("x", 1).over(w).alias("naive"),
+        F.avg("x").over(w.rowsBetween(-7, -1)).alias("ma7"),
+        F.lag("x", 7).over(w).alias("snaive"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") > 7)
+    return feat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        r4(F.avg(F.abs(F.col("x") - F.col("naive"))) / 1e3).alias(
+            "mae_naive_k"
+        ),
+        r4(F.avg(F.abs(F.col("x") - F.col("ma7"))) / 1e3).alias(
+            "mae_ma7_k"
+        ),
+        r4(F.avg(F.abs(F.col("x") - F.col("snaive"))) / 1e3).alias(
+            "mae_snaive_k"
+        ),
+        r4(
+            F.avg(F.abs(F.col("x") - F.col("ma7")))
+            / F.avg(F.abs(F.col("x") - F.col("naive")))
+        ).alias("mase_ma7"),
+    )

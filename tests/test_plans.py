@@ -107,6 +107,8 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     "fdr_bh_nation_tests": "windows over the 25-nation test frame",
     "classifier_auc_rank": "midrank window over the bounded "
     "distinct-score grid (4-decimal scores)",
+    "forecast_backtest_daily": "lag/rolling windows over per-day "
+    "aggregates",
 }
 
 
