@@ -22,10 +22,17 @@ its own ``uncache_sf_tables``.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
+# Guarded by _TRACKED_LOCK: sweep drivers are single-threaded today, but
+# a threaded sweep (or parallel pytest workers sharing one session) must
+# not release another thread's in-use cache mid-query, and list.append /
+# pop interleavings are not otherwise coordinated.
 _TRACKED: list[DataFrame] = []
+_TRACKED_LOCK = threading.Lock()
 
 
 def tracked_persist(
@@ -37,7 +44,8 @@ def tracked_persist(
     Chain form: ``df.groupBy(...).agg(...).transform(tracked_persist)``.
     """
     out = df.persist(level or StorageLevel.MEMORY_AND_DISK)
-    _TRACKED.append(out)
+    with _TRACKED_LOCK:
+        _TRACKED.append(out)
     return out
 
 
@@ -47,11 +55,11 @@ def release_tracked_caches(blocking: bool = False) -> int:
     released frame that is re-executed later just recomputes (correct,
     merely slower), so callers only release after materializing results.
     """
-    n = len(_TRACKED)
-    while _TRACKED:
-        f = _TRACKED.pop()
+    with _TRACKED_LOCK:
+        drained, _TRACKED[:] = _TRACKED[:], []
+    for f in drained:
         try:
             f.unpersist(blocking=blocking)
         except Exception:  # session already stopped — nothing to free
             pass
-    return n
+    return len(drained)

@@ -362,10 +362,23 @@ def adamic_adar_topk(
     query runs uncapped (exact oracle); at 100 TB set the cap (e.g.
     10^4) — same skew argument as the degree-oriented triangle count.
     """
-    und = edges.select(
-        F.col(src).alias("x"), F.col(dst).alias("z")
+    # Normalize to distinct undirected simple-graph pairs FIRST: a
+    # caller passing both (u,v) and (v,u), duplicate rows, or self-loops
+    # would otherwise multiply every wedge arm (deg, n_common and
+    # aa_score each inflated up to 4x).  For an already-clean s<d edge
+    # list this is a no-op distinct.
+    pairs = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+    )
+    und = pairs.select(
+        F.col("u").alias("x"), F.col("v").alias("z")
     ).unionAll(
-        edges.select(F.col(dst).alias("x"), F.col(src).alias("z"))
+        pairs.select(F.col("v").alias("x"), F.col("u").alias("z"))
     )
     deg = und.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
     # a degree-1 node has one arm and can never be a wedge MIDDLE —
@@ -390,10 +403,9 @@ def adamic_adar_topk(
             F.count(F.lit(1)).alias("n_common"),
         )
     )
-    existing = edges.select(
-        F.least(F.col(src), F.col(dst)).alias("s"),
-        F.greatest(F.col(src), F.col(dst)).alias("d"),
-    ).distinct()
+    existing = pairs.select(
+        F.col("u").alias("s"), F.col("v").alias("d")
+    )
     cand = scored.join(existing, ["s", "d"], "left_anti")
     from advanced_etl_pipelines_spark.operators.scale import top_k_global
     from advanced_etl_pipelines_spark.plans.registry import r4
@@ -446,10 +458,18 @@ def label_propagation(
             edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
         small_parts = max(shuffle // 8, 4)
+    # RAK is defined on UNDIRECTED graphs: symmetrize internally so a
+    # directed edge list gets true neighbor semantics (in + out), not
+    # silent in-neighbor-only propagation.  For an input that is
+    # already symmetric (the registry and tests pass one) the union is
+    # absorbed by the distinct — identical frame, identical answer.
+    directed = edges.select(
+        F.col(src).cast("long").alias("s"),
+        F.col(dst).cast("long").alias("d"),
+    )
     e = (
-        edges.select(
-            F.col(src).cast("long").alias("s"),
-            F.col(dst).cast("long").alias("d"),
+        directed.unionAll(
+            directed.select(F.col("d").alias("s"), F.col("s").alias("d"))
         )
         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
         .where(F.col("s") != F.col("d"))

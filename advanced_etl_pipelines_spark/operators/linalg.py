@@ -13,6 +13,8 @@ doubles down and k×d doubles back up.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -311,6 +313,15 @@ def kcenter_select(
         # k=16 rounds that driver-side chatter was ~1/3 of wall time at
         # sf0.1 (2,000 x 64 vectors: compute is negligible, the loop is
         # pure fixed cost).  repr() keeps full float precision.
+        # Non-finite components would render as 'nand'/'infd' — not
+        # valid SQL double literals — so fail with a clear message
+        # instead of an opaque parse error downstream.
+        if not all(math.isfinite(float(x)) for x in vec):
+            raise ValueError(
+                "kcenter_select: non-finite component in input vector "
+                f"(id-side vector prefix: {list(vec)[:4]}...); clean or "
+                "clip embeddings before k-center selection"
+            )
         arr = ",".join(repr(float(x)) + "d" for x in vec)
         return F.expr(
             "aggregate(zip_with(v, array({}), (a, b) -> (a-b)*(a-b)),"

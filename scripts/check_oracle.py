@@ -95,6 +95,12 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = sorted(only - set(qs))
+        if unknown:
+            # a typo'd name must fail loudly, not report "1/1 passed"
+            print(f"FAIL  unknown query name(s): {unknown}")
+            return 1
     # Expected-frame oracles are exact only at the driver's sf0.01
     # (VALUES literals for deterministic non-SQL computations); at any
     # other sf they fall back to the rows-only check.
@@ -184,7 +190,7 @@ def main() -> int:
             failures.append(name)
             record(name, "fail:mismatch", len(srows), t0)
 
-    n_run = len(only) if only else len(qs)
+    n_run = len(records)  # queries actually executed, not names requested
     print(f"\n{n_run - len(failures)}/{n_run} passed")
     if json_out:
         import json as _json
