@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from advanced_etl_pipelines_spark.functions import text as T
 from advanced_etl_pipelines_spark.operators import sampling as SA
+from advanced_etl_pipelines_spark.plans import oracle_replays
 from advanced_etl_pipelines_spark.plans.registry import _t, query, r4
 from advanced_etl_pipelines_spark.operators.caching import (
     tracked_persist,
@@ -597,29 +598,12 @@ def q_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bpe_vocab_learn",
-    # Expected frame at sf0.01: exact integer pair counts + total-order
-    # tiebreak make the merge sequence deterministic by construction
-    """
-    SELECT CAST(rank AS INTEGER) AS rank,
-           CAST(l AS VARCHAR) AS "left", CAST(r AS VARCHAR) AS "right",
-           CAST(m AS VARCHAR) AS merged,
-           CAST(wc AS BIGINT) AS weighted_count
-    FROM (VALUES
-      (1, 'e', 'r', 'er', 4568),
-      (2, 'e', '</w>', 'e</w>', 4473),
-      (3, 'n', '</w>', 'n</w>', 2834),
-      (4, 'er', '</w>', 'er</w>', 2779),
-      (5, 'o', 'w', 'ow', 2747),
-      (6, 'ow', '</w>', 'ow</w>', 2747),
-      (7, 'o', 'r', 'or', 2696),
-      (8, 's', 't', 'st', 2676),
-      (9, 'h', '</w>', 'h</w>', 1884),
-      (10, 'a', 't', 'at', 1845),
-      (11, 'l', 'u', 'lu', 1831),
-      (12, 'i', 'n', 'in', 1796)
-    ) AS t(rank, l, r, m, wc)
-    """,
-    sf_pinned=True,
+    # Scale-portable replay (round-5): the merge sequence is
+    # deterministic by construction (exact integer pair counts +
+    # total-order tiebreak), so the oracle replays all 12 rounds as
+    # unrolled DuckDB CTEs — value-checked at EVERY sf, not just the
+    # sf0.01 the old pinned frame encoded.  See plans/oracle_replays.py.
+    oracle_replays.bpe_learn_sql(12),
 )
 def q_bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016) over
@@ -651,22 +635,9 @@ def q_bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bpe_fertility_by_lang",
-    # Expected frame at sf0.01 (deterministic: exact-count merges +
-    # deterministic segmentation folds)
-    """
-    SELECT CAST(lang AS VARCHAR) AS lang,
-           CAST(w AS BIGINT) AS n_words,
-           CAST(s AS BIGINT) AS n_subwords,
-           CAST(f AS DOUBLE) AS fertility
-    FROM (VALUES
-      ('de', 3549, 15248, 4.2964),
-      ('en', 11757, 50460, 4.2919),
-      ('es', 3958, 17049, 4.3075),
-      ('fr', 3758, 16143, 4.2956),
-      ('zh', 4143, 17898, 4.3201)
-    ) AS t(lang, w, s, f)
-    """,
-    sf_pinned=True,
+    # Scale-portable replay (round-5): learn + re-segment in DuckDB
+    # CTEs — value-checked at every sf (see plans/oracle_replays.py)
+    oracle_replays.bpe_fertility_sql(12),
 )
 def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility report: learn 12 BPE merges on the corpus
@@ -717,24 +688,10 @@ def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "unigram_lm_fertility",
-    # Expected frame at sf0.01 (deterministic: exact integer piece
-    # frequencies, fixed Viterbi fold order, strict-inequality
-    # tiebreak — three repeated runs hash-identical)
-    """
-    SELECT CAST(lang AS VARCHAR) AS lang,
-           CAST(w AS BIGINT) AS n_words,
-           CAST(p AS BIGINT) AS n_pieces,
-           CAST(f AS DOUBLE) AS fertility,
-           CAST(nll AS DOUBLE) AS nll_per_piece
-    FROM (VALUES
-      ('de', 3549, 5309, 1.4959, 5.3404),
-      ('en', 11757, 17666, 1.5026, 5.3147),
-      ('es', 3958, 5935, 1.4995, 5.3313),
-      ('fr', 3758, 5635, 1.4995, 5.3325),
-      ('zh', 4143, 6236, 1.5052, 5.3299)
-    ) AS t(lang, w, p, f, nll)
-    """,
-    sf_pinned=True,
+    # Scale-portable replay (round-5): lattice + Viterbi folds replayed
+    # as DuckDB lambdas with identical scan and float-fold order —
+    # value-checked at every sf (see plans/oracle_replays.py)
+    oracle_replays.unigram_fertility_sql(),
 )
 def q_unigram_lm_fertility(
     spark: SparkSession, sf_dir: str
@@ -792,25 +749,12 @@ def q_unigram_lm_fertility(
 
 @query(
     "unigram_em_refined",
-    # Expected frame at sf0.01 (deterministic: the E-step posterior is
-    # quantized to integer micro-units BEFORE the cross-word sum, so
-    # both EM rounds are exact integer arithmetic under any
-    # partitioning — three repeated runs hash-identical)
-    """
-    SELECT CAST(lang AS VARCHAR) AS lang,
-           CAST(w AS BIGINT) AS n_words,
-           CAST(p AS BIGINT) AS n_pieces,
-           CAST(f AS DOUBLE) AS fertility,
-           CAST(nll AS DOUBLE) AS nll_per_piece
-    FROM (VALUES
-      ('de', 3549, 5309, 1.4959, 3.8996),
-      ('en', 11757, 17666, 1.5026, 3.9020),
-      ('es', 3958, 5935, 1.4995, 3.8945),
-      ('fr', 3758, 5635, 1.4995, 3.9131),
-      ('zh', 4143, 6236, 1.5052, 3.8988)
-    ) AS t(lang, w, p, f, nll)
-    """,
-    sf_pinned=True,
+    # Scale-portable replay (round-5): both EM rounds replayed in
+    # DuckDB — the micro-unit posterior quantization makes the M-step
+    # exact integer arithmetic in BOTH engines, so the refined model is
+    # engine-independent and the oracle value-checks at every sf (see
+    # plans/oracle_replays.py)
+    oracle_replays.unigram_em_sql(2),
 )
 def q_unigram_em_refined(
     spark: SparkSession, sf_dir: str
