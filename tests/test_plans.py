@@ -79,36 +79,53 @@ def _window_input_kind(subtree: str) -> str:
     return "UNBOUNDED"
 
 
-# Unpartitioned windows whose input boundedness a regex can't prove but
-# a human has: each runs over a pre-aggregated frame whose cardinality
-# is fixed by the domain, not the data volume (round-2 VERDICT item 2's
-# sanctioned set — "verified by reading each site").  Adding a query
-# here requires the same reading.
+# Unpartitioned windows whose input boundedness a regex can't prove:
+# each runs over a pre-aggregated frame whose cardinality is fixed by
+# the DOMAIN (date span, nation count, bucket count…), not the data
+# volume.  Round-4 VERDICT item 3: the old prose-only claims are now
+# EXECUTABLE — each entry carries the claimed domain bound, and
+# test_whitelist_bounds_hold counts every unpartitioned window's actual
+# logical input at test time and fails if it exceeds the bound.  A
+# future edit that un-bounds an input (e.g. windows the raw rows
+# instead of the per-day aggregate) trips the count immediately instead
+# of hiding behind a stale sanction.  bound=None is reserved for the
+# single weak-BY-DESIGN entry whose window input IS the data.
 UNPARTITIONED_WINDOW_WHITELIST = {
     # documented small-data parity twin of equi_depth_histogram; its
-    # docstring forbids copying the plan (plans/registry.py)
-    "equi_depth_histogram_ntile": "sanctioned NTILE twin",
-    "value_counts_pct": "window over 3 severity-class counts",
-    "mixture_budget_fill": "window over per-source frame (|sources| rows)",
-    "heavy_hitters_cumshare": "global window over __pid-pruned survivors",
-    "drift_ks_bucketed": "window over 64 fixed buckets",
-    "survival_km_repeat_purchase": "window over per-day gap counts (<=366)",
-    "cusum_changepoint_daily": "window over per-day aggregates",
-    "char_coverage_table": "window over per-codepoint counts (alphabet)",
-    "rolling_corr_7d": "window over per-day aggregates",
-    "topk_churn_monthly": "window over per-month frames",
-    "shuffle_skew_gini": "window over 32 partition-size rows",
-    "user_growth_curve": "window over per-day first-seen counts",
-    "hierarchical_revenue_shares": "window over region/nation rollup",
-    "revenue_ma_crossover": "window over per-day revenue",
-    "spearman_corr_bounded": "windows over distinct-value counts "
-    "(quantity 50, discount 11, price bands 256)",
-    "sprt_conversion_monitor": "window over per-day aggregates",
-    "fdr_bh_nation_tests": "windows over the 25-nation test frame",
-    "classifier_auc_rank": "midrank window over the bounded "
-    "distinct-score grid (4-decimal scores)",
-    "forecast_backtest_daily": "lag/rolling windows over per-day "
-    "aggregates",
+    # docstring forbids copying the plan (plans/registry.py) and it
+    # stays on the weak list — the window input is the full table, so
+    # no domain bound exists to claim
+    "equi_depth_histogram_ntile": (None, "sanctioned NTILE twin"),
+    "value_counts_pct": (8, "3 severity-class counts"),
+    "mixture_budget_fill": (64, "per-source frame (|sources| rows)"),
+    "heavy_hitters_cumshare": (
+        64,
+        "__pid-pruned survivors (<= shuffle partitions + 1)",
+    ),
+    "drift_ks_bucketed": (80, "64 fixed buckets"),
+    "survival_km_repeat_purchase": (400, "per-day gap counts (<=366)"),
+    "cusum_changepoint_daily": (400, "per-day aggregates (<=366 days)"),
+    "char_coverage_table": (300, "per-codepoint counts (alphabet <=256)"),
+    "rolling_corr_7d": (4000, "per-(day, type-pair) aggregates over the "
+                              "fixed event date span"),
+    "topk_churn_monthly": (200, "per-(month, type) frames"),
+    "shuffle_skew_gini": (64, "32 partition-size rows"),
+    "user_growth_curve": (400, "per-day first-seen counts"),
+    "hierarchical_revenue_shares": (200, "region/nation rollup"),
+    "revenue_ma_crossover": (2600, "per-day revenue over the "
+                                   "~7-year TPC-H order span"),
+    "spearman_corr_bounded": (
+        320,
+        "distinct-value counts (quantity 50, discount 11, price 256)",
+    ),
+    "sprt_conversion_monitor": (400, "per-day aggregates"),
+    "fdr_bh_nation_tests": (32, "25-nation test frame"),
+    "classifier_auc_rank": (
+        20001,
+        "midrank over the bounded distinct-score grid (4-decimal scores)",
+    ),
+    "forecast_backtest_daily": (2600, "per-day aggregates over the "
+                                      "fixed event date span"),
 }
 
 
@@ -143,6 +160,54 @@ def test_registry_lint_no_unpartitioned_window_over_unbounded_input(
         "single-partition Window over unbounded input in: "
         f"{sorted(offenders)} — rewrite with operators/scale.py "
         "(global_running_sums / top_k_global) or justify + whitelist"
+    )
+
+
+def _unpartitioned_window_inputs(df) -> list:
+    """Logical children of every analyzed-plan Window node with an
+    empty partition spec — each wrapped back into a DataFrame so the
+    test can COUNT the actual rows feeding the single-partition sort."""
+    kids = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "Window":
+            try:
+                if node.partitionSpec().isEmpty():
+                    kids.append(node.child())
+            except Exception:
+                pass
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return kids
+
+
+def test_whitelist_bounds_hold(spark, all_query_dfs):
+    """Round-4 VERDICT item 3: every whitelist entry's cardinality claim
+    is asserted mechanically — count the rows actually feeding each
+    unpartitioned window and compare to the documented domain bound.
+    The bounds are domain constants (days in the date span, nations,
+    buckets…), so the counts hold at ANY sf; an edit that un-bounds a
+    window input blows past them immediately even at sf0.001."""
+    jvm = spark._jvm
+    offenders = {}
+    for name, (bound, _reason) in UNPARTITIONED_WINDOW_WHITELIST.items():
+        if bound is None:  # the weak-by-design NTILE twin
+            continue
+        counts = [
+            jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                spark._jsparkSession, kid
+            ).count()
+            for kid in _unpartitioned_window_inputs(all_query_dfs[name])
+        ]
+        over = [c for c in counts if c > bound]
+        if over:
+            offenders[name] = (counts, bound)
+    assert not offenders, (
+        "unpartitioned window input exceeds its documented domain "
+        f"bound: {offenders}"
     )
 
 
