@@ -5,11 +5,26 @@ on DuckDB over the same parquet tables, then compares row count, sorted
 column names, and an order-insensitive value multiset (floats rounded to
 counteract representation noise — the queries themselves already round).
 
-Usage:  python scripts/check_oracle.py [--json out.json] [sf_dir] [query ...]
+Usage:  python scripts/check_oracle.py [--json out.json] [--changed]
+                                       [sf_dir] [query ...]
 
 ``--json`` writes a per-query artifact (status, rows, seconds) — used
 for the sf1 answer-correctness gate (round-3 VERDICT item 1), whose
 results land in CORRECTNESS_sf1.json + BASELINE.md.
+
+``--changed`` (round-4 VERDICT item 4 — the per-round sf1 habit):
+instead of the full registry, gate (a) every query whose builder source
+or oracle SQL changed since the committed manifest, plus (b) a rotating
+1/5 slice of the rest, then refresh ``scripts/oracle_manifest.json``
+(hashes + rotation) on success.  Five consecutive ``--changed`` runs
+cover the whole registry; a full run still refreshes the manifest too.
+Limitation (documented, deliberate): the hash covers the query builder
+function + its oracle string, not shared operator modules — an operator
+edit is caught by the rotating slice within 5 rounds and by the
+occasional full sf1 sweep, which remains the backstop.
+
+Typical round close:
+    python scripts/check_oracle.py --changed .localdata/sf1
 """
 
 from __future__ import annotations
@@ -28,6 +43,66 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+MANIFEST = os.path.join(os.path.dirname(__file__), "oracle_manifest.json")
+ROTATION_BUCKETS = 5
+
+
+def _query_hashes(qs: dict, oracles: dict) -> dict[str, str]:
+    """name -> sha1 over (builder source, oracle SQL).  Builder source
+    via inspect; a decorator-wrapped or dynamically-built callable that
+    defeats inspect hashes as its repr-stable module+qualname, which
+    still flags add/remove."""
+    import hashlib
+    import inspect
+
+    out = {}
+    for name, fn in qs.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = f"{fn.__module__}.{getattr(fn, '__qualname__', name)}"
+        body = src + "\n\x00\n" + oracles.get(name, "")
+        out[name] = hashlib.sha1(body.encode()).hexdigest()
+    return out
+
+
+def _changed_selection(qs: dict, oracles: dict):
+    """(names_to_run, new_manifest_dict): changed/new queries + the
+    rotating 1/ROTATION_BUCKETS slice of the rest."""
+    import hashlib
+    import json
+
+    cur = _query_hashes(qs, oracles)
+    old = {"queries": {}, "rotation": 0}
+    if os.path.exists(MANIFEST):
+        with open(MANIFEST) as f:
+            old = json.load(f)
+    rot = int(old.get("rotation", 0)) % ROTATION_BUCKETS
+    prev = old.get("queries", {})
+    changed = {n for n, h in cur.items() if prev.get(n) != h}
+    slice_ = {
+        n
+        for n in cur
+        if int(hashlib.sha1(n.encode()).hexdigest(), 16) % ROTATION_BUCKETS
+        == rot
+    }
+    run = sorted(changed | slice_)
+    new_manifest = {
+        "queries": cur,
+        "rotation": (rot + 1) % ROTATION_BUCKETS,
+        "last_changed": sorted(changed),
+        "last_slice_bucket": rot,
+    }
+    return run, new_manifest
+
+
+def _write_manifest(manifest: dict) -> None:
+    import json
+
+    with open(MANIFEST, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.write("\n")
 
 
 def norm_cell(v):
@@ -54,9 +129,13 @@ def row_multiset(rows, cols):
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
+    changed_mode = False
     if argv and argv[0] == "--json":
         json_out = argv[1]
         argv = argv[2:]
+    if argv and argv[0] == "--changed":
+        changed_mode = True
+        argv = argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -95,6 +174,15 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    new_manifest = None
+    if changed_mode:
+        run_names, new_manifest = _changed_selection(qs, oracles)
+        print(
+            f"--changed: {len(new_manifest['last_changed'])} changed/new, "
+            f"slice bucket {new_manifest['last_slice_bucket']}/"
+            f"{ROTATION_BUCKETS} -> {len(run_names)} queries"
+        )
+        only = set(run_names) | only
     if only:
         unknown = sorted(only - set(qs))
         if unknown:
@@ -192,6 +280,27 @@ def main() -> int:
 
     n_run = len(records)  # queries actually executed, not names requested
     print(f"\n{n_run - len(failures)}/{n_run} passed")
+    if not failures:
+        if changed_mode and new_manifest is not None:
+            _write_manifest(new_manifest)
+            print(f"manifest refreshed: {MANIFEST}")
+        elif not only:
+            # a green FULL run also refreshes the hash baseline (keeps
+            # the stored rotation so slices still cycle)
+            import json as _json
+
+            rot = 0
+            if os.path.exists(MANIFEST):
+                with open(MANIFEST) as f:
+                    rot = int(_json.load(f).get("rotation", 0))
+            _write_manifest(
+                {
+                    "queries": _query_hashes(qs, oracles),
+                    "rotation": rot,
+                    "last_changed": [],
+                    "last_slice_bucket": None,
+                }
+            )
     if json_out:
         import json as _json
 

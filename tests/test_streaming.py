@@ -290,3 +290,82 @@ def test_session_window_stats_value_col_parameterized(spark):
     no_val = session_window_stats(df.drop("amount"), value_col=None)
     assert "sum_value" not in no_val.columns
     assert no_val.collect()[0]["n_events"] == 2
+
+
+def test_medallion_stream_recovers_from_mid_batch_kill(
+    spark, tmp_path, monkeypatch
+):
+    """Round-4 VERDICT item 5 — crash-recovery, not just redelivery:
+    kill the medallion stream MID-BATCH (after that batch's bronze
+    overwrite landed, before its silver upsert committed — the worst
+    interleaving), restart from the SAME checkpoint, and assert the
+    silver rollup is exactly-once.  Bronze must also hold each event
+    exactly once: the replayed batch re-lands under the same
+    ``batch=<id>/`` directory with mode overwrite, so the half-finished
+    first attempt is replaced, never duplicated."""
+    from advanced_etl_pipelines_spark.sources import sinks as sinks_mod
+    from advanced_etl_pipelines_spark.streaming.windows import (
+        start_medallion_stream,
+    )
+
+    events = read_sf_table(spark, SF, "events")
+    src = str(tmp_path / "landing")
+    # 8 landing files / maxFilesPerTrigger=4 -> 2 micro-batches, so the
+    # kill can land strictly AFTER one fully-committed batch
+    events.repartition(8).write.parquet(src)
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = file_event_stream(
+            spark, src, spark.read.parquet(src).schema,
+            max_files_per_trigger=4,
+        )
+        return start_medallion_stream(stream, bronze, silver, ckpt)
+
+    # Crash injection: the sink writes bronze first, then upserts
+    # silver — raising inside upsert_parquet on the SECOND batch means
+    # batch 0 commits fully, batch 1 dies with its bronze written but
+    # its silver (and its checkpoint offset) uncommitted.
+    real_upsert = sinks_mod.upsert_parquet
+    calls = {"n": 0}
+
+    def dying_upsert(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected mid-batch crash")
+        return real_upsert(*args, **kwargs)
+
+    monkeypatch.setattr(sinks_mod, "upsert_parquet", dying_upsert)
+    q = start()
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    assert not q.isActive
+    assert calls["n"] == 2, "crash must hit the second batch's upsert"
+
+    # restart from the same checkpoint with the real sink
+    monkeypatch.setattr(sinks_mod, "upsert_parquet", real_upsert)
+    _await(start())
+
+    want = {
+        (r["d"], r["event_type"], r["n_events"], round(r["sum_value"], 6))
+        for r in events.groupBy(
+            F.to_date(F.col("ts").cast("timestamp")).alias("d"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .collect()
+    }
+    got = {
+        (r["d"], r["event_type"], r["n_events"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(silver).collect()
+    }
+    assert got == want, "silver rollup must be exactly-once after restart"
+    # bronze holds every event exactly once (the killed batch's first
+    # attempt was overwritten by its replay, not duplicated)
+    assert spark.read.parquet(bronze).count() == events.count()
