@@ -628,3 +628,181 @@ def test_phash_invariant_across_png_and_jpeg(spark):
     }
     same = sum(png_hash[i] == jpg_hash[i] for i in png_hash)
     assert same >= int(0.9 * len(png_hash)), f"{same}/{len(png_hash)}"
+
+
+# --- round-5: palette + Adam7 interlaced PNG decode (VERDICT item 6) ---
+#
+# No PIL in this container, so the check is an INDEPENDENT spec-level
+# constructor: these helpers build PNG bytes straight from RFC 2083
+# (chunk layout, MSB-first bit packing, Adam7 pass order) without
+# touching the production encoder, and the production decoder must
+# recover the exact pixel array.  Writer and reader share no code.
+
+
+def _ref_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", _z.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def _ref_pack_row(samples, depth: int) -> bytes:
+    """MSB-first bit packing of one scanline's samples (RFC 2083 §2.3)."""
+    if depth == 8:
+        return bytes(samples)
+    bits = []
+    for s in samples:
+        bits.extend((s >> (depth - 1 - i)) & 1 for i in range(depth))
+    while len(bits) % 8:
+        bits.append(0)
+    return bytes(
+        sum(b << (7 - i) for i, b in enumerate(bits[k : k + 8]))
+        for k in range(0, len(bits), 8)
+    )
+
+
+def _ref_build_png(
+    pixels,
+    depth: int,
+    ctype: int,
+    interlace: int,
+    plte: bytes | None = None,
+    trns: bytes | None = None,
+) -> bytes:
+    """pixels: (h, w) index/grey array or (h, w, c) 8-bit array."""
+    import struct
+    import zlib as _z
+
+    import numpy as _np
+
+    a = _np.asarray(pixels)
+    h, w = a.shape[:2]
+    flat = a.reshape(h, w, -1)
+    raw = bytearray()
+
+    def emit_rows(rows):  # filter 0 on every line — the reference side
+        for r in rows:
+            raw.append(0)
+            raw.extend(_ref_pack_row([int(v) for v in r.reshape(-1)], depth))
+
+    if interlace == 0:
+        emit_rows(flat)
+    else:  # Adam7 pass order
+        for x0, y0, dx, dy in [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]:
+            sub = flat[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                emit_rows(sub)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _ref_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _ref_chunk(b"PLTE", plte)
+    if trns is not None:
+        out += _ref_chunk(b"tRNS", trns)
+    out += _ref_chunk(b"IDAT", _z.compress(bytes(raw), 6))
+    out += _ref_chunk(b"IEND", b"")
+    return out
+
+
+def test_png_palette_decode_all_depths():
+    """Palette PNGs (the most common real-world variant the old seam
+    rejected) decode to the PLTE-mapped RGB array at depths 1/2/4/8."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions.png import decode_png
+
+    rng = np.random.default_rng(7)
+    for depth in (1, 2, 4, 8):
+        n_colors = min(1 << depth, 11)
+        pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+        idx = rng.integers(0, n_colors, (9, 13), dtype=np.uint8)
+        data = _ref_build_png(
+            idx, depth, ctype=3, interlace=0, plte=pal.tobytes()
+        )
+        out = decode_png(data)
+        assert out.shape == (9, 13, 3), depth
+        assert (out == pal[idx]).all(), f"palette mismatch at depth {depth}"
+
+
+def test_png_palette_trns_alpha():
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions.png import decode_png
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    # tRNS shorter than the palette: missing entries default opaque
+    data = _ref_build_png(
+        idx, 8, ctype=3, interlace=0, plte=pal.tobytes(), trns=bytes([40, 200])
+    )
+    out = decode_png(data)
+    assert out.shape == (2, 3, 4)
+    assert (out[..., :3] == pal[idx]).all()
+    want_alpha = np.array([40, 200, 255], dtype=np.uint8)[idx]
+    assert (out[..., 3] == want_alpha).all()
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 images (the second common variant) reassemble to exactly
+    the source pixels for grey, RGB, RGBA and palette — including
+    dimensions not divisible by 8, where late passes dominate."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions.png import decode_png
+
+    rng = np.random.default_rng(11)
+    for shape, ctype in [((13, 9), 0), ((13, 9, 3), 2), ((8, 8, 4), 6)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_png(_ref_build_png(a, 8, ctype=ctype, interlace=1))
+        assert (out == a).all(), (shape, ctype)
+    # interlaced palette at depth 4 (bit packing per PASS row)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (11, 7), dtype=np.uint8)
+    out = decode_png(
+        _ref_build_png(idx, 4, ctype=3, interlace=1, plte=pal.tobytes())
+    )
+    assert (out == pal[idx]).all()
+    # 1x1 and 1-row edge shapes (most Adam7 passes empty)
+    for shape in [(1, 1), (1, 10), (10, 1)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_png(_ref_build_png(a, 8, ctype=0, interlace=1))
+        assert (out == a).all(), shape
+
+
+def test_png_sub8_greyscale_scales_to_full_range():
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions.png import decode_png
+
+    g = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    out = decode_png(_ref_build_png(g, 2, ctype=0, interlace=0))
+    assert (out == np.array([[0, 85], [170, 255]], dtype=np.uint8)).all()
+
+
+def test_png_16bit_still_honestly_rejected():
+    import struct
+    import zlib as _z
+
+    import numpy as np
+    import pytest as _pytest
+
+    from advanced_etl_pipelines_spark.functions.png import decode_png
+
+    # hand-build a 2x2 16-bit greyscale file
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(4) for _ in range(2))
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _ref_chunk(b"IHDR", ihdr)
+        + _ref_chunk(b"IDAT", _z.compress(raw))
+        + _ref_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_png(data)
