@@ -48,21 +48,69 @@ MANIFEST = os.path.join(os.path.dirname(__file__), "oracle_manifest.json")
 ROTATION_BUCKETS = 5
 
 
+def _module_digests() -> dict[str, str]:
+    """module-basename -> sha1 of its source, for every module under
+    the package's operators/functions/pipelines/streaming/sources
+    trees.  Lets a query hash change when an operator it calls is
+    edited, not just when the builder function itself is."""
+    import glob
+    import hashlib
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "advanced_etl_pipelines_spark",
+    )
+    out = {}
+    for sub in ("operators", "functions", "pipelines", "streaming",
+                "sources", "plans"):
+        for path in glob.glob(os.path.join(pkg, sub, "*.py")):
+            base = os.path.splitext(os.path.basename(path))[0]
+            with open(path, "rb") as f:
+                out[f"{sub}.{base}"] = hashlib.sha1(f.read()).hexdigest()
+    return out
+
+
+_MODULE_REF_RE = None
+
+
 def _query_hashes(qs: dict, oracles: dict) -> dict[str, str]:
-    """name -> sha1 over (builder source, oracle SQL).  Builder source
-    via inspect; a decorator-wrapped or dynamically-built callable that
-    defeats inspect hashes as its repr-stable module+qualname, which
-    still flags add/remove."""
+    """name -> sha1 over (builder source, oracle SQL, digests of the
+    package modules the builder references).  Builder source via
+    inspect; registry builders import their operators LOCALLY, so the
+    referenced module names are visible in the builder source and an
+    edit to e.g. operators/bpe.py flips the hash of every query whose
+    source mentions ``operators.bpe``.  A decorator-wrapped or
+    dynamically-built callable that defeats inspect hashes as its
+    repr-stable module+qualname, which still flags add/remove."""
     import hashlib
     import inspect
+    import re
 
+    global _MODULE_REF_RE
+    digests = _module_digests()
+    if _MODULE_REF_RE is None:
+        _MODULE_REF_RE = re.compile(
+            r"(operators|functions|pipelines|streaming|sources|plans)"
+            r"(?:\s+import\s+|\.)(\w+)"
+        )
     out = {}
     for name, fn in qs.items():
         try:
             src = inspect.getsource(fn)
         except (OSError, TypeError):
             src = f"{fn.__module__}.{getattr(fn, '__qualname__', name)}"
-        body = src + "\n\x00\n" + oracles.get(name, "")
+        # NOT the builder's own registry module: its relevant part (the
+        # builder function) is already hashed as source, and a whole-
+        # module digest would turn any single-query edit into a rerun
+        # of every query in that file
+        self_mod = f"plans.{fn.__module__.rsplit('.', 1)[-1]}"
+        refs = {
+            f"{grp}.{mod}" for grp, mod in _MODULE_REF_RE.findall(src)
+        } - {self_mod}
+        ref_part = "|".join(
+            f"{r}={digests[r]}" for r in sorted(refs) if r in digests
+        )
+        body = src + "\n\x00\n" + oracles.get(name, "") + "\n\x00\n" + ref_part
         out[name] = hashlib.sha1(body.encode()).hexdigest()
     return out
 

@@ -1,0 +1,86 @@
+"""Unit tests for check_oracle's --changed selection (round-4 VERDICT
+item 4): hash coverage, rotation, and the operator-module digest that
+lets an operator edit invalidate the queries that call it."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def co():
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle_under_test",
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "scripts/check_oracle.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def registry():
+    import __spark_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+def test_hashes_cover_every_query(co, registry):
+    qs, oracles = registry
+    h = co._query_hashes(qs, oracles)
+    assert set(h) == set(qs)
+    assert all(len(v) == 40 for v in h.values())
+
+
+def test_operator_edit_flips_dependent_query_hashes(co, registry):
+    """A changed digest for operators/bpe.py must flip the hash of the
+    BPE queries (their builders import it locally) and leave a query
+    that never references it untouched."""
+    qs, oracles = registry
+    before = co._query_hashes(qs, oracles)
+    real = co._module_digests
+
+    def tampered():
+        d = real()
+        d["operators.bpe"] = "0" * 40
+        return d
+
+    co._module_digests = tampered
+    try:
+        after = co._query_hashes(qs, oracles)
+    finally:
+        co._module_digests = real
+    assert after["bpe_vocab_learn"] != before["bpe_vocab_learn"]
+    assert after["bpe_fertility_by_lang"] != before["bpe_fertility_by_lang"]
+    assert after["tpch_q1_pricing_summary"] == before["tpch_q1_pricing_summary"]
+
+
+def test_changed_selection_rotation_covers_registry(
+    co, registry, tmp_path, monkeypatch
+):
+    qs, oracles = registry
+    monkeypatch.setattr(co, "MANIFEST", str(tmp_path / "manifest.json"))
+    # no manifest -> everything is "changed"
+    run, man = co._changed_selection(qs, oracles)
+    assert set(run) == set(qs)
+    co._write_manifest(man)
+    # with a fresh manifest: nothing changed, only rotating slices run;
+    # ROTATION_BUCKETS consecutive runs must cover the whole registry
+    covered: set[str] = set()
+    for _ in range(co.ROTATION_BUCKETS):
+        run, man = co._changed_selection(qs, oracles)
+        assert man["last_changed"] == []
+        covered |= set(run)
+        co._write_manifest(man)
+    assert covered == set(qs)
+    # manifest is valid json with the expected keys
+    with open(co.MANIFEST) as f:
+        m = json.load(f)
+    assert set(m) >= {"queries", "rotation", "last_changed"}
