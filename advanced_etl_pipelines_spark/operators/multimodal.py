@@ -90,7 +90,8 @@ def _real_decode(media: bytes, media_type: str) -> tuple[int, int, int]:
         return w, h, 1
     raise NotImplementedError(
         f"no codec for media_type={media_type!r} without PIL "
-        "(pure codecs handle 8-bit non-interlaced PNG and baseline JPEG)"
+        "(pure codecs handle PNG incl. palette/Adam7 [not 16-bit] and "
+        "baseline+progressive JPEG)"
     )
 
 
