@@ -265,7 +265,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Expected frame at sf0.01: xxhash64 is a fixed public algorithm —
     # signatures (and hence pairs + k/64 estimates) are deterministic
     # across runs and machines (3 runs hash-identical); the estimates
-    # are exact binary fractions so no rounding hazard
+    # are exact binary fractions so no rounding hazard.
+    # Deliberately NOT converted to a replay in round 5: the only part
+    # a DuckDB replay would add coverage for is Spark's xxhash64
+    # builtin itself (the JVM XXH64 intrinsic with Spark's
+    # chained-seed multi-arg convention) — re-implementing 64-bit
+    # overflow arithmetic via HUGEINT lambdas for ~19M string hashes
+    # at sf1 buys a slow, bug-prone test of code this repo doesn't
+    # own.  Every piece this repo DOES own (signature fold, banding,
+    # bucket join, estimate filter) is value-hash-checked at every sf
+    # through the portable-hash twin dedup_minhash_portable.
     """
     SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
            CAST(est_jaccard AS DOUBLE) AS est_jaccard
