@@ -8480,6 +8480,19 @@ aggregate(
 
 @query(
     "croston_intermittent_demand",
+    # Round-5 rewrite of the ORACLE (Spark side unchanged): the old
+    # list_reduce replay OOM'd DuckDB 1.0 at sf1 — its lambda-reduce
+    # memory is super-linear in row count (measured: 50k series of ~29
+    # structs blow a 32GB budget; 200k need >64GB for ~200MB of actual
+    # data) and the intermediate state is unspillable.  The Croston
+    # EWMA has a closed form, so the oracle now computes
+    #   z_n = 0.8^(n-1) z_0 + sum_{i>=1} 0.2 * 0.8^(n-1-i) * z_i
+    #   p_n = 0.8^(n-2) g_1  + sum_{i>=2} 0.2 * 0.8^(n-1-i) * g_i
+    # (g_i = consecutive week gaps) as plain windowed SUMs — flat
+    # memory at any sf.  Float caveat, accepted: one weighted SUM vs
+    # the sequential multiply-add fold differs in last ulps (~1e-12
+    # relative) against the 1e-4 rounding grid — verified hash-green
+    # at sf0.01 AND sf1.
     """
     WITH wk AS (
       SELECT l_partkey,
@@ -8487,28 +8500,26 @@ aggregate(
                       CAST(l_shipdate AS DATE)) // 7 AS w,
              CAST(SUM(l_quantity) AS DOUBLE) AS d
       FROM lineitem GROUP BY l_partkey, w),
-    series AS (
-      SELECT l_partkey,
-             array_agg({'z': d, 'p': CAST(0 AS DOUBLE),
-                        'w': w, 'n': 1} ORDER BY w) AS m
-      FROM wk GROUP BY l_partkey),
+    ranked AS (
+      SELECT l_partkey, w, d,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY w) - 1
+               AS i,
+             COUNT(*) OVER (PARTITION BY l_partkey) AS n,
+             w - LAG(w) OVER (PARTITION BY l_partkey ORDER BY w) AS g
+      FROM wk),
     folded AS (
-      SELECT l_partkey, len(m) AS n_weeks,
-             list_reduce(m, (a, x) -> {
-               'z': CAST(0.2 AS DOUBLE) * x.z
-                    + CAST(0.8 AS DOUBLE) * a.z,
-               'p': CASE WHEN a.n = 1
-                         THEN CAST(x.w - a.w AS DOUBLE)
-                         ELSE CAST(0.2 AS DOUBLE) * (x.w - a.w)
-                              + CAST(0.8 AS DOUBLE) * a.p END,
-               'w': x.w,
-               'n': a.n + 1}) AS f
-      FROM series WHERE len(m) >= 5)
+      SELECT l_partkey, MAX(n) AS n_weeks,
+             SUM(CASE WHEN i = 0 THEN POWER(0.8, n - 1) * d
+                      ELSE 0.2 * POWER(0.8, n - 1 - i) * d END) AS z,
+             SUM(CASE WHEN i = 1 THEN POWER(0.8, n - 2) * g
+                      WHEN i >= 2 THEN 0.2 * POWER(0.8, n - 1 - i) * g
+                      END) AS p
+      FROM ranked GROUP BY l_partkey HAVING MAX(n) >= 5)
     SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
            CAST(n_weeks AS BIGINT) AS n_demand_weeks,
-           ROUND(1e-9 + f.z, 4) AS z_final,
-           ROUND(1e-9 + f.p, 4) AS p_final,
-           ROUND(1e-9 + f.z / f.p, 4) AS croston_forecast
+           ROUND(1e-9 + z, 4) AS z_final,
+           ROUND(1e-9 + p, 4) AS p_final,
+           ROUND(1e-9 + z / p, 4) AS croston_forecast
     FROM folded
     ORDER BY croston_forecast DESC, l_partkey ASC LIMIT 20
     """,

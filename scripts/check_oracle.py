@@ -287,18 +287,32 @@ def main() -> int:
                 dcols = [d[0] for d in res.description]
                 drows = res.fetchall()
             except duckdb.Error as e:
-                if "Out of Memory" not in str(e):
-                    raise
-                # reconnect with a clean pool AND an escalated budget
-                # for the one genuinely huge oracle, then drop back to
-                # the bounded connection for the rest of the gate
-                con.close()
-                big = fresh_con("64GB")
-                res = big.execute(oracles[name])
-                dcols = [d[0] for d in res.description]
-                drows = res.fetchall()
-                big.close()
+                # An OOM poisons the steady connection — ALWAYS rebuild
+                # it before anything else, so a failed retry can never
+                # cascade into every later oracle dying with
+                # "Connection has already been closed" (the round-5
+                # sf1-gate incident: one borderline oracle took the
+                # last 8 queries down with it).
+                oom = "Out of Memory" in str(e) or "bad allocation" in str(e)
+                try:
+                    con.close()
+                except Exception:
+                    pass
                 con = fresh_con()
+                if not oom:
+                    raise
+                # one escalated retry for the genuinely huge oracle;
+                # its own failure must also leave the gate alive
+                big = fresh_con("96GB")
+                try:
+                    res = big.execute(oracles[name])
+                    dcols = [d[0] for d in res.description]
+                    drows = res.fetchall()
+                finally:
+                    try:
+                        big.close()
+                    except Exception:
+                        pass
         except Exception as e:
             failures.append(name)
             record(name, "fail:duckdb-error", len(srows), t0)
