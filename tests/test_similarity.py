@@ -198,3 +198,55 @@ def test_kcenter_radius_monotone_on_real_vectors(spark):
     radii = [t[2] for t in out]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
     assert len({t[1] for t in out}) == 6
+
+
+def test_semdedup_removal_rule_matches_numpy_sf1():
+    """Scale twin of the removal-rule parity (the PCA-parity pattern,
+    round 5): at sf1 (~5k vectors, adaptive k) take Spark's k-means
+    assignment as given and recompute every cluster's removal count
+    with vectorized numpy — the within-cluster pair logic is exactly
+    what a scale-dependent SQL bug would corrupt.  Skips when the
+    .localdata/sf1 corpus isn't built."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    sf1 = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".localdata/sf1"
+    )
+    if not os.path.isdir(sf1):
+        pytest.skip("scale corpus .localdata/sf1 not built")
+
+    from advanced_etl_pipelines_spark.operators.linalg import kmeans_lloyd
+    from advanced_etl_pipelines_spark.plans.registry import QUERIES, _t
+    from advanced_etl_pipelines_spark.session import get_spark
+
+    spark = get_spark("semdedup-sf1")
+    got = {
+        r["cluster"]: (r["n_vecs"], r["n_removed"])
+        for r in QUERIES["semdedup_embedding"](spark, sf1).collect()
+    }
+
+    emb = _t(spark, sf1, "embeddings")
+    k = max(16, emb.count() // 256)
+    _, assign = kmeans_lloyd(emb, "embedding", "vec_id", k=k, iters=3)
+    rows = (
+        emb.select("vec_id", "embedding")
+        .join(assign.withColumnRenamed("id", "vec_id"), "vec_id")
+        .collect()
+    )
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(
+            (r["vec_id"], r["embedding"])
+        )
+    for c, members in by_cluster.items():
+        members.sort()
+        V = np.asarray([v for _i, v in members], dtype=np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sims = V @ V.T
+        # removed iff any EARLIER (smaller-id) member has cosine >= .95
+        tri = np.tril(sims, k=-1)
+        n_removed = int(((tri >= 0.95).any(axis=1)).sum())
+        assert got[c] == (len(members), n_removed), f"cluster {c}"
