@@ -653,6 +653,11 @@ def _ref_chunk(ctype: bytes, payload: bytes) -> bytes:
 
 def _ref_pack_row(samples, depth: int) -> bytes:
     """MSB-first bit packing of one scanline's samples (RFC 2083 §2.3)."""
+    if depth == 16:  # network byte order, 2 bytes per sample
+        out = bytearray()
+        for s in samples:
+            out.extend(((s >> 8) & 0xFF, s & 0xFF))
+        return bytes(out)
     if depth == 8:
         return bytes(samples)
     bits = []
@@ -786,23 +791,46 @@ def test_png_sub8_greyscale_scales_to_full_range():
     assert (out == np.array([[0, 85], [170, 255]], dtype=np.uint8)).all()
 
 
-def test_png_16bit_still_honestly_rejected():
-    import struct
-    import zlib as _z
+def test_png_16bit_decodes_to_uint16():
+    """16-bit channels (the last round-4 codec seam) decode to uint16 in
+    network byte order, for grey, RGB and RGBA, interlaced or not —
+    against the independent RFC-2083 constructor."""
+    import numpy as np
 
+    from advanced_etl_pipelines_spark.functions.png import decode_png
+
+    rng = np.random.default_rng(23)
+    for shape, ctype in [((7, 5), 0), ((6, 4, 3), 2), ((5, 5, 4), 6)]:
+        a = rng.integers(0, 65536, shape, dtype=np.uint16)
+        for interlace in (0, 1):
+            out = decode_png(
+                _ref_build_png(a, 16, ctype=ctype, interlace=interlace)
+            )
+            assert out.dtype == np.uint16, (shape, interlace)
+            assert (out == a).all(), (shape, ctype, interlace)
+
+
+def test_png_grey_alpha_decodes():
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions.png import decode_png
+
+    rng = np.random.default_rng(29)
+    a = rng.integers(0, 256, (9, 6, 2), dtype=np.uint8)  # grey + alpha
+    for interlace in (0, 1):
+        out = decode_png(_ref_build_png(a, 8, ctype=4, interlace=interlace))
+        assert out.shape == (9, 6, 2)
+        assert (out == a).all(), interlace
+
+
+def test_png_16bit_palette_rejected_as_invalid():
     import numpy as np
     import pytest as _pytest
 
     from advanced_etl_pipelines_spark.functions.png import decode_png
 
-    # hand-build a 2x2 16-bit greyscale file
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + bytes(4) for _ in range(2))
-    data = (
-        b"\x89PNG\r\n\x1a\n"
-        + _ref_chunk(b"IHDR", ihdr)
-        + _ref_chunk(b"IDAT", _z.compress(raw))
-        + _ref_chunk(b"IEND", b"")
-    )
-    with _pytest.raises(NotImplementedError):
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    idx = np.zeros((2, 2), dtype=np.uint16)
+    data = _ref_build_png(idx, 16, ctype=3, interlace=0, plte=pal.tobytes())
+    with _pytest.raises(ValueError):
         decode_png(data)
