@@ -216,7 +216,7 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"invalid PNG bit depth {depth}")
     if depth == 16 and ctype == 3:
         raise ValueError("invalid PNG (16-bit palette image)")
-    if depth not in (8, 16) and ctype in (2, 6):
+    if depth not in (8, 16) and ctype in (2, 4, 6):
         raise ValueError(f"invalid PNG (depth {depth} with color type {ctype})")
     interlace = data[28]
     if interlace not in (0, 1):

@@ -422,6 +422,7 @@ def label_propagation(
     dst: str,
     iters: int = 2,
     small_parts: int | None = None,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007, the RAK algorithm): every node starts as its own label;
@@ -461,17 +462,27 @@ def label_propagation(
     # RAK is defined on UNDIRECTED graphs: symmetrize internally so a
     # directed edge list gets true neighbor semantics (in + out), not
     # silent in-neighbor-only propagation.  For an input that is
-    # already symmetric (the registry and tests pass one) the union is
-    # absorbed by the distinct — identical frame, identical answer.
+    # already symmetric the union is absorbed by the distinct —
+    # identical frame, identical answer — but it still doubles the
+    # rows feeding that distinct; callers that GUARANTEE symmetry
+    # (the co-purchase self-join emits both (a,b) and (b,a) by
+    # construction) pass ``assume_symmetric=True`` to skip the rebuild
+    # (round-5 VERDICT item 2: the rebuild cost +28% on the registry
+    # query).  The flag is a promise, not a check — a directed list
+    # passed with it gets in-neighbor-only propagation.
     directed = edges.select(
         F.col(src).cast("long").alias("s"),
         F.col(dst).cast("long").alias("d"),
     )
-    e = (
-        directed.unionAll(
+    undirected = (
+        directed
+        if assume_symmetric
+        else directed.unionAll(
             directed.select(F.col("d").alias("s"), F.col("s").alias("d"))
         )
-        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+    )
+    e = (
+        undirected.where(F.col("s").isNotNull() & F.col("d").isNotNull())
         .where(F.col("s") != F.col("d"))
         .distinct()
         .localCheckpoint()

@@ -466,7 +466,12 @@ xs AS MATERIALIZED (
   WHERE s.si = '__start__'
   GROUP BY 1, 2
 ),
-xbase AS (SELECT x AS xb FROM xs WHERE variant = '__base__'),
+-- COALESCE(MAX(..)) so xbase is ALWAYS one row: with zero conversions
+-- xs is empty, and a bare CROSS JOIN against an empty xbase would drop
+-- every channel row (Spark emits one 0.0 row per channel) — the <=0
+-- branch below must be reachable (round-5 ADVICE fix)
+xbase AS (SELECT COALESCE(MAX(x), 0) AS xb FROM xs
+          WHERE variant = '__base__'),
 eff AS (
   SELECT c.c AS channel,
          CASE WHEN xbase.xb IS NULL OR xbase.xb <= 0 THEN 0.0

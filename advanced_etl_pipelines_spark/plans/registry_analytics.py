@@ -1706,7 +1706,11 @@ def q_community_label_propagation(
             F.col("b.l_partkey").alias("d"),
         )
     )
-    labels = label_propagation(edges, "s", "d", iters=2)
+    # the self-join emits both (a,b) and (b,a) for every co-purchase
+    # pair, so the edge list is symmetric by construction — skip the
+    # operator's internal symmetrize rebuild (round-5 VERDICT item 2)
+    labels = label_propagation(edges, "s", "d", iters=2,
+                               assume_symmetric=True)
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("size")
     )

@@ -18,10 +18,15 @@ or oracle SQL changed since the committed manifest, plus (b) a rotating
 1/5 slice of the rest, then refresh ``scripts/oracle_manifest.json``
 (hashes + rotation) on success.  Five consecutive ``--changed`` runs
 cover the whole registry; a full run still refreshes the manifest too.
-Limitation (documented, deliberate): the hash covers the query builder
-function + its oracle string, not shared operator modules — an operator
-edit is caught by the rotating slice within 5 rounds and by the
-occasional full sf1 sweep, which remains the backstop.
+Each query's hash covers its builder source, its oracle SQL, AND the
+digests of every package module the builder source directly references
+(``_query_hashes``) — so editing e.g. operators/bpe.py reruns every
+query that mentions ``operators.bpe``.  Limitation (documented,
+deliberate): TRANSITIVE dependencies are not hashed — an edit to a
+helper that an operator module imports (but the builder never names)
+won't flip dependent query hashes; that case is caught by the rotating
+slice within 5 rounds and by the occasional full sf1 sweep, which
+remains the backstop.
 
 Typical round close:
     python scripts/check_oracle.py --changed .localdata/sf1
@@ -174,18 +179,36 @@ def row_multiset(rows, cols):
     return Counter(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
-def main() -> int:
-    argv = sys.argv[1:]
+def parse_argv(argv: list[str]):
+    """(json_out, changed_mode, sf_dir, only) — flags accepted in any
+    order (round-5 ADVICE: positional-only parsing made `--changed
+    --json out.json sf_dir` silently treat --json as sf_dir).  Raises
+    SystemExit on an unknown flag or a dangling --json."""
     json_out = None
     changed_mode = False
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
-    if argv and argv[0] == "--changed":
-        changed_mode = True
-        argv = argv[1:]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
+    rest: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--json":
+            if i + 1 >= len(argv):
+                raise SystemExit("FAIL  --json needs a path argument")
+            json_out = argv[i + 1]
+            i += 2
+        elif a == "--changed":
+            changed_mode = True
+            i += 1
+        elif a.startswith("--"):
+            raise SystemExit(f"FAIL  unknown flag {a}")
+        else:
+            rest.append(a)
+            i += 1
+    sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
+    return json_out, changed_mode, sf_dir, set(rest[1:])
+
+
+def main() -> int:
+    json_out, changed_mode, sf_dir, only = parse_argv(sys.argv[1:])
 
     import __spark_entry__ as entrymod
     from advanced_etl_pipelines_spark.session import get_spark

@@ -61,6 +61,46 @@ def test_conversion_prob_hand_chain():
     assert _conversion_prob(trans, removed="A") == 0.0
 
 
+def test_markov_oracle_zero_conversions_matches_spark(spark):
+    """Round-5 ADVICE: with ZERO conversions the oracle's xs/xbase CTEs
+    are empty — a bare CROSS JOIN xbase used to drop every channel row
+    (0 rows) while the Spark side emits one 0.0 row per channel.  The
+    COALESCE(MAX(x),0) xbase keeps the <=0 branch reachable; oracle and
+    operator must agree row-for-row."""
+    import duckdb
+
+    from advanced_etl_pipelines_spark.plans.oracle_replays import (
+        markov_removal_sql,
+    )
+
+    rows = [
+        (1, 1, "click", 1), (1, 2, "view", 2),
+        (2, 1, "view", 3), (2, 2, "click", 4), (2, 3, "cart", 5),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (user_id BIGINT, ts TIMESTAMP, "
+        "event_type VARCHAR, event_id BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO events VALUES (?, to_timestamp(?), ?, ?)", rows
+    )
+    got = sorted(con.execute(markov_removal_sql(10)).fetchall())
+    assert got == [
+        ("cart", 0.0, 0.0), ("click", 0.0, 0.0), ("view", 0.0, 0.0),
+    ]
+
+    t = journey_transitions(
+        _fx(spark, rows), "user_id", "ts", "event_type", "purchase",
+        ["event_id"],
+    )
+    spark_rows = sorted(
+        (c, round(1e-9 + e, 4), round(1e-9 + a, 4))
+        for c, e, a in markov_removal_effects(t)
+    )
+    assert spark_rows == got
+
+
 def test_two_hop_chain_prob():
     # START->A->B->CONV always: p = 1; removal of either zeroes it
     trans = {(START, "A"): 3, ("A", "B"): 3, ("B", CONV): 3}

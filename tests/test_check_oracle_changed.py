@@ -74,13 +74,41 @@ def test_changed_selection_rotation_covers_registry(
     # with a fresh manifest: nothing changed, only rotating slices run;
     # ROTATION_BUCKETS consecutive runs must cover the whole registry
     covered: set[str] = set()
+    buckets: list[int] = []
     for _ in range(co.ROTATION_BUCKETS):
         run, man = co._changed_selection(qs, oracles)
         assert man["last_changed"] == []
         covered |= set(run)
+        buckets.append(man["last_slice_bucket"])
         co._write_manifest(man)
     assert covered == set(qs)
+    # round-5 VERDICT item 4: the rotation must actually ADVANCE — a
+    # stale manifest re-checking the same slice forever must fail here
+    assert all(
+        buckets[i + 1] == (buckets[i] + 1) % co.ROTATION_BUCKETS
+        for i in range(len(buckets) - 1)
+    ), buckets
+    assert len(set(buckets)) == co.ROTATION_BUCKETS
+    run6, man6 = co._changed_selection(qs, oracles)
+    assert man6["last_slice_bucket"] == buckets[0]  # wraps modulo 5
     # manifest is valid json with the expected keys
     with open(co.MANIFEST) as f:
         m = json.load(f)
     assert set(m) >= {"queries", "rotation", "last_changed"}
+
+
+def test_parse_argv_flags_any_order(co):
+    """Round-5 ADVICE: `--changed --json out.json sf_dir` used to treat
+    --json as the sf_dir.  Flags must parse in either order; unknown
+    flags and a dangling --json must exit loudly."""
+    assert co.parse_argv(["--json", "o.json", "--changed", "d", "q1"]) == (
+        "o.json", True, "d", {"q1"},
+    )
+    assert co.parse_argv(["--changed", "--json", "o.json", "d", "q1"]) == (
+        "o.json", True, "d", {"q1"},
+    )
+    assert co.parse_argv([]) == (None, False, "/root/testdata/sf0.01", set())
+    with pytest.raises(SystemExit):
+        co.parse_argv(["--jsno", "x"])
+    with pytest.raises(SystemExit):
+        co.parse_argv(["d", "--json"])

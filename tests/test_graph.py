@@ -260,6 +260,35 @@ def test_lpa_deterministic_across_runs(spark):
     assert runs[0] == runs[1] == runs[2]
 
 
+def test_lpa_directed_input_symmetrized_internally(spark):
+    """A one-direction edge list must get true undirected semantics via
+    the internal symmetrize (no flag), and `assume_symmetric=True` on a
+    genuinely symmetric list must give the identical labeling while
+    skipping the rebuild."""
+    from advanced_etl_pipelines_spark.operators.graph import (
+        label_propagation,
+    )
+
+    one_dir = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12),
+               (3, 10)]
+    df = spark.createDataFrame(one_dir, "s long, d long")
+    sym = df.union(df.selectExpr("d as s", "s as d"))
+
+    def run(frame, **kw):
+        return {
+            r["node"]: r["label"]
+            for r in label_propagation(frame, "s", "d", iters=3, **kw)
+            .collect()
+        }
+
+    via_internal = run(df)                       # symmetrize path
+    via_flag = run(sym, assume_symmetric=True)   # fast path
+    assert via_internal == via_flag
+    assert via_internal[1] == via_internal[2] == via_internal[3]
+    assert via_internal[10] == via_internal[11] == via_internal[12]
+    assert via_internal[1] != via_internal[10]
+
+
 def test_pagerank_weighted_matches_multigraph_replication(spark):
     """A weighted edge list must produce exactly the ranks of the
     equivalent multigraph with each edge replicated weight times

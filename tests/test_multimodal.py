@@ -823,6 +823,22 @@ def test_png_grey_alpha_decodes():
         assert (out == a).all(), interlace
 
 
+def test_png_sub8_grey_alpha_rejected_as_invalid():
+    """Spec: grey+alpha (color type 4) only allows depths 8/16.  A
+    depth-2 ctype-4 PNG must raise, not silently unpack garbage pixels
+    (round-5 ADVICE: the check covered ctypes 2/6 but not 4)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from advanced_etl_pipelines_spark.functions.png import decode_png
+
+    a = np.zeros((2, 2, 2), dtype=np.uint8)
+    for depth in (1, 2, 4):
+        data = _ref_build_png(a, depth, ctype=4, interlace=0)
+        with _pytest.raises(ValueError):
+            decode_png(data)
+
+
 def test_png_16bit_palette_rejected_as_invalid():
     import numpy as np
     import pytest as _pytest
