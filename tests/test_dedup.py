@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from advanced_etl_pipelines_spark.operators import dedup as D
@@ -207,3 +208,80 @@ def test_simhash_portable_banding_exact_for_radius(spark):
         ).collect()
     }
     assert one == two
+
+
+# ---------------------------------------------------------------------------
+# sf1 scale invariants for the xxhash64-native MinHash query (round-5
+# VERDICT item 7): its DuckDB oracle stays rows-only at sf1 (no other
+# engine reproduces Spark's xxhash64), but two properties of the scale
+# corpus make its behavior falsifiable anyway:
+#
+#  A. make_scale_data Caesar-rotates each copy's text, so copy 0 is the
+#     sf0.1 corpus verbatim with unshifted doc_ids — and band collision
+#     is a PAIRWISE predicate on two signatures (a doc's signature never
+#     depends on the rest of the corpus), so the sf1 pair set restricted
+#     to copy-0 ids must EQUAL the sf0.1 output, estimates included.
+#  B. Docs with identical text have identical signatures, collide in
+#     every band, and estimate exactly 1.0 — corpus-wide at any sf.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_SF1 = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    ".localdata/sf1",
+)
+_SF01 = "/root/testdata/sf0.1"
+
+
+@pytest.mark.skipif(
+    not _os.path.isdir(_SF1), reason="scale corpus .localdata/sf1 not built"
+)
+def test_minhash_pairs_sf1_copy0_and_exact_dup_invariants(spark):
+    from advanced_etl_pipelines_spark.plans.registry_llm import (
+        q_dedup_minhash_pairs,
+    )
+    from advanced_etl_pipelines_spark.sources.readers import read_table
+    from advanced_etl_pipelines_spark.functions.text import word_tokens
+
+    pairs_small = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in q_dedup_minhash_pairs(spark, _SF01).collect()
+    }
+    assert pairs_small, "sf0.1 must produce near-dup pairs"
+    pairs_big = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in q_dedup_minhash_pairs(spark, _SF1).collect()
+    }
+    stride = (
+        read_table(spark, _os.path.join(_SF01, "documents.parquet"))
+        .agg(F.max("doc_id")).collect()[0][0] + 1
+    )
+
+    # A: copy-0 slice of sf1 == the sf0.1 answer, value-for-value
+    copy0 = {
+        (a, b, e) for a, b, e in pairs_big if a < stride and b < stride
+    }
+    assert copy0 == pairs_small
+
+    # B: every identical-text pair (among shingle-able docs) is in the
+    # output at est exactly 1.0
+    docs1 = read_table(spark, _os.path.join(_SF1, "documents.parquet"))
+    groups = (
+        docs1.where(F.size(word_tokens("text")) >= 3)
+        .groupBy("text")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select("ids")
+        .collect()
+    )
+    dup_pairs = {
+        (ids[i], ids[j])
+        for (ids,) in groups
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+    }
+    assert dup_pairs, "scale corpus must contain exact-duplicate texts"
+    at_one = {(a, b) for a, b, e in pairs_big if e == 1.0}
+    missing = dup_pairs - at_one
+    assert not missing, sorted(missing)[:5]

@@ -227,3 +227,104 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
         (r.eid, r.tier) for r in spark.read.parquet(out).collect()
     )
     assert got == [(1, "gold"), (2, "silver"), (3, None)]
+
+
+def test_interval_join_recovers_from_mid_batch_kill(spark, tmp_path):
+    """Round-5 VERDICT item 6 — the stream-stream analogue of the
+    medallion mid-batch-kill test: kill the query on its SECOND
+    micro-batch after the join state stores committed that batch's
+    version but before the offset log committed (raise inside
+    foreachBatch after the batch's output landed — the worst
+    interleaving: sink output on disk, state advanced, batch
+    uncommitted).  Restart from the same checkpoint; Spark must replay
+    the dead batch against the PREVIOUS state version, so with an
+    idempotent by-batch-id sink the final output equals the batch
+    join exactly — a double-emission (replaying against the already-
+    advanced state, or appending the replayed batch) fails the
+    multiset compare.
+
+    Data is laid out so a match SPANS the two micro-batches (purchase
+    in the batch-0 file, its click in the batch-1 file), so the replay
+    must also recover the buffered right-side state, not just re-read
+    input."""
+    import collections
+
+    clicks_b0 = [(1, "u1", _ts(10))]
+    clicks_b1 = [(2, "u1", _ts(30)), (3, "u2", _ts(20))]
+    purch_b0 = [("u1", _ts(5), 100.0), ("u2", _ts(18), 300.0)]
+    purch_b1 = [("u1", _ts(29), 200.0)]
+    cdf = spark.createDataFrame(
+        clicks_b0 + clicks_b1, "click_id long, user string, cts timestamp"
+    )
+    pdf = spark.createDataFrame(
+        purch_b0 + purch_b1, "user string, pts timestamp, amount double"
+    )
+    csrc, psrc = str(tmp_path / "c"), str(tmp_path / "p")
+    for rows, schema, path in [
+        (clicks_b0, cdf.schema, csrc + "/f0"),
+        (clicks_b1, cdf.schema, csrc + "/f1"),
+    ]:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+    for rows, schema, path in [
+        (purch_b0, pdf.schema, psrc + "/f0"),
+        (purch_b1, pdf.schema, psrc + "/f1"),
+    ]:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    calls = {"n": 0, "die": True}
+
+    def sink(batch_df, batch_id):
+        # idempotent by-batch-id landing (the medallion bronze pattern):
+        # a replayed batch REPLACES its own directory, never appends
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+        calls["n"] += 1
+        if calls["die"] and calls["n"] == 2:
+            # output written + state committed; offset commit never runs
+            raise RuntimeError("injected mid-batch crash")
+
+    def start():
+        cs = file_event_stream(
+            spark, csrc + "/*", cdf.schema, max_files_per_trigger=1
+        )
+        ps = file_event_stream(
+            spark, psrc + "/*", pdf.schema, max_files_per_trigger=1
+        )
+        joined = interval_join_streams(
+            cs, ps, "user", "cts", "pts", lower_s=0, upper_s=900
+        ).select("click_id", "amount")
+        return (
+            joined.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    import pytest
+
+    q = start()
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    assert not q.isActive
+    assert q.exception() is not None, "first run must die on batch 2"
+    assert calls["n"] == 2
+
+    calls["die"] = False
+    _await(start())
+
+    got = collections.Counter(
+        (r.click_id, r.amount)
+        for r in spark.read.parquet(out + "/batch=*").collect()
+    )
+    batch_twin = collections.Counter(
+        (r.click_id, r.amount)
+        for r in cdf.join(
+            pdf,
+            (cdf.user == pdf.user)
+            & (pdf.pts >= cdf.cts - F.expr("INTERVAL 900 SECONDS"))
+            & (pdf.pts <= cdf.cts),
+        ).select("click_id", "amount").collect()
+    )
+    assert got == batch_twin
+    assert sum(got.values()) == 3  # (1,100), (2,200), (3,300) exactly once
