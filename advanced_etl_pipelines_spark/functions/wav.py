@@ -1,20 +1,199 @@
 """Pure-stdlib WAV codec: the audio twin of ``functions/png.py``.
 
-Real RIFF/WAVE PCM bytes in and out via the stdlib ``wave`` module +
-numpy — no soundfile/librosa dependency — so the engine's audio seam
+Real RIFF/WAVE bytes in and out via the stdlib ``wave`` module + numpy
+— no soundfile/librosa dependency — so the engine's audio seam
 (``operators/multimodal.py``) can decode ACTUAL audio in any
 environment, the same upgrade the round-2 PNG codec gave images.
-Supports 16-bit PCM mono/stereo, the format that covers the
-overwhelming majority of speech-corpus WAVs; anything else raises
+Supports 16-bit PCM mono/stereo plus IMA-ADPCM (format tag 0x0011,
+the standard COMPRESSED WAV codec — round-5 VERDICT item 5, the audio
+analogue of the PNG/JPEG decode trajectory); anything else raises
 loudly (a real pipeline plugs soundfile into the same seam).
+
+IMA/DVI ADPCM per the IMA Digital Audio Focus Group algorithm (also
+RFC 3551 §4.5.1 layout for the step machinery): 4-bit codes, 89-entry
+step table, per-block header carrying the initial predictor + step
+index.  The stdlib ``wave`` module refuses non-PCM format tags, so the
+ADPCM path parses RIFF chunks directly.
 """
 
 from __future__ import annotations
 
 import io
+import struct
 import wave
 
 import numpy as np
+
+# IMA ADPCM tables (public spec constants)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_DELTA = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64
+)
+
+
+def _ima_step(pred: int, index: int, code: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition: (predictor, step index) + 4-bit
+    code -> next (predictor, step index)."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if code & 4:
+        diff += step
+    if code & 2:
+        diff += step >> 1
+    if code & 1:
+        diff += step >> 2
+    pred = pred - diff if code & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX_DELTA[code & 7])))
+    return pred, index
+
+
+def _ima_encode_block(
+    samples: np.ndarray, pred: int, index: int
+) -> tuple[bytes, int, int]:
+    """Encode int16 samples as 4-bit IMA codes (low nibble first),
+    carrying (pred, index) state in; returns (nibble bytes, pred,
+    index).  Standard greedy quantizer: code bits chosen by
+    successive step halves, then the state advances through the same
+    decoder transition so encoder and decoder stay in lockstep."""
+    nibbles = []
+    for s in samples:
+        step = int(_IMA_STEPS[index])
+        diff = int(s) - pred
+        code = 0
+        if diff < 0:
+            code = 8
+            diff = -diff
+        if diff >= step:
+            code |= 4
+            diff -= step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            code |= 1
+        pred, index = _ima_step(pred, index, code)
+        nibbles.append(code)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    packed = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+    )
+    return packed, pred, index
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray,
+    sample_rate: int = 16000,
+    samples_per_block: int = 505,
+) -> bytes:
+    """Mono IMA-ADPCM WAV (format tag 0x0011) from int16 (or float in
+    [-1,1]) samples — ~4:1 compression.  Block layout per spec: 4-byte
+    header (initial int16 predictor, step index, reserved) + packed
+    4-bit codes; the header sample IS the block's first sample, so a
+    block holds ``samples_per_block`` samples in
+    4 + (samples_per_block-1+1)//2 bytes."""
+    arr = np.asarray(samples)
+    if arr.ndim != 1:
+        raise ValueError("ADPCM encoder is mono-only")
+    if arr.dtype != np.int16:
+        arr = (np.clip(arr, -1.0, 1.0) * 32767.0).astype(np.int16)
+    if samples_per_block < 2 or samples_per_block % 2 != 1:
+        # spec: nibble payload covers samples_per_block - 1 samples,
+        # which must fill whole bytes -> samples_per_block is odd
+        raise ValueError("samples_per_block must be odd and >= 3")
+    block_align = 4 + (samples_per_block - 1) // 2
+    index = 0
+    blocks = []
+    n = len(arr)
+    for start in range(0, n, samples_per_block):
+        chunk = arr[start : start + samples_per_block]
+        pred = int(chunk[0])
+        header = struct.pack("<hBB", pred, index, 0)
+        payload = chunk[1:]
+        packed, pred, index = _ima_encode_block(payload, pred, index)
+        packed = packed.ljust(block_align - 4, b"\x00")
+        blocks.append(header + packed)
+    data = b"".join(blocks)
+    n_blocks = len(blocks)
+    byte_rate = sample_rate * block_align // samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x0011, 1, sample_rate, byte_rate, block_align, 4,
+        2, samples_per_block,
+    )
+    fact = struct.pack("<I", n)
+    riff_body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _riff_chunks(data: bytes) -> dict[bytes, bytes]:
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    out = {}
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        out[cid] = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    return out
+
+
+def _decode_wav_adpcm(data: bytes) -> tuple[np.ndarray, int]:
+    """(mono float64 samples in [-1,1], sample_rate) from an IMA-ADPCM
+    WAV.  Trusts the fact chunk for total sample count (trailing pad
+    nibbles in the last block are dropped)."""
+    chunks = _riff_chunks(data)
+    fmt = chunks[b"fmt "]
+    tag, n_ch, sr, _rate, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if tag != 0x0011:
+        raise ValueError(f"not IMA-ADPCM (format tag {tag:#06x})")
+    if n_ch != 1:
+        raise NotImplementedError("IMA-ADPCM decode is mono-only here")
+    if bits != 4:
+        raise ValueError(f"IMA-ADPCM requires 4-bit codes, got {bits}")
+    (samples_per_block,) = struct.unpack("<H", fmt[18:20])
+    total = None
+    if b"fact" in chunks:
+        (total,) = struct.unpack("<I", chunks[b"fact"][:4])
+    raw = chunks[b"data"]
+    out: list[int] = []
+    for start in range(0, len(raw) - 3, block_align):
+        block = raw[start : start + block_align]
+        pred, index, _ = struct.unpack("<hBB", block[:4])
+        index = max(0, min(88, index))
+        out.append(pred)
+        codes = np.frombuffer(block[4:], dtype=np.uint8)
+        want = samples_per_block - 1
+        emitted = 0
+        for byte in codes:
+            for code in (int(byte) & 0xF, int(byte) >> 4):
+                if emitted >= want:
+                    break
+                pred, index = _ima_step(pred, index, code)
+                out.append(pred)
+                emitted += 1
+    arr = np.asarray(out, dtype=np.float64)
+    if total is not None:
+        arr = arr[:total]
+    return arr / 32768.0, int(sr)
 
 
 def encode_wav(
@@ -39,7 +218,15 @@ def encode_wav(
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """(samples float64 in [-1,1] shaped (n,) or (n, ch), sample_rate).
-    16-bit PCM only — raises ValueError otherwise."""
+    16-bit PCM or mono IMA-ADPCM (tag 0x0011) — raises otherwise."""
+    # sniff the format tag first: stdlib wave refuses non-PCM outright
+    if len(data) >= 22 and data[:4] == b"RIFF":
+        try:
+            fmt = _riff_chunks(data).get(b"fmt ", b"")
+        except ValueError:
+            fmt = b""
+        if len(fmt) >= 2 and struct.unpack("<H", fmt[:2])[0] == 0x0011:
+            return _decode_wav_adpcm(data)
     with wave.open(io.BytesIO(data), "rb") as w:
         if w.getsampwidth() != 2:
             raise ValueError(

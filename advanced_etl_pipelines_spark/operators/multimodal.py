@@ -413,13 +413,17 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def attach_wav_media(
-    df: DataFrame, id_col: str, sample_rate: int = 8000
+    df: DataFrame, id_col: str, sample_rate: int = 8000,
+    adpcm_odd_ids: bool = False,
 ) -> DataFrame:
-    """Real-WAV media column: every row gets an actual 16-bit PCM RIFF
-    blob (an id-seeded sine + harmonic mix, 0.05-0.3s so durations
-    vary), produced with the pure-stdlib codec (functions/wav.py) — the
-    audio twin of ``attach_png_media``, for exercising the REAL audio
-    decode path end-to-end with bytes any player opens."""
+    """Real-WAV media column: every row gets an actual RIFF blob (an
+    id-seeded sine + harmonic mix, 0.05-0.3s so durations vary),
+    produced with the pure-stdlib codec (functions/wav.py) — the audio
+    twin of ``attach_png_media``, for exercising the REAL audio decode
+    path end-to-end with bytes any player opens.  With
+    ``adpcm_odd_ids`` odd ids are written as IMA-ADPCM (format tag
+    0x0011, ~4:1 compressed — round-5 VERDICT item 5) and even ids as
+    16-bit PCM, so one corpus exercises BOTH decode paths."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -436,7 +440,12 @@ def attach_wav_media(
                 x = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.3 * np.sin(
                     2 * np.pi * 2 * f0 * t
                 )
-                blobs.append(W.encode_wav(x, sample_rate=sample_rate))
+                if adpcm_odd_ids and i % 2 == 1:
+                    blobs.append(
+                        W.encode_wav_adpcm(x, sample_rate=sample_rate)
+                    )
+                else:
+                    blobs.append(W.encode_wav(x, sample_rate=sample_rate))
             yield pd.DataFrame(
                 {"id": pdf["id"], "media": blobs, "media_type": "audio"}
             )

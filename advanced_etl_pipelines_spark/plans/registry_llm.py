@@ -1106,28 +1106,35 @@ def q_multimodal_phash_cross_format(
            CAST(avg_centroid_hz AS DOUBLE) AS avg_centroid_hz
     FROM (VALUES
       (0.05, 84, 0.4743, 0.2154, 1032.3725),
-      (0.10, 84, 0.4743, 0.2439, 1306.1454),
+      (0.10, 84, 0.4698, 0.2759, 1473.3944),
       (0.15, 83, 0.4743, 0.2203, 1027.0600),
-      (0.20, 83, 0.4743, 0.2480, 1325.4122),
+      (0.20, 83, 0.4716, 0.2781, 1534.0007),
       (0.25, 83, 0.4743, 0.2173, 1004.6115),
-      (0.30, 83, 0.4743, 0.2449, 1307.7456)
+      (0.30, 83, 0.4721, 0.2765, 1549.6966)
     ) AS t(duration_s, n_clips, avg_rms, avg_zcr, avg_centroid_hz)
     """,
     sf_pinned=True,
 )
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode end-to-end: every doc row gets an actual
-    16-bit PCM WAV blob (id-seeded sine mix, varying duration/pitch),
-    and ``extract_audio_features`` decodes the waveform back through
-    the Arrow seam (stdlib ``wave`` + numpy — functions/wav.py) into
-    clip-level features: duration, RMS, peak, zero-crossing rate,
-    spectral centroid.  The audio twin of ``multimodal_decode``'s PNG
-    path — no fake bytes anywhere.  Output aggregates features per
-    duration bucket (stable row count, exercises every blob); at scale
-    the same seam hosts a wav2vec featurizer with bytes never leaving
-    the Arrow batch."""
+    """REAL audio decode end-to-end: every doc row gets an actual WAV
+    blob (id-seeded sine mix, varying duration/pitch) — even doc_ids
+    as 16-bit PCM, odd doc_ids as IMA-ADPCM (format tag 0x0011, ~4:1
+    compressed; round-5 VERDICT item 5) — and
+    ``extract_audio_features`` decodes both formats back through the
+    Arrow seam (stdlib ``wave`` + the pure-numpy ADPCM block decoder,
+    functions/wav.py) into clip-level features: duration, RMS, peak,
+    zero-crossing rate, spectral centroid.  The audio twin of
+    ``multimodal_decode``'s PNG path — no fake bytes anywhere.  Output
+    aggregates features per duration bucket (stable row count,
+    exercises every blob; odd durations 0.1/0.2/0.3 are the ADPCM
+    rows — their rms/zcr/centroid visibly carry the 4-bit
+    quantization noise, pinning that the compressed path really
+    decodes); at scale the same seam hosts a wav2vec featurizer with
+    bytes never leaving the Arrow batch."""
     docs = _t(spark, sf_dir, "documents")
-    media = M.attach_wav_media(docs, "doc_id", sample_rate=8000)
+    media = M.attach_wav_media(
+        docs, "doc_id", sample_rate=8000, adpcm_odd_ids=True
+    )
     feats = M.extract_audio_features(media)
     return (
         feats.groupBy("duration_s")
