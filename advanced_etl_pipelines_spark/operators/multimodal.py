@@ -60,11 +60,13 @@ def _fake_decode(media: bytes, media_type: str) -> tuple[int, int, int]:
 
 def _real_decode(media: bytes, media_type: str) -> tuple[int, int, int]:
     """Real codec dispatch for ``strict=True``: PIL when importable
-    (any format PIL knows), else the in-repo pure codecs — PNG
-    (functions/png.py) and baseline JPEG (functions/jpeg.py, closing
-    the round-2 VERDICT JPEG gap).  Raises NotImplementedError for
-    formats none of those paths decode — audio/video need
-    soundfile/pyav."""
+    (any format PIL knows), else the in-repo pure codecs — PNG (every
+    standard color type, functions/png.py) and JPEG
+    (baseline/progressive/arithmetic SOF9/12-bit — functions/jpeg.py,
+    jpeg_progressive.py, jpeg_arith.py; the round-2→6 codec
+    trajectory).  Raises NotImplementedError for formats none of those
+    paths decode — compressed audio beyond PCM/IMA-ADPCM WAV and
+    non-MJPEG video need soundfile/pyav."""
     from advanced_etl_pipelines_spark.functions import avi as A
     from advanced_etl_pipelines_spark.functions import image as I
 
@@ -90,8 +92,8 @@ def _real_decode(media: bytes, media_type: str) -> tuple[int, int, int]:
         return w, h, 1
     raise NotImplementedError(
         f"no codec for media_type={media_type!r} without PIL "
-        "(pure codecs handle PNG incl. palette/Adam7 [not 16-bit] and "
-        "baseline+progressive JPEG)"
+        "(pure codecs handle every standard PNG color type and "
+        "baseline/progressive/arithmetic/12-bit JPEG)"
     )
 
 

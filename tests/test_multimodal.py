@@ -567,6 +567,159 @@ def test_progressive_fixture_decodes_without_pil():
     assert np.array_equal(out, base)
 
 
+def test_arith_qm_coder_raw_roundtrip():
+    """The T.81 QM coder itself, below any DCT model: adversarial bit
+    streams (skewed both ways, context-hopping) must round-trip exactly
+    through encode -> flush -> decode — this stresses renormalization,
+    carry propagation over stacked 0xFF bytes, and 0xFF00 stuffing."""
+    import random
+
+    from advanced_etl_pipelines_spark.functions.jpeg_arith import (
+        _ArithDecoder,
+        _ArithEncoder,
+    )
+
+    rng = random.Random(7)
+    for trial in range(6):
+        p = (0.03, 0.5, 0.97)[trial % 3]
+        bits = [int(rng.random() < p) for _ in range(3000)]
+        ctxs = [rng.randrange(16) for _ in bits]
+        enc = _ArithEncoder()
+        stats = bytearray(16)
+        for b, cx in zip(bits, ctxs):
+            enc.encode(stats, cx, b)
+        enc.flush()
+        dec = _ArithDecoder(bytes(enc.out) + b"\xff\xd9", 0)
+        stats2 = bytearray(16)
+        assert [dec.decode(stats2, cx) for cx in ctxs] == bits, (trial, p)
+
+
+def test_arith_jpeg_baseline_parity():
+    """An arithmetic-coded (SOF9) file carries the same quantized
+    coefficients as its Huffman twin, so a CORRECT decode is
+    pixel-IDENTICAL to the baseline decode — across gray/RGB, 4:2:0,
+    qualities, non-multiple-of-8 dims, and adversarial random images
+    (which stress the coder's carry paths).  The same parity discipline
+    as the progressive decoder: the baseline path is independent, so an
+    entropy-coder bug cannot self-cancel.  Also pins that the QM coder
+    actually COMPRESSES better than Huffman on every case (the reason
+    SOF9 exists)."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions import jpeg as J
+    from advanced_etl_pipelines_spark.functions import jpeg_arith as A
+
+    rng = np.random.RandomState(3)
+    cases = [
+        (16, 24, "444", 85, False),
+        (13, 20, "420", 85, False),
+        (24, 37, "420", 60, False),
+        (9, 9, "444", 95, False),
+        (15, 18, "444", 85, True),
+    ]
+    for h, w, sub, q, gray in cases:
+        shape = (h, w) if gray else (h, w, 3)
+        for arr in (
+            np.fromfunction(
+                lambda *ix: (ix[0] * 7 + ix[1] * 11) % 256, shape
+            ).astype(np.uint8),
+            rng.randint(0, 256, shape).astype(np.uint8),
+        ):
+            huff = J.encode_jpeg(arr, quality=q, subsampling=sub)
+            ari = A.encode_jpeg_arith(arr, quality=q, subsampling=sub)
+            assert np.array_equal(
+                J.decode_jpeg(huff), J.decode_jpeg(ari)
+            ), (h, w, sub, q, gray)
+            assert len(ari) < len(huff), (h, w, sub, q, gray)
+
+
+def test_arith_jpeg_restart_markers_decode_identically():
+    """RSTn in arithmetic mode fully reinitializes the coder AND the
+    statistics areas; the bitstream differs but pixels must not."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions import jpeg as J
+    from advanced_etl_pipelines_spark.functions import jpeg_arith as A
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, (24, 37, 3)).astype(np.uint8)
+    base = J.decode_jpeg(A.encode_jpeg_arith(arr, 85, "420"))
+    for ri in (1, 3):
+        blob = A.encode_jpeg_arith(arr, 85, "420", restart_interval=ri)
+        assert b"\xff\xd0" in blob or b"\xff\xd1" in blob
+        assert np.array_equal(base, J.decode_jpeg(blob)), ri
+
+
+def test_jpeg_12bit_precision_roundtrip_and_parity():
+    """12-bit extended sequential (SOF1, 16-bit DQT entries): uint16
+    out, quantization-bounded error on gradients, and the arithmetic
+    12-bit encode decodes pixel-identically to the Huffman 12-bit
+    encode (entropy layers are lossless over the same coefficients)."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions import jpeg as J
+    from advanced_etl_pipelines_spark.functions import jpeg_arith as A
+
+    h, w = 24, 37
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = ((xx * 4095) // (w - 1)).astype(np.uint16)
+    data = J.encode_jpeg(g, quality=90, precision=12)
+    assert J.jpeg_meta(data) == (w, h, 1)
+    dec = J.decode_jpeg(data)
+    assert dec.dtype == np.uint16
+    # 12/4096 relative error — same class as the 8-bit 6/256 bound
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 16
+    rgb = np.stack([g, 4095 - g, (yy * 4095 // (h - 1))], axis=2).astype(
+        np.uint16
+    )
+    d_h = J.decode_jpeg(J.encode_jpeg(rgb, quality=90, precision=12))
+    assert np.abs(d_h.astype(int) - rgb.astype(int)).max() <= 48
+    d_a = J.decode_jpeg(A.encode_jpeg_arith(rgb, quality=90, precision=12))
+    assert np.array_equal(d_h, d_a)
+    rng = np.random.RandomState(5)
+    noisy = rng.randint(0, 4096, (16, 16)).astype(np.uint16)
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg(noisy, 90, precision=12)),
+        J.decode_jpeg(A.encode_jpeg_arith(noisy, 90, precision=12)),
+    )
+
+
+def test_arith_and_12bit_checked_in_fixtures_decode():
+    """The committed SOF9 and 12-bit fixtures strict-decode without PIL
+    with spot values pinned exactly (decode is deterministic); the
+    arithmetic fixture also matches the baseline encode of the same
+    source gradient pixel-for-pixel."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions import jpeg as J
+
+    data = open("tests/fixtures/gradient_arith.jpg", "rb").read()
+    assert b"\xff\xc9" in data[:220] and b"\xff\xcc" in data[:260]
+    assert J.jpeg_meta(data) == (20, 13, 3)
+    out = J.decode_jpeg(data)
+    assert out.shape == (13, 20, 3) and out.dtype == np.uint8
+    assert out[0, 0].tolist() == [2, 1, 69]
+    assert out[12, 19].tolist() == [239, 255, 85]
+    assert out[6, 10].tolist() == [135, 130, 67]
+    h, w = 13, 20
+    yy, xx = np.mgrid[0:h, 0:w]
+    src = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), np.full((h, w), 77)],
+        axis=2,
+    ).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(src, quality=85, subsampling="420"))
+    assert np.array_equal(out, base)
+
+    data12 = open("tests/fixtures/gradient_12bit.jpg", "rb").read()
+    assert b"\xff\xc1" in data12[:400]
+    assert J.jpeg_meta(data12) == (20, 13, 3)
+    out12 = J.decode_jpeg(data12)
+    assert out12.dtype == np.uint16
+    assert out12[0, 0].tolist() == [0, 18, 1198]
+    assert out12[12, 19].tolist() == [4064, 4048, 1284]
+    assert out12[6, 10].tolist() == [2139, 2073, 1225]
+
+
 def test_jpeg_marker_scan_robustness():
     """ADVICE r3: length-less markers (TEM 0x01, stray RSTn) before SOF
     must not be read as carrying a segment length, and truncation must
