@@ -234,6 +234,7 @@ def decode_progressive(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     coeffs: dict[int, np.ndarray] = {}
     geom: dict[str, int] = {}
+    precision = 8
     ri = 0
     saw_scan = False
 
@@ -258,20 +259,25 @@ def decode_progressive(data: bytes) -> np.ndarray:
             i = 0
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 0xF
-                if pq != 0:
-                    raise NotImplementedError(
-                        "16-bit quant tables not supported"
-                    )
-                zz = np.frombuffer(
-                    seg[i + 1 : i + 65], dtype=np.uint8
-                ).astype(np.int32)
+                if pq:  # 16-bit entries (the 12-bit-precision form)
+                    zz = np.frombuffer(
+                        seg[i + 1 : i + 129], dtype=">u2"
+                    ).astype(np.int32)
+                    i += 129
+                else:
+                    zz = np.frombuffer(
+                        seg[i + 1 : i + 65], dtype=np.uint8
+                    ).astype(np.int32)
+                    i += 65
                 nat = np.empty(64, dtype=np.int32)
                 nat[ZIGZAG] = zz
                 quant[tq] = nat.reshape(8, 8)
-                i += 65
         elif marker == 0xC2:
-            if seg[0] != 8:
-                raise NotImplementedError("only 8-bit precision supported")
+            precision = seg[0]
+            if precision not in (8, 12):
+                raise NotImplementedError(
+                    "only 8/12-bit precision supported"
+                )
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
@@ -360,6 +366,9 @@ def decode_progressive(data: bytes) -> np.ndarray:
     # dequantize + IDCT + upsample (same tail as the baseline decoder)
     h, w = geom["h"], geom["w"]
     hmax, vmax = geom["hmax"], geom["vmax"]
+    shift = float(1 << (precision - 1))
+    maxval = (1 << precision) - 1
+    out_dt = np.uint8 if precision == 8 else np.uint16
     full = []
     for c in comps:
         grid = coeffs[c["id"]]
@@ -371,30 +380,33 @@ def decode_progressive(data: bytes) -> np.ndarray:
                 nat = np.zeros(64, dtype=np.float64)
                 nat[ZIGZAG] = grid[iy, ix]
                 plane[iy * 8 : iy * 8 + 8, ix * 8 : ix * 8 + 8] = (
-                    _D.T @ (nat.reshape(8, 8) * qt) @ _D + 128.0
+                    _D.T @ (nat.reshape(8, 8) * qt) @ _D + shift
                 )
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         full.append(plane[:h, :w])
     if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        return np.clip(np.round(full[0]), 0, maxval).astype(out_dt)
+    y, cb, cr = full[0], full[1] - shift, full[2] - shift
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     out = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return np.clip(np.round(out), 0, maxval).astype(out_dt)
 
 
 # --------------------------------------------------------------- encoder
 
 
-def _quantized_grids(arr, quality, subsampling):
+def _quantized_grids(arr, quality, subsampling, precision=8):
     """Color-convert, subsample, pad, DCT, quantize — the same
     coefficients ``encode_jpeg`` produces, but kept as per-component
     zigzag grids so the scan script can slice them."""
-    a = np.asarray(arr, dtype=np.uint8)
+    shift = float(1 << (precision - 1))
+    a = np.asarray(arr, dtype=np.uint8 if precision == 8 else np.uint16)
+    if precision == 12 and a.max(initial=0) > 4095:
+        raise ValueError("sample exceeds 12-bit range")
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError(f"unsupported array shape {a.shape}")
@@ -403,8 +415,9 @@ def _quantized_grids(arr, quality, subsampling):
     h, w = a.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    qlum = _scale_quant(QUANT_LUM, quality)
-    qchrom = _scale_quant(QUANT_CHROM, quality)
+    qscale = 16 if precision == 12 else 1
+    qlum = _scale_quant(QUANT_LUM, quality) * qscale
+    qchrom = _scale_quant(QUANT_CHROM, quality) * qscale
     if gray:
         planes = [a.astype(np.float64)]
         samp = [(1, 1)]
@@ -412,8 +425,8 @@ def _quantized_grids(arr, quality, subsampling):
         rgb = a.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + shift
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + shift
         if subsampling == "420":
 
             def down(p):
@@ -451,7 +464,7 @@ def _quantized_grids(arr, quality, subsampling):
         for iy in range(by):
             for ix in range(bx):
                 block = padded[iy * 8 : iy * 8 + 8, ix * 8 : ix * 8 + 8]
-                coef = _D @ (block - 128.0) @ _D.T
+                coef = _D @ (block - shift) @ _D.T
                 grid[iy, ix] = np.round(coef / qt).astype(
                     np.int64
                 ).ravel()[ZIGZAG]
@@ -569,27 +582,54 @@ _STD_TABLES = {
     "ac_chrom": (AC_CHROM_BITS, AC_CHROM_VALS),
 }
 
+# Flat 12-bit progressive tables (round-6, matching the baseline
+# DC12/AC12 rationale): Annex K's AC sizes stop at 10, below the 12-bit
+# coefficient range.  The progressive AC alphabet additionally needs
+# EOBn symbols (r<<4)|0 for r 0..14 — so the flat table is every
+# (run<<4)|size for size 0..14, 240 symbols at length 8 (Kraft-valid,
+# all-ones code unused).
+from advanced_etl_pipelines_spark.functions.jpeg import (  # noqa: E402
+    DC12_BITS,
+    DC12_VALS,
+)
+
+ACP12_VALS = [(r << 4) | s for r in range(16) for s in range(15)]
+ACP12_BITS = [0, 0, 0, 0, 0, 0, 0, len(ACP12_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+_STD_TABLES_12 = {
+    "dc_lum": (DC12_BITS, DC12_VALS),
+    "ac_lum": (ACP12_BITS, ACP12_VALS),
+    "dc_chrom": (DC12_BITS, DC12_VALS),
+    "ac_chrom": (ACP12_BITS, ACP12_VALS),
+}
+
 
 def encode_jpeg_progressive(
-    arr: np.ndarray, quality: int = 85, subsampling: str = "444"
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    precision: int = 8,
 ) -> bytes:
-    """uint8 (H,W) grayscale or (H,W,3) RGB -> progressive (SOF2) JFIF
+    """(H,W) grayscale or (H,W,3) RGB -> progressive (SOF2) JFIF
     bytes.  Scan script (a condensed form of the common libjpeg one):
     DC first at Al=1; per component AC 1-5 and 6-63 first at Al=2; per
     component AC refinements Al=1 then Al=0; DC refinement last —
     exercising spectral selection AND successive approximation on both
-    the DC and AC paths."""
+    the DC and AC paths.  ``precision`` 12 takes uint16 input in
+    0..4095 (16-bit DQT entries, flat DC12/ACP12 scan tables)."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     comps, grids, geom, qlum, qchrom, gray = _quantized_grids(
-        arr, quality, subsampling
+        arr, quality, subsampling, precision
     )
     h, w = geom["h"], geom["w"]
     nc = len(comps)
+    tables = _STD_TABLES_12 if precision == 12 else _STD_TABLES
     dc_codes = {
-        c["id"]: _build_codes(*_STD_TABLES["dc_lum" if i == 0 else "dc_chrom"])
+        c["id"]: _build_codes(*tables["dc_lum" if i == 0 else "dc_chrom"])
         for i, c in enumerate(comps)
     }
     ac_codes = {
-        c["id"]: _build_codes(*_STD_TABLES["ac_lum" if i == 0 else "ac_chrom"])
+        c["id"]: _build_codes(*tables["ac_lum" if i == 0 else "ac_chrom"])
         for i, c in enumerate(comps)
     }
 
@@ -598,14 +638,17 @@ def encode_jpeg_progressive(
         b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
         + struct.pack(">HH", 1, 1) + b"\x00\x00"
     )
-    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x00]) + bytes(
-        int(x) for x in qlum[ZIGZAG]
+    for tid, q in ((0, qlum), (1, qchrom))[: 1 if gray else 2]:
+        if precision == 12:
+            out += b"\xff\xdb" + struct.pack(">H", 131)
+            out += bytes([(1 << 4) | tid])
+            out += b"".join(struct.pack(">H", int(x)) for x in q[ZIGZAG])
+        else:
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+            out += bytes(int(x) for x in q[ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 8 + 3 * nc, precision, h, w, nc
     )
-    if not gray:
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x01]) + bytes(
-            int(x) for x in qchrom[ZIGZAG]
-        )
-    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for c in comps:
         out += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
     for key, (cls, tid) in (
@@ -616,7 +659,7 @@ def encode_jpeg_progressive(
     ):
         if gray and tid == 1:
             continue
-        bits, vals = _STD_TABLES[key]
+        bits, vals = tables[key]
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes(
             [(cls << 4) | tid]
         ) + bytes(bits) + bytes(vals)

@@ -4,10 +4,12 @@ Real RIFF/WAVE bytes in and out via the stdlib ``wave`` module + numpy
 — no soundfile/librosa dependency — so the engine's audio seam
 (``operators/multimodal.py``) can decode ACTUAL audio in any
 environment, the same upgrade the round-2 PNG codec gave images.
-Supports 16-bit PCM mono/stereo plus IMA-ADPCM (format tag 0x0011,
-the standard COMPRESSED WAV codec — round-5 VERDICT item 5, the audio
-analogue of the PNG/JPEG decode trajectory); anything else raises
-loudly (a real pipeline plugs soundfile into the same seam).
+Supports 16-bit PCM mono/stereo plus IMA-ADPCM mono/stereo decode
+(format tag 0x0011, the standard COMPRESSED WAV codec — round-5
+VERDICT item 5, the audio analogue of the PNG/JPEG decode trajectory;
+stereo blocks interleave 4-byte code words per channel) and mono ADPCM
+encode; anything else raises loudly (a real pipeline plugs soundfile
+into the same seam).
 
 IMA/DVI ADPCM per the IMA Digital Audio Focus Group algorithm (also
 RFC 3551 §4.5.1 layout for the step machinery): 4-bit codes, 89-entry
@@ -158,9 +160,14 @@ def _riff_chunks(data: bytes) -> dict[bytes, bytes]:
 
 
 def _decode_wav_adpcm(data: bytes) -> tuple[np.ndarray, int]:
-    """(mono float64 samples in [-1,1], sample_rate) from an IMA-ADPCM
-    WAV.  Trusts the fact chunk for total sample count (trailing pad
-    nibbles in the last block are dropped)."""
+    """(float64 samples in [-1,1] shaped (n,) mono or (n, ch) stereo,
+    sample_rate) from an IMA-ADPCM WAV.  Trusts the fact chunk for the
+    per-channel sample count (trailing pad nibbles in the last block
+    are dropped).
+
+    Stereo block layout per the spec: one 4-byte header per channel,
+    then the code stream interleaves 4-BYTE WORDS (8 nibbles = 8
+    samples) per channel — not per-sample interleave."""
     chunks = _riff_chunks(data)
     fmt = chunks[b"fmt "]
     tag, n_ch, sr, _rate, block_align, bits = struct.unpack(
@@ -168,8 +175,8 @@ def _decode_wav_adpcm(data: bytes) -> tuple[np.ndarray, int]:
     )
     if tag != 0x0011:
         raise ValueError(f"not IMA-ADPCM (format tag {tag:#06x})")
-    if n_ch != 1:
-        raise NotImplementedError("IMA-ADPCM decode is mono-only here")
+    if n_ch not in (1, 2):
+        raise ValueError(f"IMA-ADPCM supports 1-2 channels, got {n_ch}")
     if bits != 4:
         raise ValueError(f"IMA-ADPCM requires 4-bit codes, got {bits}")
     (samples_per_block,) = struct.unpack("<H", fmt[18:20])
@@ -177,25 +184,38 @@ def _decode_wav_adpcm(data: bytes) -> tuple[np.ndarray, int]:
     if b"fact" in chunks:
         (total,) = struct.unpack("<I", chunks[b"fact"][:4])
     raw = chunks[b"data"]
-    out: list[int] = []
-    for start in range(0, len(raw) - 3, block_align):
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    for start in range(0, len(raw) - 4 * n_ch + 1, block_align):
         block = raw[start : start + block_align]
-        pred, index, _ = struct.unpack("<hBB", block[:4])
-        index = max(0, min(88, index))
-        out.append(pred)
+        preds: list[int] = []
+        idxs: list[int] = []
+        for c in range(n_ch):
+            pred, index, _ = struct.unpack(
+                "<hBB", block[4 * c : 4 * c + 4]
+            )
+            preds.append(pred)
+            idxs.append(max(0, min(88, index)))
+            chans[c].append(pred)
         want = samples_per_block - 1
-        emitted = 0
-        for byte in block[4:]:  # bytes iteration: plain ints, no numpy
-            for code in (byte & 0xF, byte >> 4):
-                if emitted >= want:
-                    break
-                pred, index = _ima_step(pred, index, code)
-                out.append(pred)
-                emitted += 1
-    arr = np.asarray(out, dtype=np.float64)
+        emitted = [0] * n_ch
+        payload = block[4 * n_ch :]
+        # walk 4-byte words, channel = word index mod n_ch
+        for wi in range(0, len(payload), 4):
+            c = (wi // 4) % n_ch
+            pred, index = preds[c], idxs[c]
+            for byte in payload[wi : wi + 4]:
+                for code in (byte & 0xF, byte >> 4):
+                    if emitted[c] >= want:
+                        break
+                    pred, index = _ima_step(pred, index, code)
+                    chans[c].append(pred)
+                    emitted[c] += 1
+            preds[c], idxs[c] = pred, index
+    arrs = [np.asarray(ch, dtype=np.float64) for ch in chans]
     if total is not None:
-        arr = arr[:total]
-    return arr / 32768.0, int(sr)
+        arrs = [a[:total] for a in arrs]
+    out = arrs[0] if n_ch == 1 else np.stack(arrs, axis=1)
+    return out / 32768.0, int(sr)
 
 
 def encode_wav(

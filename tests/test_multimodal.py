@@ -407,6 +407,81 @@ def test_ima_adpcm_independently_encoded_stream_decodes():
     assert not np.array_equal(y_bad, y_ref)
 
 
+def test_ima_adpcm_stereo_decode_word_interleave():
+    """Stereo IMA-ADPCM: the spec interleaves 4-BYTE code words per
+    channel after per-channel block headers.  Build a stereo stream
+    with the independent encoder channel-by-channel, word-interleave it
+    by hand, and assert the repo decode equals the two independent
+    mono decodes stacked — a per-sample (rather than per-word)
+    interleave bug would scramble every block."""
+    import struct as _s
+
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions.wav import decode_wav
+
+    sr, spb = 8000, 17  # want = 16 samples -> exactly 2 words/channel
+    t = np.arange(3 * spb) / sr
+    left = ((0.6 * np.sin(2 * np.pi * 300 * t)) * 32767).astype(np.int16)
+    right = ((0.4 * np.sin(2 * np.pi * 700 * t + 1)) * 32767).astype(
+        np.int16
+    )
+
+    def mono_blocks(x):
+        """[(header4, payload_words)] per block via the reference
+        encoder, split back into 4-byte words."""
+        raw = _ref_ima_encode_data(x, spb)
+        ba = 4 + (spb - 1) // 2
+        out = []
+        for s in range(0, len(raw), ba):
+            b = raw[s : s + ba]
+            words = [b[4 + i : 8 + i] for i in range(0, ba - 4, 4)]
+            out.append((b[:4], words))
+        return out
+
+    lb, rb = mono_blocks(left), mono_blocks(right)
+    block_align = 8 + (spb - 1)  # 2 headers + interleaved words
+    data = bytearray()
+    for (lh, lw), (rh, rw) in zip(lb, rb):
+        data += lh + rh
+        for a, b in zip(lw, rw):
+            data += a + b
+    fmt = _s.pack("<HHIIHHHH", 0x0011, 2, sr, sr * block_align // spb,
+                  block_align, 4, 2, spb)
+    fact = _s.pack("<I", len(left))
+    body = (
+        b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"fact" + _s.pack("<I", len(fact)) + fact
+        + b"data" + _s.pack("<I", len(data)) + bytes(data)
+    )
+    blob = b"RIFF" + _s.pack("<I", len(body)) + body
+
+    got, sr2 = decode_wav(blob)
+    assert sr2 == sr and got.shape == (len(left), 2)
+
+    def mono_decode(x):
+        raw = _ref_ima_encode_data(x, spb)
+        ba = 4 + (spb - 1) // 2
+        out = []
+        for s in range(0, len(raw), ba):
+            b = raw[s : s + ba]
+            pred, index, _r = _s.unpack("<hBB", b[:4])
+            out.append(pred)
+            n = 0
+            for byte in b[4:]:
+                for code in (byte & 0xF, byte >> 4):
+                    if n >= spb - 1:
+                        break
+                    pred, index = _ref_ima_decode_nibble(pred, index, code)
+                    out.append(pred)
+                    n += 1
+        return np.asarray(out[: len(x)], dtype=np.float64) / 32768.0
+
+    want = np.stack([mono_decode(left), mono_decode(right)], axis=1)
+    assert np.array_equal(got, want)
+
+
 def _ref_ima_encode_data(samples, samples_per_block):
     """Independent mono IMA-ADPCM DATA-chunk encoder (blocks only)."""
     import struct as _s
@@ -542,6 +617,35 @@ def test_progressive_jpeg_baseline_parity():
                 P.encode_jpeg_progressive(arr, quality=q, subsampling=sub)
             )
             assert np.array_equal(base, prog), (h, w, sub, q, gray)
+
+
+def test_progressive_12bit_baseline_parity():
+    """12-bit progressive (SOF2, precision 12, 16-bit DQT entries, flat
+    DC12/ACP12 scan tables) decodes pixel-identically to the 12-bit
+    baseline encode of the same image — closing the progressive
+    module's precision seam the same way SOF9/SOF1 closed the
+    sequential ones."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions import jpeg as J
+    from advanced_etl_pipelines_spark.functions import (
+        jpeg_progressive as P,
+    )
+
+    rng = np.random.RandomState(9)
+    for shape in ((13, 20, 3), (15, 18)):
+        for arr in (
+            np.fromfunction(
+                lambda *ix: (ix[0] * 137 + ix[1] * 211) % 4096, shape
+            ).astype(np.uint16),
+            rng.randint(0, 4096, shape).astype(np.uint16),
+        ):
+            base = J.decode_jpeg(J.encode_jpeg(arr, 85, precision=12))
+            prog = J.decode_jpeg(
+                P.encode_jpeg_progressive(arr, 85, precision=12)
+            )
+            assert prog.dtype == np.uint16
+            assert np.array_equal(base, prog), shape
 
 
 def test_progressive_fixture_decodes_without_pil():
