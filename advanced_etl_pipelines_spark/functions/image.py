@@ -37,7 +37,8 @@ def decode_image(data: bytes) -> np.ndarray:
         return J.decode_jpeg(data)
     raise ValueError(
         f"unrecognized image magic {bytes(data[:4])!r} "
-        "(pure codecs handle PNG and baseline JPEG)"
+        "(pure codecs handle PNG and baseline/progressive/"
+        "arithmetic/12-bit JPEG)"
     )
 
 

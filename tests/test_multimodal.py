@@ -824,6 +824,36 @@ def test_arith_and_12bit_checked_in_fixtures_decode():
     assert out12[6, 10].tolist() == [2139, 2073, 1225]
 
 
+def test_strict_seam_dispatches_sof9_and_12bit(spark):
+    """The strict media seam (decode_media_meta strict=True /
+    _real_decode) must route arithmetic-coded (SOF9) and 12-bit JPEGs
+    through the same magic-byte dispatch as baseline files — the
+    engine-level pin that the new codecs are reachable from the Arrow
+    path, not just from direct function calls."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions import jpeg as J
+    from advanced_etl_pipelines_spark.functions.jpeg_arith import (
+        encode_jpeg_arith,
+    )
+    from advanced_etl_pipelines_spark.operators import multimodal as M
+
+    arr = np.fromfunction(
+        lambda y, x, c: (y * 9 + x * 5 + c * 40) % 256, (10, 14, 3)
+    ).astype(np.uint8)
+    blobs = [
+        (0, encode_jpeg_arith(arr, quality=85)),
+        (1, J.encode_jpeg((arr.astype(np.uint16) * 16), precision=12)),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b), "image") for i, b in blobs],
+        "id long, media binary, media_type string",
+    )
+    rows = {r.id: r for r in M.decode_media_meta(df, strict=True).collect()}
+    assert rows[0].width == 14 and rows[0].height == 10
+    assert rows[1].width == 14 and rows[1].height == 10
+
+
 def test_jpeg_marker_scan_robustness():
     """ADVICE r3: length-less markers (TEM 0x01, stray RSTn) before SOF
     must not be read as carrying a segment length, and truncation must
