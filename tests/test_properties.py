@@ -271,3 +271,102 @@ def test_kcore_degree_floor_and_idempotence(spark, edges, k):
         spark.createDataFrame(rows, "a long, b long"), "a", "b", k
     )
     assert {(r.a, r.b) for r in again.collect()} == set(rows)
+
+
+# ---- round-6 codec properties: pure-Python, no Spark action, so these
+# can afford real example counts.
+
+_codec_settings = settings(max_examples=60, deadline=None)
+
+
+@_codec_settings
+@given(
+    st.lists(st.integers(0, 1), min_size=1, max_size=600),
+    st.lists(st.integers(0, 7), min_size=600, max_size=600),
+)
+def test_qm_coder_roundtrip_property(bits, ctxs):
+    """T.81 QM arithmetic coder: ANY bit sequence under ANY context
+    walk round-trips exactly — hypothesis shrinks carry/stuffing edge
+    cases (runs of MPS, alternating flips, boundary renorms) far
+    beyond the fixed random trials."""
+    from advanced_etl_pipelines_spark.functions.jpeg_arith import (
+        _ArithDecoder,
+        _ArithEncoder,
+    )
+
+    enc = _ArithEncoder()
+    stats = bytearray(8)
+    walk = ctxs[: len(bits)]
+    for b, cx in zip(bits, walk):
+        enc.encode(stats, cx % 8, b)
+    enc.flush()
+    dec = _ArithDecoder(bytes(enc.out) + b"\xff\xd9", 0)
+    stats2 = bytearray(8)
+    assert [dec.decode(stats2, cx % 8) for cx in walk] == bits
+
+
+@_codec_settings
+@given(
+    st.lists(
+        st.integers(-32768, 32767), min_size=1, max_size=700
+    ),
+    st.sampled_from([3, 5, 17, 129, 505]),
+)
+def test_ima_adpcm_roundtrip_matches_reference_decode_property(
+    samples, spb
+):
+    """IMA-ADPCM: for ANY int16 signal and block size, the repo decode
+    of the repo encode equals an independent spec-decoder walk of the
+    same nibble stream, sample-exactly (covers extreme clamps, tiny
+    signals, non-block-aligned tails)."""
+    import struct as _s
+
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions.wav import (
+        _IMA_INDEX_DELTA,
+        _IMA_STEPS,
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    x = np.asarray(samples, dtype=np.int16)
+    blob = encode_wav_adpcm(x, sample_rate=8000, samples_per_block=spb)
+    got, sr = decode_wav(blob)
+    assert sr == 8000 and len(got) == len(x)
+
+    # independent decode of the data chunk (spec transition, written
+    # with the (2m+1)-free halves form as in test_multimodal's ref)
+    pos, chunks = 12, {}
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (ln,) = _s.unpack("<I", blob[pos + 4 : pos + 8])
+        chunks[cid] = blob[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+    ba = 4 + (spb - 1) // 2
+    raw = chunks[b"data"]
+    ref = []
+    for start in range(0, len(raw) - 3, ba):
+        block = raw[start : start + ba]
+        pred, index, _r = _s.unpack("<hBB", block[:4])
+        ref.append(pred)
+        n = 0
+        for byte in block[4:]:
+            for code in (byte & 0xF, byte >> 4):
+                if n >= spb - 1:
+                    break
+                step = _IMA_STEPS[index]
+                diff = step >> 3
+                for bit, part in ((4, step), (2, step >> 1),
+                                  (1, step >> 2)):
+                    if code & bit:
+                        diff += part
+                pred = pred - diff if code & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                index = max(
+                    0, min(88, index + _IMA_INDEX_DELTA[code & 7])
+                )
+                ref.append(pred)
+                n += 1
+    want = np.asarray(ref[: len(x)], dtype=np.float64) / 32768.0
+    assert np.array_equal(got, want)
