@@ -1324,3 +1324,33 @@ def test_png_16bit_palette_rejected_as_invalid():
     data = _ref_build_png(idx, 16, ctype=3, interlace=0, plte=pal.tobytes())
     with _pytest.raises(ValueError):
         decode_png(data)
+
+
+def test_arith_qm_coder_near_entropy_efficiency():
+    """Independent check on the transcribed Qe state table that
+    roundtrip parity CANNOT provide (encoder and decoder share the
+    table, so a transcription typo self-cancels): the QM coder's
+    published efficiency is within a few percent of the binary entropy
+    bound, and that property depends on the Qe VALUES being right — a
+    corrupted table still roundtrips but compresses measurably worse.
+    Measured on this implementation: 1.008-1.04x the bound across
+    skews; asserted at <= 1.08x."""
+    import math
+    import random
+
+    from advanced_etl_pipelines_spark.functions.jpeg_arith import (
+        _ArithEncoder,
+    )
+
+    rng = random.Random(3)
+    n = 40000
+    for p in (0.99, 0.95, 0.9, 0.7):
+        bits = [int(rng.random() < p) for _ in range(n)]
+        enc = _ArithEncoder()
+        stats = bytearray(1)
+        for b in bits:
+            enc.encode(stats, 0, b)
+        enc.flush()
+        entropy = -(p * math.log2(p) + (1 - p) * math.log2(1 - p))
+        ratio = len(enc.out) * 8 / n / entropy
+        assert ratio <= 1.08, (p, ratio)
