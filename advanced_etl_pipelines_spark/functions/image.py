@@ -38,7 +38,7 @@ def decode_image(data: bytes) -> np.ndarray:
     raise ValueError(
         f"unrecognized image magic {bytes(data[:4])!r} "
         "(pure codecs handle PNG and baseline/progressive/"
-        "arithmetic/12-bit JPEG)"
+        "arithmetic/12-bit/lossless JPEG)"
     )
 
 

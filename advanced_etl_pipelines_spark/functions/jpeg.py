@@ -14,7 +14,8 @@ Coverage:
   sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers
   (DRI/RSTn), APPn/COM skip.  Progressive (SOF2) routes to
   ``jpeg_progressive``; arithmetic-coded sequential (SOF9) routes to
-  ``jpeg_arith`` (round-5 VERDICT item 3).  Lossless/hierarchical and
+  ``jpeg_arith`` (round-5 VERDICT item 3); lossless predictive (SOF3)
+  routes to ``jpeg_lossless``.  Hierarchical, differential and
   progressive-arithmetic SOFs raise ``NotImplementedError`` — loudly,
   per the strict-decode contract.
 * encode — sequential Huffman, Annex K quantization tables scaled by
@@ -530,7 +531,7 @@ def jpeg_meta(data: bytes) -> tuple[int, int, int]:
         if pos + 2 > len(data):
             raise ValueError("truncated JPEG")
         marker = data[pos + 1]
-        if marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
             if pos + 10 > len(data):
                 raise ValueError("truncated JPEG")
             h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
@@ -592,11 +593,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             )
 
             return decode_arith(data)
-        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        if marker == 0xC3:
+            # lossless (predictive, no DCT) — decoded by the sibling
+            # module (round-6 seam closeout)
+            from advanced_etl_pipelines_spark.functions.jpeg_lossless import (  # noqa: E501
+                decode_lossless,
+            )
+
+            return decode_lossless(data)
+        if marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0xFF{marker:02X} not supported"
-                " (sequential Huffman/arithmetic and progressive"
-                " Huffman only)"
+                " (sequential/lossless Huffman, sequential arithmetic"
+                " and progressive Huffman only)"
             )
         if pos + 2 > len(data):
             raise ValueError("truncated JPEG")

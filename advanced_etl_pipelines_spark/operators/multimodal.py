@@ -62,11 +62,12 @@ def _real_decode(media: bytes, media_type: str) -> tuple[int, int, int]:
     """Real codec dispatch for ``strict=True``: PIL when importable
     (any format PIL knows), else the in-repo pure codecs — PNG (every
     standard color type, functions/png.py) and JPEG
-    (baseline/progressive/arithmetic SOF9/12-bit — functions/jpeg.py,
-    jpeg_progressive.py, jpeg_arith.py; the round-2→6 codec
-    trajectory).  Raises NotImplementedError for formats none of those
-    paths decode — compressed audio beyond PCM/IMA-ADPCM WAV and
-    non-MJPEG video need soundfile/pyav."""
+    (baseline/progressive/arithmetic SOF9/12-bit/lossless SOF3 —
+    functions/jpeg.py, jpeg_progressive.py, jpeg_arith.py,
+    jpeg_lossless.py; the round-2→6 codec trajectory).  Raises
+    NotImplementedError for formats none of those paths decode —
+    compressed audio beyond PCM/IMA-ADPCM WAV and non-MJPEG video need
+    soundfile/pyav."""
     from advanced_etl_pipelines_spark.functions import avi as A
     from advanced_etl_pipelines_spark.functions import image as I
 
@@ -93,7 +94,7 @@ def _real_decode(media: bytes, media_type: str) -> tuple[int, int, int]:
     raise NotImplementedError(
         f"no codec for media_type={media_type!r} without PIL "
         "(pure codecs handle every standard PNG color type and "
-        "baseline/progressive/arithmetic/12-bit JPEG)"
+        "baseline/progressive/arithmetic/12-bit/lossless JPEG)"
     )
 
 

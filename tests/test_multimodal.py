@@ -1053,7 +1053,9 @@ def test_jpeg_rejects_unsupported_modes():
     arr = np.zeros((8, 8, 3), dtype=np.uint8)
     data = bytearray(J.encode_jpeg(arr))
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless sequential)
+    # 0xC5 = differential sequential — genuinely unsupported (0xC3
+    # lossless gained a decoder in round 6, so it no longer raises)
+    data[sof + 1] = 0xC5
     with pytest.raises(NotImplementedError, match="SOF"):
         J.decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
@@ -1354,3 +1356,129 @@ def test_arith_qm_coder_near_entropy_efficiency():
         entropy = -(p * math.log2(p) + (1 - p) * math.log2(1 - p))
         ratio = len(enc.out) * 8 / n / entropy
         assert ratio <= 1.08, (p, ratio)
+
+
+def test_jpeg_lossless_roundtrip_exact():
+    """SOF3 lossless: decode(encode(x)) must be BIT-EXACT for every
+    predictor 1-7, gray/RGB, precisions 8/12/16, point transform, and
+    restart markers — the format's defining property, and the
+    strongest possible oracle."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions import jpeg as J
+    from advanced_etl_pipelines_spark.functions.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(4)
+    a8 = rng.randint(0, 256, (12, 17, 3)).astype(np.uint8)
+    for pred in range(1, 8):
+        out = J.decode_jpeg(encode_jpeg_lossless(a8, predictor=pred))
+        assert np.array_equal(out, a8), pred
+    g12 = rng.randint(0, 4096, (11, 5)).astype(np.uint16)
+    out = J.decode_jpeg(encode_jpeg_lossless(g12, precision=12))
+    assert out.dtype == np.uint16 and np.array_equal(out, g12)
+    g16 = rng.randint(0, 65536, (6, 9)).astype(np.uint16)
+    assert np.array_equal(
+        J.decode_jpeg(encode_jpeg_lossless(g16, precision=16)), g16
+    )
+    assert J.jpeg_meta(encode_jpeg_lossless(g16, precision=16)) == (9, 6, 1)
+    # point transform drops Pt LSBs losslessly when they are zero
+    a16 = (rng.randint(0, 65536, (8, 9)).astype(np.uint16)) & 0xFFFC
+    assert np.array_equal(
+        J.decode_jpeg(
+            encode_jpeg_lossless(a16, predictor=4, point_transform=2)
+        ),
+        a16,
+    )
+    # restart markers: bitstream differs, pixels must not
+    for ri in (1, 5):
+        assert np.array_equal(
+            J.decode_jpeg(
+                encode_jpeg_lossless(a8, predictor=6, restart_interval=ri)
+            ),
+            a8,
+        )
+
+
+def test_jpeg_lossless_independent_constructor_decodes():
+    """Roundtrip alone cannot catch a predictor formula wrong the same
+    way on both sides (encoder and decoder share _predict) — so build
+    a small SOF3 file with an INDEPENDENT encoder written from the
+    Annex H text (its own bit writer, its own predictor table) and
+    assert the repo decode reproduces the source exactly, for each
+    predictor."""
+    import struct as _s
+
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions import jpeg as J
+
+    def ref_predict(ra, rb, rc, sel):
+        return {
+            1: ra,
+            2: rb,
+            3: rc,
+            4: ra + rb - rc,
+            5: ra + ((rb - rc) >> 1),
+            6: rb + ((ra - rc) >> 1),
+            7: (ra + rb) >> 1,
+        }[sel]
+
+    # independent flat Huffman table: categories 0..15 at len 5,
+    # cat 16 at len 6 -> canonical codes are simply 0..15 and 32
+    def ref_code(cat):
+        return (cat, 5) if cat < 16 else (32, 6)
+
+    rng = np.random.RandomState(8)
+    src = rng.randint(0, 256, (7, 9)).astype(np.int64)
+    h, w = src.shape
+    for sel in range(1, 8):
+        bits = []
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    px = 128
+                elif y == 0:
+                    px = int(src[y, x - 1])
+                elif x == 0:
+                    px = int(src[y - 1, x])
+                else:
+                    px = ref_predict(
+                        int(src[y, x - 1]),
+                        int(src[y - 1, x]),
+                        int(src[y - 1, x - 1]),
+                        sel,
+                    )
+                diff = int(src[y, x]) - px
+                mag = abs(diff)
+                cat = mag.bit_length()
+                code, ln = ref_code(cat)
+                bits.extend((code >> (ln - 1 - i)) & 1 for i in range(ln))
+                if cat:
+                    v = diff if diff >= 0 else diff + (1 << cat) - 1
+                    bits.extend(
+                        (v >> (cat - 1 - i)) & 1 for i in range(cat)
+                    )
+        while len(bits) % 8:
+            bits.append(1)
+        payload = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            payload.append(b)
+            if b == 0xFF:
+                payload.append(0x00)
+        dcl_bits = bytes([0, 0, 0, 0, 16, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0])
+        dcl_vals = bytes(range(17))
+        blob = bytearray(b"\xff\xd8")
+        blob += b"\xff\xc3" + _s.pack(">HBHHB", 11, 8, h, w, 1)
+        blob += bytes([1, 0x11, 0])
+        blob += b"\xff\xc4" + _s.pack(">H", 19 + 17)
+        blob += bytes([0x00]) + dcl_bits + dcl_vals
+        blob += b"\xff\xda" + _s.pack(">HB", 8, 1) + bytes([1, 0x00])
+        blob += bytes([sel, 0, 0])
+        blob += payload + b"\xff\xd9"
+        out = J.decode_jpeg(bytes(blob))
+        assert np.array_equal(out, src.astype(np.uint8)), sel
