@@ -8,7 +8,11 @@ arithmetic entropy coder from the same public spec, ITU-T T.81:
 * Annex D — the binary arithmetic coder itself: the 113-state
   Qe probability-estimation machine (Table D.3, public spec
   constants, transcribed like the PNG CRC polynomial or the IMA step
-  table), conditional MPS/LPS exchange, renormalization, byte-oriented
+  table; ``tests/test_multimodal.py::test_qe_table_structural_invariants``
+  checks the transcription against spec-derivable structure and the
+  printed fast-attack/exchange-head values, and pins fingerprints so
+  any single-row edit fails — mutation-verified),
+  conditional MPS/LPS exchange, renormalization, byte-oriented
   carry handling with 0xFF00 byte stuffing (the interop convention the
   reference implementations use, so entropy segments stay marker-free
   exactly like the Huffman scans).
@@ -31,7 +35,9 @@ state table.
 Supports 8-bit and 12-bit precision (level shift 1 << (P-1)),
 grayscale/YCbCr with sampling factors up to 2x2, and restart markers
 (coder + statistics fully reinitialized per spec).  Progressive
-arithmetic (SOF10) stays a loud ``NotImplementedError`` in jpeg.py.
+arithmetic (SOF10) lives in ``jpeg_arith_progressive``, composed from
+this module's decision trees (band/Al-parameterized) and the
+progressive scan scheduler.
 """
 
 from __future__ import annotations
@@ -355,8 +361,11 @@ class _DCTArithModel:
 
     # ---- decode direction
 
-    def decode_block(self, dec: _ArithDecoder, ci: int) -> np.ndarray:
-        zz = np.zeros(64, dtype=np.int64)
+    def decode_dc(self, dec: _ArithDecoder, ci: int) -> int:
+        """One DC decision tree (T.81 F.2.4.1); accumulates the diff
+        into ``preds[ci]`` and returns the new prediction.  In a
+        progressive first scan the prediction lives in the >>Al domain
+        (the caller shifts the stored coefficient back up)."""
         tbl = self.dc_tbl[ci]
         lo, hi = self.dc_cond[tbl]
         st = self.dc_stats[tbl]
@@ -387,20 +396,32 @@ class _DCTArithModel:
                     v |= m
             v += 1
             self.preds[ci] += -v if sign else v
-        zz[0] = self.preds[ci]
+        return self.preds[ci]
 
+    def decode_ac_band(
+        self,
+        dec: _ArithDecoder,
+        ci: int,
+        zz: np.ndarray,
+        ss: int = 1,
+        se: int = 63,
+        al: int = 0,
+    ) -> None:
+        """AC decisions over zigzag band [ss..se] (T.81 F.2.4.2 —
+        also the body of a progressive FIRST scan, G.2: same walk with
+        the decoded value left-shifted by Al)."""
         atbl = self.ac_tbl[ci]
         kx = self.ac_cond[atbl]
         ast = self.ac_stats[atbl]
-        k = 1
-        while k <= 63:
+        k = ss
+        while k <= se:
             sp = 3 * (k - 1)
             if dec.decode(ast, sp):
                 break  # EOB
             while dec.decode(ast, sp + 1) == 0:
                 sp += 3
                 k += 1
-                if k > 63:
+                if k > se:
                     raise ValueError("arith AC run overflow")
             sign = dec.decode(self.fixed, 0)
             sp += 2
@@ -420,21 +441,30 @@ class _DCTArithModel:
                 if dec.decode(ast, sp):
                     v |= m
             v += 1
-            zz[k] = -v if sign else v
+            zz[k] = (-v if sign else v) << al
             k += 1
+
+    def decode_block(self, dec: _ArithDecoder, ci: int) -> np.ndarray:
+        zz = np.zeros(64, dtype=np.int64)
+        zz[0] = self.decode_dc(dec, ci)
+        self.decode_ac_band(dec, ci, zz, 1, 63)
         return zz
 
     # ---- encode direction
 
-    def encode_block(
-        self, enc: _ArithEncoder, ci: int, zz: np.ndarray
+    def encode_dc(
+        self, enc: _ArithEncoder, ci: int, dc_val: int, al: int = 0
     ) -> None:
+        """DC decision tree, encode direction; ``al`` applies the DC
+        point transform (ARITHMETIC shift, T.81 G.1.2.1) before the
+        prediction diff."""
         tbl = self.dc_tbl[ci]
         lo, hi = self.dc_cond[tbl]
         st = self.dc_stats[tbl]
         s0 = self.dc_context[ci]
-        diff = int(zz[0]) - self.preds[ci]
-        self.preds[ci] = int(zz[0])
+        t = int(dc_val) >> al
+        diff = t - self.preds[ci]
+        self.preds[ci] = t
         if diff == 0:
             enc.encode(st, s0, 0)
             self.dc_context[ci] = 0
@@ -466,25 +496,37 @@ class _DCTArithModel:
             while m := m >> 1:
                 enc.encode(st, sp, 1 if (m & v) else 0)
 
+    def encode_ac_band(
+        self,
+        enc: _ArithEncoder,
+        ci: int,
+        zz: np.ndarray,
+        ss: int = 1,
+        se: int = 63,
+        al: int = 0,
+    ) -> None:
+        """AC decisions over zigzag band [ss..se], encode direction;
+        ``al`` applies the AC point transform (MAGNITUDE shift,
+        T.81 G.1.2.2) so a progressive first scan codes the truncated
+        coefficients exactly like a sequential scan codes full ones."""
         atbl = self.ac_tbl[ci]
         kx = self.ac_cond[atbl]
         ast = self.ac_stats[atbl]
-        nz = np.nonzero(zz[1:])[0]
-        ke = int(nz[-1]) + 1 if len(nz) else 0
-        k = 1
+        mags = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        ke = se
+        while ke >= ss and mags[ke - ss] == 0:
+            ke -= 1
+        k = ss
         while k <= ke:
             sp = 3 * (k - 1)
             enc.encode(ast, sp, 0)  # not EOB yet
-            while int(zz[k]) == 0:
+            while mags[k - ss] == 0:
                 enc.encode(ast, sp + 1, 0)
                 sp += 3
                 k += 1
             enc.encode(ast, sp + 1, 1)
-            v = int(zz[k])
-            sign = 1 if v < 0 else 0
-            if sign:
-                v = -v
-            enc.encode(self.fixed, 0, sign)
+            v = mags[k - ss]
+            enc.encode(self.fixed, 0, 1 if int(zz[k]) < 0 else 0)
             sp += 2
             m = 0
             v -= 1  # encoded magnitude vd = |coef| - 1
@@ -505,8 +547,14 @@ class _DCTArithModel:
             while m := m >> 1:
                 enc.encode(ast, sp, 1 if (m & v) else 0)
             k += 1
-        if k <= 63:
+        if k <= se:
             enc.encode(ast, 3 * (k - 1), 1)  # EOB
+
+    def encode_block(
+        self, enc: _ArithEncoder, ci: int, zz: np.ndarray
+    ) -> None:
+        self.encode_dc(enc, ci, int(zz[0]))
+        self.encode_ac_band(enc, ci, zz, 1, 63)
 
 
 # ------------------------------------------------------------ encoder

@@ -362,8 +362,13 @@ def decode_progressive(data: bytes) -> np.ndarray:
 
     if not saw_scan:
         raise ValueError("no SOS marker found")
+    return _assemble_image(comps, coeffs, geom, quant, precision)
 
-    # dequantize + IDCT + upsample (same tail as the baseline decoder)
+
+def _assemble_image(comps, coeffs, geom, quant, precision):
+    """Dequantize + IDCT + upsample accumulated coefficient grids (the
+    shared tail of every multi-scan decode — progressive Huffman here,
+    progressive arithmetic in ``jpeg_arith_progressive``)."""
     h, w = geom["h"], geom["w"]
     hmax, vmax = geom["hmax"], geom["vmax"]
     shift = float(1 << (precision - 1))
