@@ -97,12 +97,10 @@ def encode_jpeg_lossless(
     bw = _BitWriter()
     default = 1 << (precision - pt - 1)
     preds_reset = True
+    first_line = True  # T.81 H.1.2.2 (ADVICE r6): Ra prediction for
+    # the ENTIRE first line of the scan and of each restart interval
     mcu = 0
     restart_at = restart_interval or 0
-    # per-component neighbor access against the reconstructed (== s)
-    # grid; restart resets prediction to the default for every comp
-    start_row = {c: 0 for c in range(nc)}  # unused placeholder clarity
-    del start_row
     last_restart_mcu = 0
     for y in range(h):
         for x in range(w):
@@ -114,12 +112,13 @@ def encode_jpeg_lossless(
             ):
                 bw.marker(0xD0 + (mcu // restart_at - 1) % 8)
                 preds_reset = True
+                first_line = True
                 last_restart_mcu = mcu
             for c in range(nc):
                 if preds_reset:
                     px = default
-                elif y == 0:
-                    px = int(s[y, x - 1, c])  # first row: Ra
+                elif first_line:
+                    px = int(s[y, x - 1, c])  # Ra
                 elif x == 0:
                     px = int(s[y - 1, x, c])  # row start: Rb
                 else:
@@ -143,6 +142,8 @@ def encode_jpeg_lossless(
                         diff if diff >= 0 else diff + (1 << cat) - 1, cat
                     )
             preds_reset = False
+            if x == w - 1:
+                first_line = False  # the interval's first line ends here
             mcu += 1
     bw.flush()
 
@@ -232,18 +233,28 @@ def decode_lossless(data: bytes) -> np.ndarray:
         pos += seglen
     if not scan:
         raise ValueError("no SOS marker found")
+    if len(scan) != len(comps):
+        # ADVICE r6: a multi-scan (non-interleaved) lossless file would
+        # silently decode only its first scan — raise instead, per the
+        # strict-decode contract
+        raise NotImplementedError(
+            "multi-scan lossless JPEG not supported"
+        )
 
     nc = len(scan)
     out = np.zeros((h, w, nc), dtype=np.int64)
     br = _BitReader(data, pos)
     default = 1 << (precision - point_transform - 1)
     preds_reset = True
+    first_line = True  # H.1.2.2: Ra for the whole first line of the
+    # scan and of each restart interval (ADVICE r6)
     mcu = 0
     for y in range(h):
         for x in range(w):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.align_restart()
                 preds_reset = True
+                first_line = True
             for ci, sc in enumerate(scan):
                 table = huff.get(sc["dc"])
                 if table is None:
@@ -257,8 +268,8 @@ def decode_lossless(data: bytes) -> np.ndarray:
                     diff = 0
                 if preds_reset:
                     px = default
-                elif y == 0:
-                    px = int(out[y, x - 1, ci])
+                elif first_line:
+                    px = int(out[y, x - 1, ci])  # Ra
                 elif x == 0:
                     px = int(out[y - 1, x, ci])
                 else:
@@ -271,6 +282,8 @@ def decode_lossless(data: bytes) -> np.ndarray:
                 val = (px + diff) & 0xFFFF  # modulo-65536 per spec
                 out[y, x, ci] = val
             preds_reset = False
+            if x == w - 1:
+                first_line = False
             mcu += 1
 
     if point_transform:

@@ -407,6 +407,117 @@ def test_ima_adpcm_independently_encoded_stream_decodes():
     assert not np.array_equal(y_bad, y_ref)
 
 
+def test_ima_adpcm_stereo_encode_decodes_via_independent_reference():
+    """The stereo ENCODER (round-6 VERDICT item 6) against the
+    independent spec-decoder: de-interleave the repo's stereo data
+    chunk by 4-byte words, walk each channel with the reference
+    transition, and require sample-exact agreement — plus the
+    compression and fmt-header facts a third-party reader needs."""
+    import struct as _s
+
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions.wav import (
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    sr, spb = 8000, 33
+    t = np.arange(1000) / sr  # not block-aligned: exercises fact trim
+    left = ((0.6 * np.sin(2 * np.pi * 300 * t)) * 32767).astype(np.int16)
+    right = ((0.4 * np.sin(2 * np.pi * 700 * t + 1)) * 32767).astype(
+        np.int16
+    )
+    x = np.stack([left, right], axis=1)
+    blob = encode_wav_adpcm(x, sample_rate=sr, samples_per_block=spb)
+    got, sr2 = decode_wav(blob)
+    assert sr2 == sr and got.shape == (len(t), 2)
+
+    pos, chunks = 12, {}
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (ln,) = _s.unpack("<I", blob[pos + 4 : pos + 8])
+        chunks[cid] = blob[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+    fmt = chunks[b"fmt "]
+    assert _s.unpack("<H", fmt[2:4])[0] == 2  # stereo fmt header
+    ba = _s.unpack("<H", fmt[12:14])[0]
+    assert ba == (4 + (spb - 1) // 2) * 2
+    raw = chunks[b"data"]
+    ref = [[], []]
+    for start in range(0, len(raw) - 7, ba):
+        block = raw[start : start + ba]
+        state = []
+        for c in (0, 1):
+            pred, index, _r = _s.unpack("<hBB", block[4 * c : 4 * c + 4])
+            ref[c].append(pred)
+            state.append((pred, index, 0))
+        payload = block[8:]
+        for wi in range(0, len(payload), 4):
+            c = (wi // 4) % 2
+            pred, index, n = state[c]
+            for byte in payload[wi : wi + 4]:
+                for code in (byte & 0xF, byte >> 4):
+                    if n >= spb - 1:
+                        break
+                    pred, index = _ref_ima_decode_nibble(pred, index, code)
+                    ref[c].append(pred)
+                    n += 1
+            state[c] = (pred, index, n)
+    want = np.stack(
+        [np.asarray(r[: len(t)], dtype=np.float64) / 32768.0 for r in ref],
+        axis=1,
+    )
+    assert np.array_equal(got, want)
+    # lossy but close, and ~4:1 vs 16-bit PCM
+    xf = x / 32768.0
+    snr = 10 * np.log10((xf**2).mean() / ((xf - got) ** 2).mean())
+    assert snr > 15, snr
+    assert len(blob) * 3 < x.nbytes
+    # stereo payloads interleave whole words: 8k+1 block sizes only
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_wav_adpcm(x, sample_rate=sr, samples_per_block=5)
+
+
+def test_riff_duplicate_data_chunks_concatenate():
+    """ADVICE r6: some writers emit several data chunks; last-wins
+    silently dropped all but one.  Splitting a valid ADPCM data chunk
+    at a block boundary into two chunks must decode identically."""
+    import struct as _s
+
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions.wav import (
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    sr, spb = 8000, 17
+    t = np.arange(6 * spb) / sr
+    x = ((0.5 * np.sin(2 * np.pi * 440 * t)) * 32767).astype(np.int16)
+    blob = encode_wav_adpcm(x, sample_rate=sr, samples_per_block=spb)
+    idx = blob.index(b"data")
+    (ln,) = _s.unpack("<I", blob[idx + 4 : idx + 8])
+    raw = blob[idx + 8 : idx + 8 + ln]
+    ba = 4 + (spb - 1) // 2
+    cut = 3 * ba  # block boundary
+    split = (
+        blob[:idx]
+        + b"data" + _s.pack("<I", cut) + raw[:cut]
+        + b"data" + _s.pack("<I", ln - cut) + raw[cut:]
+        + blob[idx + 8 + ln :]
+    )
+    # patch the RIFF size for the extra 8-byte chunk header
+    split = (
+        split[:4] + _s.pack("<I", len(split) - 8) + split[8:]
+    )
+    a, _ = decode_wav(blob)
+    b, _ = decode_wav(split)
+    assert np.array_equal(a, b)
+
+
 def test_ima_adpcm_stereo_decode_word_interleave():
     """Stereo IMA-ADPCM: the spec interleaves 4-BYTE code words per
     channel after per-channel block headers.  Build a stereo stream
@@ -1732,3 +1843,131 @@ def test_jpeg_lossless_independent_constructor_decodes():
         blob += payload + b"\xff\xd9"
         out = J.decode_jpeg(bytes(blob))
         assert np.array_equal(out, src.astype(np.uint8)), sel
+
+
+def test_jpeg_lossless_restart_first_line_ra_semantics():
+    """ADVICE r6: T.81 H.1.2.2 uses the 1-D predictor (Ra) for the
+    ENTIRE first line of each restart interval (default prediction for
+    its first sample), not just the sample after RSTn.  Build a
+    restart-coded SOF3 file with an INDEPENDENT encoder implementing
+    exactly that rule — intervals land mid-row on purpose — and assert
+    the repo decode reproduces the source; then round-trip the repo
+    encoder at the same geometry so both sides carry the fix."""
+    import struct as _s
+
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.functions import jpeg as J
+    from advanced_etl_pipelines_spark.functions.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    def ref_code(cat):
+        return (cat, 5) if cat < 16 else (32, 6)
+
+    rng = np.random.RandomState(13)
+    src = rng.randint(0, 256, (6, 9)).astype(np.int64)
+    h, w = src.shape
+    sel, ri = 4, 5  # restarts at MCU 5 (mid row 0), 10 (mid row 1)...
+    payload = bytearray()
+    bits = []
+
+    def flush_bits():
+        nonlocal bits
+        while len(bits) % 8:
+            bits.append(1)
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            payload.append(b)
+            if b == 0xFF:
+                payload.append(0x00)
+        bits = []
+
+    mcu = 0
+    preds_reset = True
+    first_line = True
+    for y in range(h):
+        for x in range(w):
+            if mcu and mcu % ri == 0:
+                flush_bits()
+                payload.extend(bytes([0xFF, 0xD0 + (mcu // ri - 1) % 8]))
+                preds_reset = True
+                first_line = True
+            if preds_reset:
+                px = 128
+            elif first_line:
+                px = int(src[y, x - 1])  # Ra through the whole line
+            elif x == 0:
+                px = int(src[y - 1, x])
+            else:
+                px = (
+                    int(src[y, x - 1]) + int(src[y - 1, x])
+                    - int(src[y - 1, x - 1])
+                )
+            diff = int(src[y, x]) - px
+            cat = abs(diff).bit_length()
+            code, ln = ref_code(cat)
+            bits.extend((code >> (ln - 1 - i)) & 1 for i in range(ln))
+            if cat:
+                v = diff if diff >= 0 else diff + (1 << cat) - 1
+                bits.extend((v >> (cat - 1 - i)) & 1 for i in range(cat))
+            preds_reset = False
+            if x == w - 1:
+                first_line = False
+            mcu += 1
+    flush_bits()
+
+    dcl_bits = bytes([0, 0, 0, 0, 16, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0])
+    blob = bytearray(b"\xff\xd8")
+    blob += b"\xff\xc3" + _s.pack(">HBHHB", 11, 8, h, w, 1)
+    blob += bytes([1, 0x11, 0])
+    blob += b"\xff\xc4" + _s.pack(">H", 36)
+    blob += bytes([0x00]) + dcl_bits + bytes(range(17))
+    blob += b"\xff\xdd" + _s.pack(">HH", 4, ri)
+    blob += b"\xff\xda" + _s.pack(">HB", 8, 1) + bytes([1, 0x00])
+    blob += bytes([sel, 0, 0])
+    blob += payload + b"\xff\xd9"
+    out = J.decode_jpeg(bytes(blob))
+    assert np.array_equal(out, src.astype(np.uint8))
+
+    # the repo encoder emits the same semantics: bit-exact round-trip
+    # at a mid-row restart geometry, and its bytes equal the
+    # independent construction above
+    repo = encode_jpeg_lossless(
+        src.astype(np.uint8), predictor=sel, restart_interval=ri
+    )
+    assert np.array_equal(J.decode_jpeg(repo), src.astype(np.uint8))
+    assert bytes(repo) == bytes(blob)
+
+
+def test_jpeg_lossless_multi_scan_raises():
+    """ADVICE r6: a multi-scan (non-interleaved) lossless file must
+    raise NotImplementedError instead of silently returning the first
+    scan's component only."""
+    import struct as _s
+
+    import numpy as np
+    import pytest as _pytest
+
+    from advanced_etl_pipelines_spark.functions import jpeg as J
+    from advanced_etl_pipelines_spark.functions.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(2)
+    rgb = rng.randint(0, 256, (5, 6, 3)).astype(np.uint8)
+    blob = bytearray(encode_jpeg_lossless(rgb, predictor=1))
+    # shrink the SOS component list from 3 to 1 (ns byte + one (cid,
+    # table) pair kept), leaving SOF3's nc = 3: now ns != nc
+    idx = blob.index(b"\xff\xda")
+    assert blob[idx + 4] == 3
+    patched = (
+        blob[: idx + 2]
+        + _s.pack(">HB", 8, 1)
+        + bytes([blob[idx + 5], blob[idx + 6]])
+        + blob[idx + 11 :]
+    )
+    with _pytest.raises(NotImplementedError, match="multi-scan"):
+        J.decode_jpeg(bytes(patched))
