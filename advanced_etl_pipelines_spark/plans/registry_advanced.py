@@ -5484,6 +5484,18 @@ def q_catalog_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# exact-twin spot columns on the fact tables (one per table, spanning
+# cardinality classes: ~200k-distinct key, ~2.4k dates, ~50k users at
+# sf1) — the rest of the fact columns carry NULL exact/flag so the
+# harness never re-pays the sibling query's full distinct subtrees
+# (round-6 VERDICT item 2)
+_PROFILE_SPOT_FACT = {
+    "lineitem": {"l_partkey"},
+    "orders": {"o_orderdate"},
+    "events": {"user_id"},
+}
+
+
 @query(
     "catalog_null_profile_approx",
     "\nUNION ALL\n".join(
@@ -5491,9 +5503,15 @@ def q_catalog_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
         f" ROUND(1e-9 + SUM(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END)"
         f"  / COUNT(*), 4) AS null_frac,"
-        f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,"
-        f" TRUE AS approx_within_5pct"
-        f" FROM {t}"
+        + (
+            f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" TRUE AS approx_within_5pct"
+            if t not in ("lineitem", "orders", "events")
+            or c in ("l_partkey", "o_orderdate", "user_id")
+            else " CAST(NULL AS BIGINT) AS n_distinct,"
+            " CAST(NULL AS BOOLEAN) AS approx_within_5pct"
+        )
+        + f" FROM {t}"
         for t, cols in _PROFILE_COLS
         for c in cols
     ),
@@ -5526,10 +5544,14 @@ def q_catalog_null_profile_approx(
     columns at sf0.1), so the 5% flag is deterministic headroom given
     the sketch's fixed hash on fixed data; an estimation/merge bug
     flips the flag and hash-mismatches.  The exact side exists for the
-    harness only — it reuses the exact twin's hybrid strategy (fact
-    columns as their own distinct subtrees, dims on one Expand) so
-    this query's bench time is (exact twin + approx pass); the approx
-    pass ALONE is the number that ships, measured separately in
+    harness only, and is a SUBSET (round-6 VERDICT item 2 — the full
+    hybrid re-paid the sibling query's whole cost, ~20 cached-scan
+    jobs): dims keep their one-Expand exact twin (trivially cheap),
+    and each fact table is spot-checked on ONE column spanning the
+    cardinality classes (_PROFILE_SPOT_FACT); the remaining fact
+    columns emit NULL exact/flag, so the oracle still hash-matches and
+    a sketch bug on a spot column still flips its flag.  The approx
+    pass ALONE is the production number, measured separately in
     BASELINE.md."""
     fact_tables = {"lineitem", "orders", "events"}
 
@@ -5539,6 +5561,7 @@ def q_catalog_null_profile_approx(
     out = None
     for t, cols in _PROFILE_COLS:
         df = _t(spark, sf_dir, t)
+        spot = _PROFILE_SPOT_FACT.get(t, set(cols))
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in cols:
             aggs.append(
@@ -5554,6 +5577,8 @@ def q_catalog_null_profile_approx(
         if t in fact_tables:
             one = df.agg(*aggs)
             for c in cols:
+                if c not in spot:
+                    continue
                 one = one.crossJoin(
                     df.select(c)
                     .distinct()
@@ -5564,9 +5589,14 @@ def q_catalog_null_profile_approx(
                 aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
             one = df.agg(*aggs)
         stack_args = ", ".join(
-            f"'{c}', round(__null_{c} / __n + 1e-9, 4),"
-            f" cast(__dist_{c} as bigint),"
-            f" abs(__approx_{c} - __dist_{c}) <= 0.05 * __dist_{c}"
+            (
+                f"'{c}', round(__null_{c} / __n + 1e-9, 4),"
+                f" cast(__dist_{c} as bigint),"
+                f" abs(__approx_{c} - __dist_{c}) <= 0.05 * __dist_{c}"
+                if c in spot
+                else f"'{c}', round(__null_{c} / __n + 1e-9, 4),"
+                " cast(null as bigint), cast(null as boolean)"
+            )
             for c in cols
         )
         rows = one.select(

@@ -13,6 +13,16 @@ Timing = wall-clock of plan construction + collect() per query, warm
 session (JVM/session startup excluded).  `value` is the sum over all
 queries — the headline "full registry sweep" number recorded per round
 against BASELINE.md.
+
+Regression guard (round-6 VERDICT item 7): each query's time is
+checked against the COMMITTED bench_queries.json (read before this run
+overwrites it) with a budget of 2x max(committed, 0.5s) — the 0.5s
+floor keeps sub-100ms queries from tripping on scheduler noise.  Any
+violation is listed on stderr and the process exits 1 (after the
+summary line, so the driver still parses the run), making a per-query
+regression fail the builder's own sweep instead of waiting for the
+judge's diff.  New queries (absent from the committed artifact) and
+non-default sf dirs are skipped; SPARK_GRAFT_BENCH_GUARD=0 disables.
 """
 
 from __future__ import annotations
@@ -23,6 +33,22 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def guard_violations(
+    timings: dict[str, float],
+    committed: dict[str, float],
+    factor: float = 2.0,
+    floor: float = 0.5,
+) -> list[tuple[str, float, float]]:
+    """(name, new, committed) for every query slower than
+    factor x max(committed, floor) — the regression-guard predicate
+    (module docstring), pure so tests can pin its semantics."""
+    return [
+        (name, t, committed[name])
+        for name, t in timings.items()
+        if name in committed and t > factor * max(committed[name], floor)
+    ]
 
 
 def main() -> None:
@@ -101,6 +127,20 @@ def main() -> None:
     artifact = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
     )
+    # regression guard: committed per-query map, read before overwrite
+    committed: dict[str, float] = {}
+    guard_on = (
+        os.environ.get("SPARK_GRAFT_BENCH_GUARD", "1") != "0"
+        and sf_dir == "/root/testdata/sf0.1"
+    )
+    if guard_on and os.path.exists(artifact):
+        try:
+            with open(artifact) as f:
+                prior = json.load(f)
+            if prior.get("sf") == 0.1:
+                committed = prior.get("queries", {})
+        except (json.JSONDecodeError, OSError):
+            pass
     def pct(vals: list[float], p: float) -> float:
         s = sorted(vals)
         return round(s[min(int(p * len(s)), len(s) - 1)], 3)
@@ -145,6 +185,20 @@ def main() -> None:
             }
         )
     )
+
+    # per-query budget assertion (see module docstring) — after the
+    # summary line so the driver's parse still succeeds
+    violations = guard_violations(timings, committed)
+    if violations:
+        for name, t, base in sorted(
+            violations, key=lambda v: v[1] / max(v[2], 0.5), reverse=True
+        ):
+            print(
+                f"REGRESSION {name}: {t:.3f}s > 2x committed"
+                f" {base:.3f}s (floor 0.5s)",
+                file=sys.stderr,
+            )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

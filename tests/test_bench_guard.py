@@ -1,0 +1,40 @@
+"""The bench.py regression guard (round-6 VERDICT item 7): a >2x
+per-query slowdown against the committed bench_queries.json must fail
+the builder's own sweep — pinned on the extracted pure predicate."""
+
+import importlib.util
+import os
+
+
+def _bench():
+    path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    spec = importlib.util.spec_from_file_location("bench", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_guard_flags_only_real_regressions():
+    gv = _bench().guard_violations
+    committed = {"big": 4.0, "mid": 1.0, "tiny": 0.05}
+    # within budget: untouched, below 2x, sub-floor noise, new query
+    assert gv(
+        {"big": 7.9, "mid": 1.9, "tiny": 0.9, "brand_new": 50.0},
+        committed,
+    ) == []
+    # a real regression on a heavy query is caught
+    assert gv({"big": 8.1}, committed) == [("big", 8.1, 4.0)]
+    # the 0.5s floor: a 0.05s query is budgeted against the floor, so
+    # 0.9s passes (above 2x its own time) but 1.1s fails
+    assert gv({"tiny": 1.1}, committed) == [("tiny", 1.1, 0.05)]
+
+
+def test_guard_exit_path_is_wired():
+    """main() must call the predicate and exit non-zero on violations —
+    pinned structurally (running a full sweep in tests is too slow):
+    the source routes guard_violations into sys.exit(1)."""
+    import inspect
+
+    src = inspect.getsource(_bench().main)
+    assert "guard_violations(timings, committed)" in src
+    assert "sys.exit(1)" in src
