@@ -35,6 +35,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def artifact_name_for(sf_dir: str) -> str:
+    """Per-query artifact filename for a bench run at ``sf_dir``.  The
+    default sf dir owns bench_queries.json (the committed guard
+    baseline); any other dir gets its own file (bench_sf1.json for the
+    scale corpus) so a scaling run never clobbers the baseline — the
+    round-7 sf1 sweep overwrote it and had to be git-restored."""
+    if sf_dir == DEFAULT_SF_DIR:
+        return "bench_queries.json"
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base == "sf1":
+        return "bench_sf1.json"
+    return f"bench_queries_{base.replace('.', '_')}.json"
+
+
 def guard_violations(
     timings: dict[str, float],
     committed: dict[str, float],
@@ -52,7 +69,7 @@ def guard_violations(
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from advanced_etl_pipelines_spark.session import get_spark
@@ -123,15 +140,16 @@ def main() -> None:
         sf_val = sf
 
     # Full per-query map -> artifact file (too big for the driver's
-    # stdout capture at 150+ queries; see module docstring).
+    # stdout capture at 150+ queries; see module docstring).  Naming
+    # per artifact_name_for: non-default sf dirs write their own file.
+    default_sf = sf_dir == DEFAULT_SF_DIR
     artifact = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
+        os.path.dirname(os.path.abspath(__file__)), artifact_name_for(sf_dir)
     )
     # regression guard: committed per-query map, read before overwrite
     committed: dict[str, float] = {}
     guard_on = (
-        os.environ.get("SPARK_GRAFT_BENCH_GUARD", "1") != "0"
-        and sf_dir == "/root/testdata/sf0.1"
+        os.environ.get("SPARK_GRAFT_BENCH_GUARD", "1") != "0" and default_sf
     )
     if guard_on and os.path.exists(artifact):
         try:

@@ -38,3 +38,16 @@ def test_guard_exit_path_is_wired():
     src = inspect.getsource(_bench().main)
     assert "guard_violations(timings, committed)" in src
     assert "sys.exit(1)" in src
+
+
+def test_artifact_name_routes_nondefault_sf_dirs_away_from_baseline():
+    b = _bench()
+    assert b.artifact_name_for(b.DEFAULT_SF_DIR) == "bench_queries.json"
+    assert b.artifact_name_for("/root/repo/.localdata/sf1") == (
+        "bench_sf1.json"
+    )
+    assert b.artifact_name_for(".localdata/sf1/") == "bench_sf1.json"
+    # anything else gets a derived name, never the guard baseline
+    assert b.artifact_name_for("/root/testdata/sf0.01") == (
+        "bench_queries_sf0_01.json"
+    )
