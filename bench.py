@@ -21,8 +21,11 @@ floor keeps sub-100ms queries from tripping on scheduler noise.  Any
 violation is listed on stderr and the process exits 1 (after the
 summary line, so the driver still parses the run), making a per-query
 regression fail the builder's own sweep instead of waiting for the
-judge's diff.  New queries (absent from the committed artifact) and
-non-default sf dirs are skipped; SPARK_GRAFT_BENCH_GUARD=0 disables.
+judge's diff.  Per-query ratios are first divided by the sweep's
+MEDIAN ratio (clamped >= 1, full sweeps only) so a uniformly loaded
+box doesn't false-positive — see guard_violations.  New queries
+(absent from the committed artifact) and non-default sf dirs are
+skipped; SPARK_GRAFT_BENCH_GUARD=0 disables.
 """
 
 from __future__ import annotations
@@ -59,12 +62,31 @@ def guard_violations(
     floor: float = 0.5,
 ) -> list[tuple[str, float, float]]:
     """(name, new, committed) for every query slower than
-    factor x max(committed, floor) — the regression-guard predicate
-    (module docstring), pure so tests can pin its semantics."""
+    factor x max(committed, floor) AFTER dividing out the sweep's
+    median slowdown — the regression-guard predicate (module
+    docstring), pure so tests can pin its semantics.
+
+    The median normalization kills the load false-positive class
+    observed round 7: a busy box slows every query ~uniformly (three
+    loaded sweeps each flagged 1-7 queries at 1.19-1.27x median with
+    no code change), while a genuine regression is localized to the
+    changed query.  The normalizer is clamped to >= 1 so a FASTER box
+    never hides a real regression, and is only estimated when enough
+    queries overlap for a median to mean anything (a full sweep has
+    321; degenerate subsets get load=1, the old strict semantics)."""
+    ratios = sorted(
+        t / max(committed[name], floor)
+        for name, t in timings.items()
+        if name in committed
+    )
+    load = (
+        max(1.0, ratios[len(ratios) // 2]) if len(ratios) >= 20 else 1.0
+    )
     return [
         (name, t, committed[name])
         for name, t in timings.items()
-        if name in committed and t > factor * max(committed[name], floor)
+        if name in committed
+        and t / load > factor * max(committed[name], floor)
     ]
 
 

@@ -29,6 +29,30 @@ def test_guard_flags_only_real_regressions():
     assert gv({"tiny": 1.1}, committed) == [("tiny", 1.1, 0.05)]
 
 
+def test_guard_median_normalization_absorbs_uniform_load():
+    """A uniformly slow box (round-7: three loaded sweeps, 1.19-1.27x
+    median, 1-7 false flags each) must not trip the guard; a localized
+    regression on that same loaded box still must."""
+    gv = _bench().guard_violations
+    committed = {f"q{i}": 1.0 for i in range(30)}
+    # whole sweep 1.3x slow, one query drifting to 2.2x: no flags —
+    # normalized, 2.2/1.3 = 1.69x is inside budget
+    slow = {f"q{i}": 1.3 for i in range(30)}
+    slow["q7"] = 2.2
+    assert gv(slow, committed) == []
+    # same load, but one query at 5x: flagged (5/1.3 = 3.8x)
+    slow["q7"] = 5.0
+    assert gv(slow, committed) == [("q7", 5.0, 1.0)]
+    # a FAST box never hides a regression: everything 0.5x except one
+    # genuine 2.5x — the normalizer clamps at 1, so it is flagged
+    fast = {f"q{i}": 0.5 for i in range(30)}
+    fast["q3"] = 2.5
+    assert gv(fast, committed) == [("q3", 2.5, 1.0)]
+    # degenerate subsets (< 20 overlapping) keep strict semantics:
+    # no median estimate, a lone 2.1x trips
+    assert gv({"q1": 2.1}, committed) == [("q1", 2.1, 1.0)]
+
+
 def test_guard_exit_path_is_wired():
     """main() must call the predicate and exit non-zero on violations —
     pinned structurally (running a full sweep in tests is too slow):
