@@ -164,7 +164,20 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 4)
+        # 4 decimals, capped at 12 SIGNIFICANT digits.  A double only
+        # carries ~15-16 significant digits, and a reduction over
+        # millions of rows is nondeterministic below ~12 of them:
+        # Spark's partial-agg merge order varies run to run, so a
+        # full-table SUM(money) at sf1 (~3e11) differs ~1e-4 between
+        # runs — enough to flip a ROUND(x, 2) cent boundary (~2% per
+        # cell; rollup_pricing's grand total did exactly this in the
+        # round-7 full sf1 gate, green on re-run).  Comparing past 12
+        # significant digits compares that noise, not the answer; a
+        # real defect moves values at far coarser scales.
+        m = abs(v)
+        # negative ndigits (python-legal) keeps the cap above 1e12
+        digits = 4 if m < 1e8 else 11 - int(math.log10(m))
+        return round(v, digits)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, bytes):
