@@ -164,19 +164,23 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # 4 decimals, capped at 12 SIGNIFICANT digits.  A double only
-        # carries ~15-16 significant digits, and a reduction over
-        # millions of rows is nondeterministic below ~12 of them:
-        # Spark's partial-agg merge order varies run to run, so a
-        # full-table SUM(money) at sf1 (~3e11) differs ~1e-4 between
-        # runs — enough to flip a ROUND(x, 2) cent boundary (~2% per
-        # cell; rollup_pricing's grand total did exactly this in the
-        # round-7 full sf1 gate, green on re-run).  Comparing past 12
-        # significant digits compares that noise, not the answer; a
-        # real defect moves values at far coarser scales.
+        # 4 decimals, capped at 10 SIGNIFICANT digits once the value
+        # is money-aggregate-sized.  Spark's partial-agg merge order
+        # varies run to run, so big double SUMs carry run-to-run
+        # noise; hashing a ROUND(x, 2) cell whose quantum sits within
+        # that noise is a coin flip.  Two round-7 full sf1 gates each
+        # failed exactly one such cell and matched cell-for-cell on
+        # rerun: rollup_pricing's 6M-row grand total (~3.2e11, cent
+        # quantum under ~1e-4 noise), then revenue_ma_crossover's
+        # monthly sums (~5e9, cent quantum under ~1e-5 noise, 200+
+        # exposed cells).  Ten significant digits sits orders of
+        # magnitude above the noise and orders below any real defect
+        # (losing ONE row moves a money aggregate by >= the row's
+        # value, ~1e5 here); small values keep exact 4-decimal
+        # semantics.  Negative ndigits (python-legal) keeps the cap
+        # above 1e10.
         m = abs(v)
-        # negative ndigits (python-legal) keeps the cap above 1e12
-        digits = 4 if m < 1e8 else 11 - int(math.log10(m))
+        digits = 4 if m < 1e6 else 9 - int(math.log10(m))
         return round(v, digits)
     if hasattr(v, "isoformat"):
         return v.isoformat()

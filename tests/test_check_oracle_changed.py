@@ -114,25 +114,28 @@ def test_parse_argv_flags_any_order(co):
         co.parse_argv(["d", "--json"])
 
 
-def test_norm_cell_caps_floats_at_12_significant_digits(co):
+def test_norm_cell_caps_floats_at_10_significant_digits(co):
     """Round-7 sf1 flake class: Spark's partial-agg merge order varies
-    run to run, so full-table money sums (~3e11 at sf1) carry ~1e-4
-    nondeterminism — enough to flip a ROUND(x, 2) cent.  norm_cell
-    must equate the two rounded variants (noise) while still splitting
-    genuinely different answers."""
+    run to run, so big money sums (3.2e11 rollup grand total, 5e9
+    monthly revenues) carry 1e-5..1e-4 nondeterminism — enough to flip
+    a ROUND(x, 2) cent.  norm_cell must equate the rounded variants
+    (noise) while still splitting genuinely different answers."""
     n = co.norm_cell
     # the observed rollup_pricing grand-total pair: one-cent apart at
     # 3.2e11 -> identical after normalization
     assert n(317712021236.0) == n(317712021236.01)
-    # a real defect at the same magnitude still differs
-    assert n(317712021236.0) != n(317712021736.0)
+    # the revenue_ma_crossover scale: one-cent apart at 4.6e9
+    assert n(4612345678.41) == n(4612345678.42)
+    # a real defect still differs: one lost ~1e5 row at either scale
+    assert n(317712021236.0) != n(317712121236.0)
+    assert n(4612345678.41) != n(4612245678.41)
     # small magnitudes keep the historical 4-decimal semantics
     assert n(0.12342) == 0.1234 and n(0.12342) != n(0.12348)
     assert n(12345.6789) == 12345.6789
-    # boundary: below 1e8 stays 4dp; at 1e8 the cap is 3dp (12 sig)
-    assert n(99999999.12342) == 99999999.1234
-    assert n(1.0e8 + 0.0001) == 1.0e8
-    assert n(1.0e8 + 0.001) == 1.0e8 + 0.001
-    # cap holds past 1e12 (negative ndigits path)
-    assert n(1.23456789012345e15) == n(1.23456789012399e15)
+    # boundary: below 1e6 stays 4dp; at 1e6 the cap is 3dp (10 sig)
+    assert n(999999.12342) == 999999.1234
+    assert n(1.0e6 + 0.0001) == 1.0e6
+    assert n(1.0e6 + 0.001) == 1.0e6 + 0.001
+    # cap holds past 1e10 (negative ndigits path)
+    assert n(1.23456789012e13) == n(1.23456789049e13)
     assert n(float("nan")) == "NaN" and n(None) is None
