@@ -15,15 +15,20 @@ queries — the headline "full registry sweep" number recorded per round
 against BASELINE.md.
 
 Regression guard (round-6 VERDICT item 7): each query's time is
-checked against the COMMITTED bench_queries.json (read before this run
-overwrites it) with a budget of 2x max(committed, 0.5s) — the 0.5s
-floor keeps sub-100ms queries from tripping on scheduler noise.  Any
-violation is listed on stderr and the process exits 1 (after the
-summary line, so the driver still parses the run), making a per-query
-regression fail the builder's own sweep instead of waiting for the
-judge's diff.  Per-query ratios are first divided by the sweep's
-MEDIAN ratio (clamped >= 1, full sweeps only) so a uniformly loaded
-box doesn't false-positive — see guard_violations.  New queries
+checked against the COMMITTED bench_queries.json with a budget of
+2x max(committed, 0.5s) — the 0.5s floor keeps sub-100ms queries from
+tripping on scheduler noise.  Any violation is listed on stderr and
+the process exits 1 (after the summary line, so the driver still
+parses the run), making a per-query regression fail the builder's own
+sweep instead of waiting for the judge's diff.  Per-query ratios are
+first divided by the sweep's MEDIAN ratio (clamped >= 1, full sweeps
+only) so a uniformly loaded box doesn't false-positive — see
+guard_violations.  A VIOLATING run writes its per-query map to
+bench_queries.failed.json and leaves the committed baseline untouched
+(round-7 VERDICT item 2).  Position-localized JVM warm-up (round-7:
+sweep positions 0-39 at 1.86x vs 1.08x for the rest, 16 false flags)
+is retired by an untimed warm-up pass over the first
+SPARK_GRAFT_BENCH_WARMUP queries before timing starts.  New queries
 (absent from the committed artifact) and non-default sf dirs are
 skipped; SPARK_GRAFT_BENCH_GUARD=0 disables.
 """
@@ -40,19 +45,60 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
+# estimated-load factor above which the summary is suspect: either the
+# box is heavily loaded or a sweep-wide code regression is hiding in the
+# normalizer (round-7 ADVICE) — surfaced as a stderr WARN, never silent
+LOAD_WARN_RATIO = 1.5
 
-def artifact_name_for(sf_dir: str) -> str:
+
+def is_default_sf(sf_dir: str) -> bool:
+    """Realpath-normalized comparison against DEFAULT_SF_DIR (round-7
+    ADVICE: an exact string compare meant a trailing slash or symlink
+    spelling of the default dir silently disabled the guard and routed
+    the artifact to a derived filename)."""
+    return os.path.realpath(sf_dir.rstrip("/") or "/") == os.path.realpath(
+        DEFAULT_SF_DIR
+    )
+
+
+def artifact_name_for(sf_dir: str, violated: bool = False) -> str:
     """Per-query artifact filename for a bench run at ``sf_dir``.  The
     default sf dir owns bench_queries.json (the committed guard
     baseline); any other dir gets its own file (bench_sf1.json for the
     scale corpus) so a scaling run never clobbers the baseline — the
-    round-7 sf1 sweep overwrote it and had to be git-restored."""
-    if sf_dir == DEFAULT_SF_DIR:
-        return "bench_queries.json"
+    round-7 sf1 sweep overwrote it and had to be git-restored.
+
+    ``violated=True`` (guard failures present) routes the default-dir
+    artifact to bench_queries.failed.json so a failing run NEVER
+    replaces the committed baseline (round-7 VERDICT item 2: the
+    driver's warm-up-inflated rc=1 run overwrote bench_queries.json in
+    the working tree; committing that blindly would have inflated the
+    early-query budgets by up to 13x and blinded the guard exactly
+    where it misfired)."""
+    if is_default_sf(sf_dir):
+        return "bench_queries.failed.json" if violated else "bench_queries.json"
     base = os.path.basename(sf_dir.rstrip("/"))
     if base == "sf1":
         return "bench_sf1.json"
     return f"bench_queries_{base.replace('.', '_')}.json"
+
+
+def estimate_load(
+    timings: dict[str, float], committed: dict[str, float], floor: float = 0.5
+) -> float:
+    """Sweep-wide load factor: the median per-query ratio vs the
+    committed baseline, clamped >= 1 (a FASTER box never hides a
+    regression) and only estimated when >= 20 queries overlap (a
+    degenerate subset keeps strict load=1 semantics).  Pure, shared by
+    the guard and the summary line so the artifact self-normalizes
+    across boxes (round-7 VERDICT item 6: three rounds of judge effort
+    re-derived "the box was Nx slow" from per-query diffs)."""
+    ratios = sorted(
+        t / max(committed[name], floor)
+        for name, t in timings.items()
+        if name in committed
+    )
+    return max(1.0, ratios[len(ratios) // 2]) if len(ratios) >= 20 else 1.0
 
 
 def guard_violations(
@@ -73,15 +119,16 @@ def guard_violations(
     changed query.  The normalizer is clamped to >= 1 so a FASTER box
     never hides a real regression, and is only estimated when enough
     queries overlap for a median to mean anything (a full sweep has
-    321; degenerate subsets get load=1, the old strict semantics)."""
-    ratios = sorted(
-        t / max(committed[name], floor)
-        for name, t in timings.items()
-        if name in committed
-    )
-    load = (
-        max(1.0, ratios[len(ratios) // 2]) if len(ratios) >= 20 else 1.0
-    )
+    321; degenerate subsets get load=1, the old strict semantics).
+
+    What the median CANNOT absorb is POSITION-LOCALIZED warm-up
+    (round-7: sweep positions 0-39 ran at 1.86x median while the rest
+    sat at 1.08x, 16 false flags) — that class is prevented upstream by
+    main()'s untimed warm-up pass, not here.  And it deliberately CAN
+    absorb a sweep-wide code regression (round-7 ADVICE): main()
+    surfaces the estimated load in the summary line and warns above
+    LOAD_WARN_RATIO so a uniform slowdown is visible, not silent."""
+    load = estimate_load(timings, committed, floor)
     return [
         (name, t, committed[name])
         for name, t in timings.items()
@@ -120,6 +167,35 @@ def main() -> None:
 
         cache_sec = round(cache_sf_tables(spark, sf_dir), 3)
 
+    # Untimed warm-up pass (round-7 VERDICT item 1): a cold JVM pays
+    # JIT/codegen/GC-sizing warm-up for roughly the first 30-40 sweep
+    # positions — the driver's round-7 run showed positions 0-39 at
+    # 1.86x median while positions 40+ sat at 1.08x, and best-of-2
+    # back-to-back runs cannot absorb a cost that spans many queries.
+    # Running the sweep's first SPARK_GRAFT_BENCH_WARMUP queries once
+    # untimed (default 30, 0 disables) retires that warm-up before the
+    # timed region starts, so the regression guard sees steady-state
+    # numbers at every position.
+    from advanced_etl_pipelines_spark.operators.caching import (
+        release_tracked_caches,
+    )
+
+    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "30"))
+    for name in list(queries)[: max(n_warm, 0)]:
+        queries[name](spark, sf_dir).collect()
+        release_tracked_caches()
+
+    # Tiny fixed CPU-bound probe, timed: a data-independent
+    # load-normalization index for cross-box comparison (round-7
+    # VERDICT item 6) — ride-along in the summary next to
+    # cache_build_sec so "the box was Nx slow" is read off the
+    # artifact instead of re-derived from per-query diffs.
+    t0 = time.perf_counter()
+    spark.range(0, 4_000_000, 1, 8).selectExpr(
+        "sum(id * 3 + 1) AS s", "avg(id % 97) AS a"
+    ).collect()
+    probe_sec = round(time.perf_counter() - t0, 3)
+
     # Best-of-N per query (default 2): the first run pays plan + codegen
     # compilation, a one-time cost that is noise at any real scale.
     # Per-query time splits into build (Python plan construction — lazy,
@@ -149,10 +225,6 @@ def main() -> None:
         # r3 methodology).  Without this a 289-query sweep accumulates
         # every persisted intermediate in the CacheManager until the
         # session ends (ADVICE r3, medium).
-        from advanced_etl_pipelines_spark.operators.caching import (
-            release_tracked_caches,
-        )
-
         release_tracked_caches()
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -161,32 +233,40 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    # Full per-query map -> artifact file (too big for the driver's
-    # stdout capture at 150+ queries; see module docstring).  Naming
-    # per artifact_name_for: non-default sf dirs write their own file.
-    default_sf = sf_dir == DEFAULT_SF_DIR
-    artifact = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), artifact_name_for(sf_dir)
-    )
-    # regression guard: committed per-query map, read before overwrite
+    # regression guard: committed per-query map, read BEFORE any write
+    default_sf = is_default_sf(sf_dir)
+    here = os.path.dirname(os.path.abspath(__file__))
     committed: dict[str, float] = {}
     guard_on = (
         os.environ.get("SPARK_GRAFT_BENCH_GUARD", "1") != "0" and default_sf
     )
-    if guard_on and os.path.exists(artifact):
+    baseline_path = os.path.join(here, artifact_name_for(sf_dir))
+    if guard_on and os.path.exists(baseline_path):
         try:
-            with open(artifact) as f:
+            with open(baseline_path) as f:
                 prior = json.load(f)
             if prior.get("sf") == 0.1:
                 committed = prior.get("queries", {})
         except (json.JSONDecodeError, OSError):
             pass
+
+    # Guard verdict FIRST, artifact write second (round-7 VERDICT item
+    # 2): a violating run routes to bench_queries.failed.json so the
+    # committed baseline is never replaced by a failing sweep.
+    violations = guard_violations(timings, committed)
+    load = round(estimate_load(timings, committed), 3)
+    artifact = os.path.join(
+        here, artifact_name_for(sf_dir, violated=bool(violations))
+    )
+
     def pct(vals: list[float], p: float) -> float:
         s = sorted(vals)
         return round(s[min(int(p * len(s)), len(s) - 1)], 3)
 
     splits = {
         "cache_build_sec": cache_sec,
+        "probe_sec": probe_sec,
+        "load_median_ratio": load,
         "build_p50": pct(list(build_s.values()), 0.50),
         "build_p95": pct(list(build_s.values()), 0.95),
         "exec_p50": pct(list(exec_s.values()), 0.50),
@@ -211,7 +291,10 @@ def main() -> None:
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
     # SHORT summary as the LAST stdout line — this is what the driver
-    # parses into BENCH_r{N}.json.
+    # parses into BENCH_r{N}.json.  cache_build_sec + probe_sec +
+    # load_median_ratio are the load-normalization index (item 6):
+    # probe is data-independent CPU work, load is the median per-query
+    # ratio vs the committed baseline (1.0 when no baseline overlaps).
     print(
         json.dumps(
             {
@@ -221,14 +304,25 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "cache_build_sec": cache_sec,
+                "probe_sec": probe_sec,
+                "load_median_ratio": load,
                 "queries": top10,
             }
         )
     )
+    if load > LOAD_WARN_RATIO:
+        # round-7 ADVICE: the median normalizer can absorb a sweep-wide
+        # code regression — make a large divided-out factor loud
+        print(
+            f"WARN sweep median ratio {load:.2f}x committed exceeds"
+            f" {LOAD_WARN_RATIO}x: heavy box load, or a sweep-wide"
+            " regression hiding in the normalizer — re-run on a quiet"
+            " box before trusting this sweep",
+            file=sys.stderr,
+        )
 
     # per-query budget assertion (see module docstring) — after the
     # summary line so the driver's parse still succeeds
-    violations = guard_violations(timings, committed)
     if violations:
         for name, t, base in sorted(
             violations, key=lambda v: v[1] / max(v[2], 0.5), reverse=True

@@ -162,8 +162,15 @@ def norm_cell(v):
     if v is None:
         return None
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
+        if not math.isfinite(v):
+            # NaN/±Inf as sentinel strings BEFORE the magnitude branch:
+            # int(math.log10(inf)) raises OverflowError, and row_multiset
+            # runs outside the per-query try/except — one infinite cell
+            # would crash the whole gate run instead of failing its
+            # query (round-7 ADVICE)
+            if math.isnan(v):
+                return "NaN"
+            return "Inf" if v > 0 else "-Inf"
         # 4 decimals, capped at 10 SIGNIFICANT digits once the value
         # is money-aggregate-sized.  Spark's partial-agg merge order
         # varies run to run, so big double SUMs carry run-to-run

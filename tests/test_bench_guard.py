@@ -64,6 +64,84 @@ def test_guard_exit_path_is_wired():
     assert "sys.exit(1)" in src
 
 
+def test_guard_cannot_absorb_position_localized_warmup():
+    """Round-7 incident, pinned as the reason the warm-up pass exists:
+    a cold JVM ran sweep positions 0-39 at 1.86x median (individual
+    queries up to 13x) while positions 40+ sat at 1.08x.  The median
+    normalizer sees the 40+ majority (load ~1.08) and correctly does
+    NOT absorb the early spikes — so without main()'s untimed warm-up
+    pass, cold-start costs flag as regressions.  The fix is upstream:
+    retire warm-up before timing, keep the guard strict."""
+    gv = _bench().guard_violations
+    committed = {f"q{i}": 0.6 for i in range(321)}
+    observed = {f"q{i}": 0.6 * 1.08 for i in range(321)}
+    for i in range(40):  # cold positions: 2-6x, like the driver's run
+        observed[f"q{i}"] = 0.6 * (2.0 + (i % 5))
+    flagged = {name for name, _, _ in gv(observed, committed)}
+    assert flagged and flagged <= {f"q{i}" for i in range(40)}
+    # with warm-up retired (the same sweep minus the cold spikes),
+    # the guard is clean
+    warmed = {f"q{i}": 0.6 * 1.08 for i in range(321)}
+    assert gv(warmed, committed) == []
+
+
+def test_warmup_pass_is_wired():
+    """main() must run the untimed warm-up loop BEFORE the timed
+    region (structurally pinned, like the exit path): the warm-up loop
+    and the probe both appear in source before the best-of-N loop."""
+    import inspect
+
+    src = inspect.getsource(_bench().main)
+    warm = src.index("SPARK_GRAFT_BENCH_WARMUP")
+    timed = src.index("best = float(\"inf\")")
+    assert warm < timed
+    assert src.index("probe_sec = round") < timed
+
+
+def test_estimate_load_is_surfaced_and_clamped():
+    est = _bench().estimate_load
+    committed = {f"q{i}": 1.0 for i in range(30)}
+    assert est({f"q{i}": 1.3 for i in range(30)}, committed) == 1.3
+    # clamped at 1 on a fast box; degenerate overlap -> 1
+    assert est({f"q{i}": 0.5 for i in range(30)}, committed) == 1.0
+    assert est({"q1": 3.0}, committed) == 1.0
+
+
+def test_failed_run_never_routes_to_committed_baseline():
+    """Round-7 VERDICT item 2: a guard-violating default-sf run must
+    write bench_queries.failed.json, never the committed baseline."""
+    b = _bench()
+    assert b.artifact_name_for(b.DEFAULT_SF_DIR, violated=True) == (
+        "bench_queries.failed.json"
+    )
+    assert b.artifact_name_for(b.DEFAULT_SF_DIR, violated=False) == (
+        "bench_queries.json"
+    )
+    # non-default dirs never guard, so violated is irrelevant there
+    assert b.artifact_name_for("/root/repo/.localdata/sf1", violated=True) == (
+        "bench_sf1.json"
+    )
+    # main() wires the verdict into the artifact path before writing
+    import inspect
+
+    src = inspect.getsource(b.main)
+    assert src.index("violations = guard_violations") < src.index(
+        "with open(artifact, \"w\")"
+    )
+    assert "violated=bool(violations)" in src
+
+
+def test_default_sf_detection_is_realpath_normalized():
+    """Round-7 ADVICE: trailing slash / alternate spelling of the
+    default dir must still engage the guard + baseline routing."""
+    b = _bench()
+    assert b.is_default_sf(b.DEFAULT_SF_DIR)
+    assert b.is_default_sf(b.DEFAULT_SF_DIR + "/")
+    assert b.is_default_sf("/root/testdata//sf0.1/")
+    assert not b.is_default_sf("/root/testdata/sf0.01")
+    assert b.artifact_name_for(b.DEFAULT_SF_DIR + "/") == "bench_queries.json"
+
+
 def test_artifact_name_routes_nondefault_sf_dirs_away_from_baseline():
     b = _bench()
     assert b.artifact_name_for(b.DEFAULT_SF_DIR) == "bench_queries.json"

@@ -139,3 +139,15 @@ def test_norm_cell_caps_floats_at_10_significant_digits(co):
     # cap holds past 1e10 (negative ndigits path)
     assert n(1.23456789012e13) == n(1.23456789049e13)
     assert n(float("nan")) == "NaN" and n(None) is None
+
+
+def test_norm_cell_handles_infinities_without_crashing(co):
+    """Round-7 ADVICE: int(math.log10(inf)) raises OverflowError, and
+    row_multiset runs OUTSIDE the per-query try/except — one infinite
+    cell in any result would have crashed the entire gate run.  ±Inf
+    must normalize to sentinel strings like NaN does, including inside
+    nested lists."""
+    n = co.norm_cell
+    assert n(float("inf")) == "Inf"
+    assert n(float("-inf")) == "-Inf"
+    assert n([1.0, float("inf"), float("-inf")]) == (1.0, "Inf", "-Inf")
