@@ -21,6 +21,32 @@ from pyspark.sql import functions as F
 
 from advanced_etl_pipelines_spark.functions.vectors import as_double
 
+# k-means value-determinism quanta (see kmeans_lloyd docstring): the
+# assignment ranks round(d2 + EPS, D2_DECIMALS) with argmin's
+# lowest-index tie-break, and each updated centroid mean is quantized
+# to round(m + EPS, CENT_DECIMALS).  Both sit ~8 orders of magnitude
+# above FP reduce-order noise (~1e-14 abs on this data) and well below
+# real cluster separation, making the whole training exactly
+# replayable in DuckDB SQL.  EPS mirrors the registry's r4 shift: it
+# pushes values off exact half-quantum boundaries so numpy's
+# round-half-even and DuckDB's round-half-away can never disagree.
+EPS = 1e-9
+D2_DECIMALS = 6
+CENT_DECIMALS = 7
+
+
+def kmeans_assign_np(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """Nearest-centroid assignment under the determinism rule: one BLAS
+    matmul for the squared distances, quantize, argmin (lowest cluster
+    index wins ties).  Shared by both Lloyd passes and the numpy parity
+    twin in tests."""
+    d2 = (
+        (V * V).sum(axis=1, keepdims=True)
+        - 2.0 * (V @ C.T)
+        + (C * C).sum(axis=1)
+    )
+    return np.round(d2 + EPS, D2_DECIMALS).argmin(axis=1)
+
 
 def pca_fit(
     df: DataFrame, vec_col: str, k: int
@@ -165,10 +191,23 @@ def kmeans_lloyd(
     Deterministic: init takes the vectors at k evenly spaced ranks of
     the id ordering, computed with a distributed prefix count over the
     narrow id column (``stride_seed_ids_frame`` — no single-partition
-    window anywhere, reproducible regardless of partitioning); FP
-    reduce order varies with partitioning, which can flip exact ties by
-    ~1e-12 — the parity test compares centroids and assignments on data
-    without such ties.
+    window anywhere, reproducible regardless of partitioning).
+
+    Value-determinism rule (round-8, the round-6 rounded-tie pattern):
+    FP reduce order varies with partitioning and engine (the BLAS
+    ``|v|²-2vc+|c|²`` identity vs an explicit ``Σ(v-c)²`` differ by
+    ~1e-14 abs), which can flip argmin ties and cascade through the
+    iterations — so (a) assignment ranks the QUANTIZED distance
+    ``round(d2 + 1e-9, D2_DECIMALS)`` with the lowest cluster index as
+    the tie-break (argmin's native tie rule), and (b) updated centroid
+    means are quantized to ``round(m + 1e-9, CENT_DECIMALS)``.  Both
+    quanta sit orders of magnitude above cross-engine/reduce-order
+    noise (~1e-14) and orders below any real cluster separation, so the
+    algorithm is unchanged semantically but replays exactly in DuckDB
+    SQL (``plans/oracle_replays.py::kmeans_assign_ctes``) — that replay
+    is the sf-portable oracle for ``kmeans_cluster_profile`` and
+    ``semdedup_embedding``.  The driver-side partial fold additionally
+    sorts batch rows so collect order can't perturb the sums.
 
     Returns (centroids, assignment DataFrame(id, cluster))."""
     import pandas as pd
@@ -206,12 +245,7 @@ def kmeans_lloyd(
                     [np.asarray(x, dtype=np.float64) for x in pdf["v"]],
                     dtype=np.float64,
                 )
-                d2 = (
-                    (V * V).sum(axis=1, keepdims=True)
-                    - 2.0 * (V @ C.T)
-                    + (C * C).sum(axis=1)
-                )
-                a = d2.argmin(axis=1)
+                a = kmeans_assign_np(V, C)
                 out = {"cluster": [], "cnt": [], "s": []}
                 for c in np.unique(a):
                     m = V[a == c]
@@ -223,6 +257,10 @@ def kmeans_lloyd(
         parts = src.mapInPandas(
             partials, "cluster int, cnt long, s array<double>"
         ).collect()
+        # sort so the float fold below is independent of collect order
+        parts = sorted(
+            parts, key=lambda r: (r["cluster"], r["cnt"], tuple(r["s"]))
+        )
         sums = np.zeros_like(cent)
         cnts = np.zeros(k, dtype=np.int64)
         for r in parts:
@@ -230,7 +268,9 @@ def kmeans_lloyd(
             cnts[r["cluster"]] += r["cnt"]
         nonempty = cnts > 0
         cent = cent.copy()
-        cent[nonempty] = sums[nonempty] / cnts[nonempty, None]
+        cent[nonempty] = np.round(
+            sums[nonempty] / cnts[nonempty, None] + EPS, CENT_DECIMALS
+        )
 
     C = cent
 
@@ -242,13 +282,8 @@ def kmeans_lloyd(
                 [np.asarray(x, dtype=np.float64) for x in pdf["v"]],
                 dtype=np.float64,
             )
-            d2 = (
-                (V * V).sum(axis=1, keepdims=True)
-                - 2.0 * (V @ C.T)
-                + (C * C).sum(axis=1)
-            )
             yield pd.DataFrame(
-                {"id": pdf["id"].to_numpy(), "cluster": d2.argmin(axis=1)}
+                {"id": pdf["id"].to_numpy(), "cluster": kmeans_assign_np(V, C)}
             )
 
     out = src.mapInPandas(assign, "id long, cluster int")

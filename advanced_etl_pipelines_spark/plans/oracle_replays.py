@@ -1,4 +1,6 @@
-"""DuckDB replay builders for the tokenizer-training oracles.
+"""DuckDB replay builders for the iterative-training oracles
+(tokenizers, greedy k-center, Markov attribution, and — round 8 —
+Lloyd k-means for the kmeans/semdedup queries).
 
 Round-4 verdict item 1: the BPE and unigram-LM registry queries used to
 pin an expected-output frame computed at sf0.01 (``sf_pinned=True``), so
@@ -362,6 +364,140 @@ d{r} AS MATERIALIZED (
         " CAST(radius_after AS DOUBLE) AS radius_after FROM (\n"
         + union
         + "\n) ORDER BY rank"
+    )
+
+
+def kmeans_assign_ctes(k_expr: str, iters: int) -> str:
+    """CTE chain replaying ``operators/linalg.py::kmeans_lloyd`` under
+    its round-8 value-determinism rule, ending in ``a{iters}`` (the
+    final (id, cl) assignment) and ``src`` (id, v as DOUBLE[]).
+
+    Mirrored constructs, piece by piece:
+
+    - ``src`` = the Spark source projection (vec_id cast long, embedding
+      cast to double, nulls dropped) — float32→float64 is exact, so both
+      engines start from identical vectors;
+    - seeds = the vectors at ranks 1, 1+step, …, 1+(k-1)·step of the id
+      ordering with step = max(n // k, 1)
+      (``stride_seed_ids_frame``); cluster index = rank order;
+    - assignment ranks ``ROUND(d2 + 1e-9, 6)`` (d2 via
+      ``list_distance²`` here, the BLAS ``|v|²-2vc+|c|²`` identity on
+      the Spark side — the ~1e-14 cross-engine gap vanishes under the
+      1e-6 quantum) and breaks ties on the LOWEST cluster index, via a
+      lexicographic struct ``min({'d': …, 'c': cl})`` = numpy argmin's
+      native tie rule;
+    - centroid means quantize to ``ROUND(m + 1e-9, 7)`` so the two
+      engines' summation orders can't drift apart across iterations;
+      empty clusters keep the previous centroid (the LEFT JOIN
+      COALESCE), exactly Spark's ``cent[nonempty] = …`` update.
+
+    ``k_expr`` is evaluated against ``SELECT … FROM src`` and may use
+    COUNT(*) — adaptive-k callers (semdedup's ``max(16, n/256)``)
+    stay scale-portable with no literal baked in."""
+    parts = [
+        """
+src AS MATERIALIZED (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+params AS (
+  SELECT n, k, GREATEST(n // k, 1) AS step
+  FROM (SELECT COUNT(*) AS n, """
+        + k_expr
+        + """ AS k FROM src)
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl, v
+  FROM (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rnk FROM src),
+       params
+  WHERE (rnk - 1) % step = 0 AND rnk <= 1 + (k - 1) * step
+)"""
+    ]
+    d2q = (
+        "ROUND(POWER(list_distance(s.v, c.v), 2) + 1e-9, 6)"
+    )
+    for t in range(iters + 1):
+        parts.append(f"""
+a{t} AS MATERIALIZED (
+  SELECT s.id, (min({{'d': {d2q}, 'c': c.cl}})).c AS cl
+  FROM src s CROSS JOIN c{t} c
+  GROUP BY s.id
+)""")
+        if t == iters:
+            break
+        parts.append(f"""
+m{t} AS (
+  SELECT cl, list(mv ORDER BY dim) AS v
+  FROM (
+    SELECT cl, dim, ROUND(AVG(val) + 1e-9, 7) AS mv
+    FROM (
+      SELECT a.cl AS cl,
+             unnest(generate_series(1, len(s.v))) AS dim,
+             unnest(s.v) AS val
+      FROM a{t} a JOIN src s USING (id))
+    GROUP BY cl, dim)
+  GROUP BY cl
+),
+c{t + 1} AS MATERIALIZED (
+  SELECT c.cl, COALESCE(m.v, c.v) AS v
+  FROM c{t} c LEFT JOIN m{t} m USING (cl)
+)""")
+    return ",".join(parts)
+
+
+def kmeans_profile_sql(k: int = 8, iters: int = 3) -> str:
+    """Replay of ``kmeans_cluster_profile``: full Lloyd training, then
+    the per-cluster size / label-count / purity rollup."""
+    return (
+        "WITH "
+        + kmeans_assign_ctes(str(k), iters)
+        + f""",
+per AS (
+  SELECT a.cl AS cluster, e.label, COUNT(*) AS n
+  FROM a{iters} a JOIN embeddings e ON e.vec_id = a.id
+  GROUP BY 1, 2
+)
+SELECT CAST(cluster AS INTEGER) AS cluster,
+       CAST(SUM(n) AS BIGINT) AS size,
+       CAST(COUNT(*) AS BIGINT) AS n_labels,
+       ROUND(1e-9 + MAX(n) * 1.0 / SUM(n), 4) AS top_label_share
+FROM per GROUP BY cluster"""
+    )
+
+
+def semdedup_sql(iters: int = 3) -> str:
+    """Replay of ``semdedup_embedding``: adaptive-k Lloyd
+    (k = max(16, n // 256), computed in-SQL so the oracle scales with
+    the corpus), then the within-cluster cosine >= 0.95 min-id removal
+    rule and the per-cluster rollup."""
+    return (
+        "WITH "
+        + kmeans_assign_ctes("GREATEST(16, COUNT(*) // 256)", iters)
+        + f""",
+base AS MATERIALIZED (
+  SELECT s.id, s.v, a.cl AS cluster
+  FROM a{iters} a JOIN src s USING (id)
+),
+pairs AS (
+  SELECT l.cluster, r.id AS removed_id,
+         list_cosine_similarity(l.v, r.v) AS cs
+  FROM base l JOIN base r
+    ON l.cluster = r.cluster AND l.id < r.id
+  WHERE list_cosine_similarity(l.v, r.v) >= 0.95
+),
+removed AS (
+  SELECT cluster, COUNT(DISTINCT removed_id) AS n_removed,
+         ROUND(1e-9 + MAX(cs), 4) AS max_dup_cos
+  FROM pairs GROUP BY cluster
+),
+sizes AS (SELECT cluster, COUNT(*) AS n_vecs FROM base GROUP BY cluster)
+SELECT CAST(s.cluster AS INTEGER) AS cluster,
+       CAST(s.n_vecs AS BIGINT) AS n_vecs,
+       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(r.max_dup_cos AS DOUBLE) AS max_dup_cos
+FROM sizes s LEFT JOIN removed r USING (cluster)
+ORDER BY cluster"""
     )
 
 

@@ -4873,9 +4873,34 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     production.  The approximate sides call the OPERATORS directly with
     the production settings: since round 3 the registered knn_ivf/pq
     queries run exactness-anchored configurations for the oracle gate,
-    and measuring those here would report a vacuous recall of 1.0.  No
-    SQL oracle (a recall-of-approximate-paths meta-query); the recall
-    floors are separately pinned in tests/test_similarity.py."""
+    and measuring those here would report a vacuous recall of 1.0.
+
+    Why this is the registry's one remaining no-oracle entry, precisely
+    (round-8: kmeans_cluster_profile and semdedup_embedding left the
+    rows-only list by quantizing their Lloyd trainer — the same
+    treatment does NOT transfer here):
+
+    1. A SQL oracle would have to REPLAY all three index builds —
+       LSH's 16-plane banding, IVF's 16-centroid codebook, and PQ's
+       m sub-codebooks — as unrolled CTEs.  IVF and PQ each embed
+       ``_kmeans_centroids``: 10 driver-side Lloyd iterations of
+       RAW-float cosine argmax over a 2048-row sample (plus PQ's
+       per-subspace trainers, m×10 more).  Raw-float argmax ties
+       between numpy's BLAS ``x @ cent.T`` and any SQL re-evaluation
+       diverge at ~1e-16, and unlike the corpus-scale Lloyd the fix is
+       not free: quantizing the INDEX trainers changes which cells the
+       production index probes, i.e. it would alter the very recall
+       numbers this query exists to measure against drift.
+    2. Even granted determinism, the replay would be a line-for-line
+       second implementation of `operators/similarity.py` in SQL
+       (~3 × the Markov replay, the suite's heaviest) — an oracle that
+       restates the implementation checks nothing the implementation
+       doesn't already assert; independence is the point of the gate.
+
+    So the value pin lives where it is independent: the recall floors
+    (lsh >= 0.4, ivf >= 0.5, pq >= 0.6 at the production settings)
+    and the numpy-reference agreement are asserted in
+    tests/test_similarity.py; the driver gate records rows+schema."""
     from advanced_etl_pipelines_spark.operators import similarity as S
     from advanced_etl_pipelines_spark.plans.registry import QUERIES
 

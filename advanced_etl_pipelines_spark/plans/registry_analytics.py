@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from advanced_etl_pipelines_spark.functions import text as T
 from advanced_etl_pipelines_spark.operators import scale as S
+from advanced_etl_pipelines_spark.plans import oracle_replays
 from advanced_etl_pipelines_spark.plans.registry import _t, query, r2, r4
 from advanced_etl_pipelines_spark.operators.caching import (
     tracked_persist,
@@ -947,8 +948,17 @@ def q_pca_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("kmeans_cluster_profile")  # iterative Lloyd — rows-only; numpy
-# parity + convergence pinned in tests/test_relational.py
+@query(
+    "kmeans_cluster_profile",
+    # Full DuckDB Lloyd replay (round-8 VERDICT item 3: was rows-only).
+    # Value-hashable because kmeans_lloyd assigns on the QUANTIZED
+    # distance round(d2+1e-9, 6) with a lowest-cluster-index tie-break
+    # and quantizes centroid means to 1e-7 — the round-6 rounded-tie
+    # rule — so FP reduce-order noise (~1e-14) can no longer flip
+    # cluster membership cross-engine.  Numpy parity + convergence
+    # stay pinned in tests/test_relational.py.
+    oracle_replays.kmeans_profile_sql(k=8, iters=3),
+)
 def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus distributed k-means (operators/linalg.py
     kmeans_lloyd, k=8, 3 iterations): per-cluster size and

@@ -24,6 +24,7 @@ from advanced_etl_pipelines_spark.operators import dedup as D
 from advanced_etl_pipelines_spark.operators import multimodal as M
 from advanced_etl_pipelines_spark.operators import scale as SC
 from advanced_etl_pipelines_spark.operators import similarity as S
+from advanced_etl_pipelines_spark.plans import oracle_replays
 from advanced_etl_pipelines_spark.plans.registry import _t, query, r4
 from advanced_etl_pipelines_spark.operators.caching import (
     tracked_persist,
@@ -459,7 +460,17 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("semdedup_embedding")  # iterative k-means stage — rows-only check
+@query(
+    "semdedup_embedding",
+    # Full DuckDB replay (round-8 VERDICT item 3: was rows-only): the
+    # Lloyd stage replays under kmeans_lloyd's quantized-distance /
+    # quantized-centroid determinism rule, with the adaptive
+    # k = max(16, n // 256) computed IN the SQL so the oracle scales
+    # with the corpus; the within-cluster cosine >= 0.95 min-id removal
+    # rule is plain relational algebra on top.  The numpy parity tests
+    # in tests/test_similarity.py stay as the independent pin.
+    oracle_replays.semdedup_sql(iters=3),
+)
 def q_semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings with distributed k-means,
@@ -480,9 +491,11 @@ def q_semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     spending 180 s in the within-cluster pair join (|cluster| ≈ 1250 →
     12.5M pairs); adaptive k bounds expected cluster size at 256.
     Output: per-cluster sizes, removed counts, and the max
-    duplicate-pair similarity — deterministic given the seeded init,
-    checked rows-only (k-means is iterative, not SQL-expressible) with
-    a parity test pinning the removal rule against a numpy reference."""
+    duplicate-pair similarity — value-deterministic since round 8
+    (kmeans_lloyd's quantized-distance assignment rule), so the whole
+    pipeline value-hashes against a DuckDB replay oracle at every sf;
+    a parity test additionally pins the removal rule against a numpy
+    reference."""
     from advanced_etl_pipelines_spark.operators.linalg import kmeans_lloyd
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -224,10 +224,17 @@ def test_pca_matches_numpy(spark):
 
 def test_kmeans_lloyd_matches_numpy_and_converges(spark):
     """Distributed Lloyd must reproduce a numpy Lloyd run from the SAME
-    init (same assignments up to FP ties) and strictly reduce inertia."""
+    init under the round-8 determinism rule (quantized distances +
+    quantized centroid means — see kmeans_lloyd docstring), with
+    IDENTICAL assignments, and strictly reduce inertia."""
     import numpy as np
 
-    from advanced_etl_pipelines_spark.operators.linalg import kmeans_lloyd
+    from advanced_etl_pipelines_spark.operators.linalg import (
+        CENT_DECIMALS,
+        EPS,
+        kmeans_assign_np,
+        kmeans_lloyd,
+    )
     from advanced_etl_pipelines_spark.sources.readers import read_sf_table
 
     emb = read_sf_table(spark, "/root/testdata/sf0.001", "embeddings")
@@ -239,21 +246,20 @@ def test_kmeans_lloyd_matches_numpy_and_converges(spark):
     cent, assign_df = kmeans_lloyd(emb, "embedding", "vec_id", k, iters)
     cent = np.asarray(cent)
 
-    # numpy twin from the same evenly-spaced-rank init
+    # numpy twin from the same evenly-spaced-rank init, same rule
     n = len(V)
     step = max(n // k, 1)
     C = V[np.arange(0, k * step, step)[:k]].copy()
     for _ in range(iters):
-        d2 = ((V * V).sum(1, keepdims=True) - 2 * V @ C.T + (C * C).sum(1))
-        a = d2.argmin(1)
+        a = kmeans_assign_np(V, C)
         for c in range(k):
             if (a == c).any():
-                C[c] = V[a == c].mean(0)
-    assert np.abs(cent - C).max() < 1e-8
+                C[c] = np.round(V[a == c].mean(0) + EPS, CENT_DECIMALS)
+    # centroids are quantized on both sides, so the match is exact
+    assert np.abs(cent - C).max() == 0.0
 
     got = {r["id"]: r["cluster"] for r in assign_df.collect()}
-    d2 = ((V * V).sum(1, keepdims=True) - 2 * V @ C.T + (C * C).sum(1))
-    want = d2.argmin(1)
+    want = kmeans_assign_np(V, C)
     mismatches = sum(
         1 for i, vid in enumerate(ids) if got[vid] != want[i]
     )
@@ -266,6 +272,7 @@ def test_kmeans_lloyd_matches_numpy_and_converges(spark):
          + (V[np.arange(0, k * step, step)[:k]] ** 2).sum(1))
         .min(1).sum()
     )
+    d2 = ((V * V).sum(1, keepdims=True) - 2 * V @ C.T + (C * C).sum(1))
     final_inertia = d2.min(1).sum()
     assert final_inertia < init_inertia
 
