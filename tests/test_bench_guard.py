@@ -131,6 +131,23 @@ def test_failed_run_never_routes_to_committed_baseline():
     assert "violated=bool(violations)" in src
 
 
+def test_violators_are_remeasured_before_the_verdict():
+    """Round-8: best-of-2 can land both samples of one query inside a
+    GC/compile burst (observed [5.06, 2.10, 1.31, ...] on a quiet box),
+    so main() must re-run violators in-session and re-derive the
+    verdict from the minima BEFORE routing the artifact.  Structurally
+    pinned: first verdict -> re-measure loop -> second verdict -> the
+    violated= artifact routing, in that source order."""
+    import inspect
+
+    src = inspect.getsource(_bench().main)
+    first = src.index("violations = guard_violations")
+    rem = src.index("SPARK_GRAFT_BENCH_REMEASURE")
+    second = src.index("violations = guard_violations", first + 1)
+    route = src.index("violated=bool(violations)")
+    assert first < rem < second < route
+
+
 def test_default_sf_detection_is_realpath_normalized():
     """Round-7 ADVICE: trailing slash / alternate spelling of the
     default dir must still engage the guard + baseline routing."""
