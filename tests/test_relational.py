@@ -277,6 +277,35 @@ def test_kmeans_lloyd_matches_numpy_and_converges(spark):
     assert final_inertia < init_inertia
 
 
+def test_kmeans_assign_quantized_tie_rule():
+    """The round-8 determinism contract, pinned directly: assignment
+    ranks the QUANTIZED distance (1e-6), ties go to the lowest cluster
+    index, and sub-quantum perturbations (the FP reduce-order noise
+    class, ~1e-14) can never flip membership."""
+    import numpy as np
+
+    from advanced_etl_pipelines_spark.operators.linalg import (
+        kmeans_assign_np,
+    )
+
+    C = np.array([[0.0, 0.0], [2.0, 0.0]])
+    # exact equidistance -> lowest index
+    assert kmeans_assign_np(np.array([[1.0, 0.0]]), C).tolist() == [0]
+    # a 1e-9 centroid shift (1000x the noise class, still 1000x below
+    # the quantum) leaves the tie intact -> still cluster 0
+    assert kmeans_assign_np(np.array([[1.0, 0.0]]), C + 1e-9).tolist() == [0]
+    # a super-quantum difference decides normally
+    assert kmeans_assign_np(np.array([[1.1, 0.0]]), C).tolist() == [1]
+    # the two d2 evaluation orders (BLAS identity vs explicit sum of
+    # squared diffs) agree after quantization on random data
+    rng = np.random.default_rng(7)
+    V, C = rng.normal(size=(200, 16)), rng.normal(size=(8, 16))
+    explicit = np.round(
+        ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) + 1e-9, 6
+    ).argmin(axis=1)
+    assert kmeans_assign_np(V, C).tolist() == explicit.tolist()
+
+
 def test_kmeans_rejects_k_above_n(spark):
     """n < k must raise a clear ValueError, not an opaque numpy shape
     error from the seed-selection path (ADVICE.md)."""
