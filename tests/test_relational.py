@@ -306,6 +306,32 @@ def test_kmeans_assign_quantized_tie_rule():
     assert kmeans_assign_np(V, C).tolist() == explicit.tolist()
 
 
+def test_kmeans_assignment_is_partition_independent(spark):
+    """The determinism rule's load-bearing claim: changing the Arrow
+    batch composition (tiny 150-row batches + repartitioned input vs
+    the session default) must leave the k-means assignment
+    cell-identical, because partial sums quantize before they can
+    drift and assignments rank quantized distances.  This is exactly
+    what the DuckDB replay oracle relies on at every sf."""
+    from advanced_etl_pipelines_spark.operators.linalg import kmeans_lloyd
+    from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+
+    emb = read_sf_table(spark, "/root/testdata/sf0.001", "embeddings")
+    _, a = kmeans_lloyd(emb, "embedding", "vec_id", k=4, iters=3)
+    base = sorted(map(tuple, a.collect()))
+
+    batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(batch_key)
+    try:
+        spark.conf.set(batch_key, "150")
+        _, b = kmeans_lloyd(
+            emb.repartition(7), "embedding", "vec_id", k=4, iters=3
+        )
+        assert sorted(map(tuple, b.collect())) == base
+    finally:
+        spark.conf.set(batch_key, old)
+
+
 def test_kmeans_rejects_k_above_n(spark):
     """n < k must raise a clear ValueError, not an opaque numpy shape
     error from the seed-selection path (ADVICE.md)."""
