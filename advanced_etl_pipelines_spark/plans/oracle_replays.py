@@ -468,9 +468,15 @@ FROM per GROUP BY cluster"""
 
 def semdedup_sql(iters: int = 3) -> str:
     """Replay of ``semdedup_embedding``: adaptive-k Lloyd
-    (k = max(16, n // 256), computed in-SQL so the oracle scales with
-    the corpus), then the within-cluster cosine >= 0.95 min-id removal
-    rule and the per-cluster rollup."""
+    (k = max(16, n // 256), computed in-SQL over the null-filtered
+    ``src`` so the oracle scales with the corpus — the Spark side
+    counts the same null-filtered set, round-8 ADVICE), then the
+    within-cluster cosine >= 0.95 min-id removal rule and the
+    per-cluster rollup.  The cosine is quantized ROUND(cs + 1e-9, 6)
+    BEFORE thresholding on both engines (round-8 ADVICE): raw
+    cross-engine floats differ ~1e-15, so an unquantized >= 0.95 could
+    flip a threshold-straddling pair; under the 1e-6 quantum the noise
+    sits 9 orders of magnitude below the comparison."""
     return (
         "WITH "
         + kmeans_assign_ctes("GREATEST(16, COUNT(*) // 256)", iters)
@@ -480,11 +486,12 @@ base AS MATERIALIZED (
   FROM a{iters} a JOIN src s USING (id)
 ),
 pairs AS (
-  SELECT l.cluster, r.id AS removed_id,
-         list_cosine_similarity(l.v, r.v) AS cs
-  FROM base l JOIN base r
-    ON l.cluster = r.cluster AND l.id < r.id
-  WHERE list_cosine_similarity(l.v, r.v) >= 0.95
+  SELECT cluster, removed_id, cs FROM (
+    SELECT l.cluster, r.id AS removed_id,
+           ROUND(list_cosine_similarity(l.v, r.v) + 1e-9, 6) AS cs
+    FROM base l JOIN base r
+      ON l.cluster = r.cluster AND l.id < r.id)
+  WHERE cs >= 0.95
 ),
 removed AS (
   SELECT cluster, COUNT(DISTINCT removed_id) AS n_removed,

@@ -499,7 +499,14 @@ def q_semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from advanced_etl_pipelines_spark.operators.linalg import kmeans_lloyd
 
     emb = _t(spark, sf_dir, "embeddings")
-    k = max(16, emb.count() // 256)
+    # Adaptive k over the NULL-FILTERED count (round-8 ADVICE): the
+    # oracle computes GREATEST(16, COUNT(*) // 256) over its
+    # null-dropped src CTE and kmeans_lloyd itself drops nulls, so an
+    # unfiltered count here would diverge on any corpus with NULL
+    # embedding rows — a different k is a completely different
+    # clustering, not a near-miss.
+    n_vec = emb.where(F.col("embedding").isNotNull()).count()
+    k = max(16, n_vec // 256)
     _, assign = kmeans_lloyd(emb, "embedding", "vec_id", k=k, iters=3)
     base = (
         emb.select(
@@ -515,6 +522,13 @@ def q_semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.when(
         denom > 0, V.dot(F.col("l.v"), F.col("r.v")) / denom
     ).otherwise(F.lit(None).cast("double"))
+    # Quantize the cosine BEFORE thresholding (round-8 ADVICE): the
+    # duplicate rule compares cross-engine floats (Spark dot/norms vs
+    # DuckDB list_cosine_similarity, ~1e-15 apart) against 0.95 — the
+    # same FP-tie class the Lloyd trainer's quantized distances
+    # eliminate.  ROUND(cs + 1e-9, 6) on BOTH sides puts the ~1e-15
+    # noise 9 orders of magnitude below the quantum, so a pair at the
+    # threshold is included or excluded identically by both engines.
     pairs = (
         l.join(
             r,
@@ -524,7 +538,7 @@ def q_semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l.cluster").alias("cluster"),
             F.col("r.id").alias("removed_id"),
-            cos.alias("cs"),
+            F.round(cos + F.lit(1e-9), 6).alias("cs"),
         )
         .where(F.col("cs") >= 0.95)
     )

@@ -31,6 +31,15 @@ is retired by an untimed warm-up pass over the first
 SPARK_GRAFT_BENCH_WARMUP queries before timing starts.  New queries
 (absent from the committed artifact) and non-default sf dirs are
 skipped; SPARK_GRAFT_BENCH_GUARD=0 disables.
+
+Cross-refresh drift chain (round-8 VERDICT item 1): every guard-clean
+refresh REPLACES the baseline, so per-refresh normalization can only
+see one step of drift — splits.cumulative_load chains the unclamped
+median ratio across refreshes from a fixed anchor (r6, 227.8 s;
+seeded 1.227 on the committed driver-r8 baseline), probe_ref_sec
+carries the anchor box's fixed CPU-probe time, and the run WARNs when
+the chain exceeds CUM_DRIFT_WARN with probe_ratio attributing box vs
+code.  See chain_drift().
 """
 
 from __future__ import annotations
@@ -49,6 +58,47 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 # box is heavily loaded or a sweep-wide code regression is hiding in the
 # normalizer (round-7 ADVICE) — surfaced as a stderr WARN, never silent
 LOAD_WARN_RATIO = 1.5
+
+# cumulative cross-refresh drift above which the chained index alarms
+# (round-8 VERDICT item 1): the per-refresh median normalizer absorbs
+# anything under LOAD_WARN_RATIO by design, so a <=1.2x-per-round
+# uniform slowdown could ratchet into the committed baseline forever
+# (observed: 227.8 s r6 -> 237.8 s r7 -> 284.2 s r8 at constant 321
+# queries, every step individually guard-clean).  cumulative_load
+# chains the UNCLAMPED median ratio across refreshes from a fixed
+# anchor (r6, 227.8 s), so compounded drift trips an alarm even though
+# no single refresh does.
+CUM_DRIFT_WARN = 1.5
+
+# sf>=1 sweep order: graph family first (round-8 VERDICT item 3).  The
+# round-8 sf1 sweep measured triangle_count at 62 s in-sweep vs 22.6 s
+# standalone-warm — cached-table eviction pressure from the big
+# text/dedup intermediates that precede it in registration order.  At
+# sf>=1 the graph family runs first, right after cache_sf_tables while
+# the block cache is fresh; at the default sf the cache fits with room
+# to spare and registration order stands.
+GRAPH_FIRST_PREFIXES = (
+    "triangle_count",
+    "pagerank",
+    "personalized_pagerank",
+    "kcore",
+    "community_label",
+    "local_clustering",
+    "link_prediction",
+    "degree_assortativity",
+    "textrank",
+)
+
+
+def sweep_order(names, sf_val) -> list[str]:
+    """Query execution order for the sweep: registration order, except
+    at sf >= 1 where the graph family is hoisted to the front (module
+    constant above).  Pure so tests can pin both branches."""
+    names = list(names)
+    if not (isinstance(sf_val, float) and sf_val >= 1):
+        return names
+    front = [n for n in names if n.startswith(GRAPH_FIRST_PREFIXES)]
+    return front + [n for n in names if not n.startswith(GRAPH_FIRST_PREFIXES)]
 
 
 def is_default_sf(sf_dir: str) -> bool:
@@ -84,7 +134,10 @@ def artifact_name_for(sf_dir: str, violated: bool = False) -> str:
 
 
 def estimate_load(
-    timings: dict[str, float], committed: dict[str, float], floor: float = 0.5
+    timings: dict[str, float],
+    committed: dict[str, float],
+    floor: float = 0.5,
+    clamp: bool = True,
 ) -> float:
     """Sweep-wide load factor: the median per-query ratio vs the
     committed baseline, clamped >= 1 (a FASTER box never hides a
@@ -92,13 +145,53 @@ def estimate_load(
     degenerate subset keeps strict load=1 semantics).  Pure, shared by
     the guard and the summary line so the artifact self-normalizes
     across boxes (round-7 VERDICT item 6: three rounds of judge effort
-    re-derived "the box was Nx slow" from per-query diffs)."""
+    re-derived "the box was Nx slow" from per-query diffs).
+
+    ``clamp=False`` returns the raw median — the drift CHAIN must see a
+    faster box as < 1 so the cumulative index walks back down when the
+    hardware recovers; the clamped value feeds only the guard."""
     ratios = sorted(
         t / max(committed[name], floor)
         for name, t in timings.items()
         if name in committed
     )
-    return max(1.0, ratios[len(ratios) // 2]) if len(ratios) >= 20 else 1.0
+    if len(ratios) < 20:
+        return 1.0
+    med = ratios[len(ratios) // 2]
+    return max(1.0, med) if clamp else med
+
+
+def chain_drift(
+    prior_splits: dict, load_raw: float, probe_sec: float
+) -> dict:
+    """Chained cross-refresh drift index (round-8 VERDICT item 1).
+
+    Each guard-clean refresh replaces the committed baseline, so the
+    per-refresh median normalizer can only ever see ONE step of drift —
+    this chains the steps: ``cumulative_load`` multiplies the committed
+    baseline's value by this sweep's UNCLAMPED median ratio (raw, so
+    box-speed recovery unwinds the index), ``probe_ref_sec`` carries
+    the anchor box's fixed CPU-probe time forward verbatim, and
+    ``probe_ratio`` = this run's probe / the anchor's attributes an
+    alarm to box speed (probe is data-independent CPU work) vs code.
+    ``drift_anchor`` documents where the chain is pinned.  Seeds for a
+    baseline that predates the chain: cumulative_load starts at this
+    run's raw median, probe_ref at this run's probe — the committed
+    bench_queries.json was stamped once with the r6-anchored seed
+    (279.5 s driver-r8 / 227.8 s r6 = 1.227) so history since r6 is in
+    the chain.  Pure; pinned by tests/test_bench_guard.py."""
+    cum = round(
+        float(prior_splits.get("cumulative_load", 1.0)) * load_raw, 3
+    )
+    probe_ref = float(prior_splits.get("probe_ref_sec") or probe_sec or 1.0)
+    return {
+        "cumulative_load": cum,
+        "probe_ref_sec": round(probe_ref, 3),
+        "probe_ratio": round(probe_sec / probe_ref, 3) if probe_ref else 1.0,
+        "drift_anchor": prior_splits.get(
+            "drift_anchor", "r6 quiet-box 227.8s; probe anchored driver-r8"
+        ),
+    }
 
 
 def guard_violations(
@@ -180,8 +273,18 @@ def main() -> None:
         release_tracked_caches,
     )
 
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    # execution order: registration order, graph family hoisted first
+    # at sf >= 1 (round-8 VERDICT item 3 — see GRAPH_FIRST_PREFIXES)
+    order = sweep_order(queries, sf_val)
+
     n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "30"))
-    for name in list(queries)[: max(n_warm, 0)]:
+    for name in order[: max(n_warm, 0)]:
         queries[name](spark, sf_dir).collect()
         release_tracked_caches()
 
@@ -206,7 +309,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     build_s: dict[str, float] = {}
     exec_s: dict[str, float] = {}
-    for name, fn in queries.items():
+    for name in order:
+        fn = queries[name]
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -227,16 +331,11 @@ def main() -> None:
         # session ends (ADVICE r3, medium).
         release_tracked_caches()
 
-    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
-
     # regression guard: committed per-query map, read BEFORE any write
     default_sf = is_default_sf(sf_dir)
     here = os.path.dirname(os.path.abspath(__file__))
     committed: dict[str, float] = {}
+    prior_splits: dict = {}
     guard_on = (
         os.environ.get("SPARK_GRAFT_BENCH_GUARD", "1") != "0" and default_sf
     )
@@ -247,6 +346,7 @@ def main() -> None:
                 prior = json.load(f)
             if prior.get("sf") == 0.1:
                 committed = prior.get("queries", {})
+                prior_splits = prior.get("splits", {})
         except (json.JSONDecodeError, OSError):
             pass
 
@@ -260,19 +360,26 @@ def main() -> None:
     # measured on a quiet box: spearman_corr_bounded sampled
     # [5.06, 2.10, 1.31, 1.55] in one session, so a best-of-2 drawn
     # from the first two reports 2.1s for a 1.3s query and trips the
-    # 2x budget.  Violators are re-run best-of-N in-session (plans
-    # already compiled, so this samples steady state) and keep their
-    # MINIMUM — a burst clears, a genuine regression re-measures slow
-    # and still fails.  Capped so a sweep-wide real regression isn't
-    # diluted by re-measure time; SPARK_GRAFT_BENCH_REMEASURE=0
-    # disables.
+    # 2x budget.  Violators are re-run in-session (plans already
+    # compiled, so this samples steady state) with the SAME best-of-N
+    # budget as the original sample — a fresh best-of-N REPLACES the
+    # burst-hit sample rather than accumulating minima over 2N draws
+    # (round-8 ADVICE: keeping the running minimum both let an
+    # intermittent genuine regression escape whenever one extra draw
+    # landed fast, and committed best-of-4 budgets for exactly the
+    # noisiest queries).  Re-measured names are recorded in the
+    # artifact (splits.remeasured) so baseline refreshes are auditable.
+    # Capped so a sweep-wide real regression isn't diluted by
+    # re-measure time; SPARK_GRAFT_BENCH_REMEASURE=0 disables.
+    remeasured: list[str] = []
     if (
         violations
         and len(violations) <= 20
         and os.environ.get("SPARK_GRAFT_BENCH_REMEASURE", "1") != "0"
     ):
         for name, _t, _base in violations:
-            best = timings[name]
+            remeasured.append(name)
+            best = float("inf")
             for _ in range(runs):
                 t0 = time.perf_counter()
                 df = queries[name](spark, sf_dir)
@@ -288,6 +395,7 @@ def main() -> None:
         violations = guard_violations(timings, committed)
 
     load = round(estimate_load(timings, committed), 3)
+    load_raw = round(estimate_load(timings, committed, clamp=False), 3)
     artifact = os.path.join(
         here, artifact_name_for(sf_dir, violated=bool(violations))
     )
@@ -300,11 +408,20 @@ def main() -> None:
         "cache_build_sec": cache_sec,
         "probe_sec": probe_sec,
         "load_median_ratio": load,
+        "remeasured": sorted(remeasured),
         "build_p50": pct(list(build_s.values()), 0.50),
         "build_p95": pct(list(build_s.values()), 0.95),
         "exec_p50": pct(list(exec_s.values()), 0.50),
         "exec_p95": pct(list(exec_s.values()), 0.95),
     }
+    # chained cross-refresh drift index (round-8 VERDICT item 1): only
+    # meaningful against the committed default-sf baseline — a clean
+    # run's artifact BECOMES the next baseline, so writing the chained
+    # fields here is what advances the chain.
+    chained: dict = {}
+    if committed:
+        chained = chain_drift(prior_splits, load_raw, probe_sec)
+        splits.update(chained)
     with open(artifact, "w") as f:
         json.dump(
             {
@@ -339,6 +456,8 @@ def main() -> None:
                 "cache_build_sec": cache_sec,
                 "probe_sec": probe_sec,
                 "load_median_ratio": load,
+                "cumulative_load": chained.get("cumulative_load"),
+                "probe_ratio": chained.get("probe_ratio"),
                 "queries": top10,
             }
         )
@@ -351,6 +470,21 @@ def main() -> None:
             f" {LOAD_WARN_RATIO}x: heavy box load, or a sweep-wide"
             " regression hiding in the normalizer — re-run on a quiet"
             " box before trusting this sweep",
+            file=sys.stderr,
+        )
+    if chained and chained["cumulative_load"] > CUM_DRIFT_WARN:
+        # round-8 VERDICT item 1: compounded <=1.2x-per-refresh drift
+        # that no single refresh can see.  probe_ratio attributes it:
+        # ~equal to cumulative_load means the BOX slowed (the probe is
+        # data-independent CPU work); near 1.0 means the CODE did.
+        print(
+            f"WARN cumulative drift {chained['cumulative_load']:.2f}x"
+            f" since anchor ({chained['drift_anchor']}) exceeds"
+            f" {CUM_DRIFT_WARN}x; probe_ratio"
+            f" {chained['probe_ratio']:.2f}x — if probe_ratio is ~1.0"
+            " this is compounded CODE drift ratcheted through"
+            " guard-clean refreshes: bisect before committing this"
+            " baseline",
             file=sys.stderr,
         )
 

@@ -105,6 +105,121 @@ def test_estimate_load_is_surfaced_and_clamped():
     # clamped at 1 on a fast box; degenerate overlap -> 1
     assert est({f"q{i}": 0.5 for i in range(30)}, committed) == 1.0
     assert est({"q1": 3.0}, committed) == 1.0
+    # clamp=False (the drift chain's view) returns the raw median so a
+    # faster box UNWINDS the cumulative index; degenerate still 1.0
+    assert est({f"q{i}": 0.5 for i in range(30)}, committed, clamp=False) == 0.5
+    assert est({"q1": 0.2}, committed, clamp=False) == 1.0
+
+
+def test_drift_chain_multiplies_raw_median_and_carries_anchor():
+    """Round-8 VERDICT item 1: committed baselines ratcheted
+    227.8 -> 237.8 -> 284.2 s at constant 321 queries, each refresh
+    individually guard-clean — the chain must make the COMPOUNDED
+    factor visible.  Pins: multiplication by the raw (unclamped)
+    median, verbatim carry of probe_ref_sec + drift_anchor, probe
+    attribution ratio, and the seeds for a pre-chain baseline."""
+    chain = _bench().chain_drift
+    prior = {
+        "cumulative_load": 1.2,
+        "probe_ref_sec": 0.3,
+        "drift_anchor": "r6 quiet-box 227.8s; probe anchored driver-r8",
+    }
+    out = chain(prior, load_raw=1.1, probe_sec=0.45)
+    assert out["cumulative_load"] == 1.32  # 1.2 * 1.1
+    assert out["probe_ref_sec"] == 0.3  # anchor carried, never refreshed
+    assert out["probe_ratio"] == 1.5  # 0.45 / 0.3 — box attribution
+    assert out["drift_anchor"] == prior["drift_anchor"]
+    # a faster box UNWINDS the chain (raw median < 1)
+    assert chain(prior, load_raw=0.9, probe_sec=0.3)["cumulative_load"] == 1.08
+    # pre-chain baseline: seed from this run (cum = raw, ref = probe)
+    seeded = chain({}, load_raw=1.05, probe_sec=0.4)
+    assert seeded["cumulative_load"] == 1.05
+    assert seeded["probe_ref_sec"] == 0.4
+    assert seeded["probe_ratio"] == 1.0
+
+
+def test_drift_alarm_and_chain_are_wired_into_main():
+    """main() must chain vs the COMMITTED baseline's splits, write the
+    chained fields into the artifact (a clean run's artifact becomes
+    the next baseline — writing them IS advancing the chain), and warn
+    above CUM_DRIFT_WARN.  Structurally pinned like the exit path."""
+    import inspect
+
+    b = _bench()
+    assert b.CUM_DRIFT_WARN == 1.5
+    src = inspect.getsource(b.main)
+    chain_at = src.index("chain_drift(prior_splits, load_raw, probe_sec)")
+    write_at = src.index('with open(artifact, "w")')
+    assert chain_at < write_at  # chained fields land in the artifact
+    assert "splits.update(chained)" in src
+    assert 'chained["cumulative_load"] > CUM_DRIFT_WARN' in src
+    # the committed baseline is stamped with the r6-anchored seed, so
+    # history predating the chain is already in the index
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "..", "bench_queries.json")
+    with open(path) as f:
+        splits = json.load(f)["splits"]
+    assert splits["cumulative_load"] >= 1.0
+    assert splits["probe_ref_sec"] > 0
+    assert "drift_anchor" in splits
+
+
+def test_remeasure_uses_fresh_budget_and_is_audited():
+    """Round-8 ADVICE: the violator re-measure must use the SAME
+    best-of-N budget as the original sample (a fresh minimum, not an
+    accumulated best-of-2N that lets an intermittent regression escape
+    and commits tighter budgets for the noisiest queries), and the
+    re-measured names must be recorded in the artifact for refresh
+    audits."""
+    import inspect
+
+    src = inspect.getsource(_bench().main)
+    rem_at = src.index("SPARK_GRAFT_BENCH_REMEASURE")
+    # fresh best inside the remeasure loop: a second float("inf") reset
+    # AFTER the remeasure gate, not `best = timings[name]`
+    assert 'best = float("inf")' in src[rem_at:]
+    assert "best = timings[name]" not in src
+    assert "remeasured.append(name)" in src
+    assert '"remeasured": sorted(remeasured)' in src
+
+
+def test_sweep_order_hoists_graph_family_at_scale():
+    """Round-8 VERDICT item 3: the sf1 sweep measured triangle_count at
+    62 s in-sweep vs 22.6 s standalone-warm — cached-table eviction
+    pressure from the text/dedup families that precede it.  At sf >= 1
+    the graph family runs first (fresh block cache); the default sf
+    keeps registration order so the committed per-query baseline stays
+    comparable."""
+    so = _bench().sweep_order
+    names = [
+        "agg_dedup_mean",
+        "bpe_vocab_learn",
+        "triangle_count_copurchase",
+        "dedup_minhash_pairs",
+        "pagerank_copurchase",
+        "tpch_q1_pricing_summary",
+    ]
+    # default sf: registration order untouched
+    assert so(names, 0.1) == names
+    # sf1: graph family hoisted, relative order preserved in each half
+    assert so(names, 1.0) == [
+        "triangle_count_copurchase",
+        "pagerank_copurchase",
+        "agg_dedup_mean",
+        "bpe_vocab_learn",
+        "dedup_minhash_pairs",
+        "tpch_q1_pricing_summary",
+    ]
+    # non-numeric sf labels keep registration order
+    assert so(names, "weird") == names
+    # main() iterates the order for BOTH warm-up and the timed loop
+    import inspect
+
+    src = inspect.getsource(_bench().main)
+    assert "order = sweep_order(queries, sf_val)" in src
+    assert "for name in order[: max(n_warm, 0)]" in src
+    assert "for name in order:" in src
 
 
 def test_failed_run_never_routes_to_committed_baseline():

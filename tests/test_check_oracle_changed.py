@@ -151,3 +151,39 @@ def test_norm_cell_handles_infinities_without_crashing(co):
     assert n(float("inf")) == "Inf"
     assert n(float("-inf")) == "-Inf"
     assert n([1.0, float("inf"), float("-inf")]) == (1.0, "Inf", "-Inf")
+
+
+def test_ann_recall_invariant_floors(co):
+    """Round-8 VERDICT item 4: the gate asserts ann_recall_report's
+    recall floors (the values have no SQL oracle by design) at
+    WHATEVER sf it runs, sf1 slices included.  Pin the pure predicate:
+    floors, null handling, and missing-method detection."""
+    ok = [
+        {"method": "lsh", "recall_at_5": 0.4},
+        {"method": "ivf", "recall_at_5": 0.5},
+        {"method": "pq", "recall_at_5": 0.6},
+    ]
+    assert co.ann_recall_violations(ok) == []
+    # one method under floor -> named violation
+    low = [dict(r) for r in ok]
+    low[2]["recall_at_5"] = 0.59
+    assert co.ann_recall_violations(low) == ["pq recall 0.59 < floor 0.6"]
+    # a NULL recall is a violation, not a skip
+    low[2]["recall_at_5"] = None
+    assert co.ann_recall_violations(low) == ["pq recall None < floor 0.6"]
+    # a method dropping out of the report entirely must fail too
+    assert co.ann_recall_violations(ok[:2]) == ["missing methods: ['pq']"]
+    assert co.ANN_RECALL_FLOORS == {"lsh": 0.4, "ivf": 0.5, "pq": 0.6}
+
+
+def test_ann_recall_invariant_is_wired_into_rowsonly_path(co):
+    """The invariant must run inside main()'s rows-only branch (before
+    the rowsonly record), so every gate invocation that executes
+    ann_recall_report checks the floors."""
+    import inspect
+
+    src = inspect.getsource(co.main)
+    inv_at = src.index("ann_recall_violations(srows)")
+    assert src.index('"fail:zero-rows"') < inv_at
+    assert '"fail:invariant"' in src
+    assert '"rowsonly+floors"' in src

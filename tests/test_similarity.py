@@ -123,7 +123,9 @@ def test_semdedup_removal_rule_matches_numpy(emb, spark):
                 cs = float(
                     va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
                 )
-                if cs >= 0.95:
+                # mirror the engine's threshold quantization (round-8
+                # ADVICE): both sides compare ROUND(cs + 1e-9, 6)
+                if round(cs + 1e-9, 6) >= 0.95:
                     removed.add(ida)
                     break
         assert got[c] == (len(members), len(removed)), f"cluster {c}"
@@ -247,6 +249,9 @@ def test_semdedup_removal_rule_matches_numpy_sf1():
         V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         sims = V @ V.T
         # removed iff any EARLIER (smaller-id) member has cosine >= .95
-        tri = np.tril(sims, k=-1)
+        # (quantized ROUND(cs + 1e-9, 6) like both engines, round-8
+        # ADVICE — np.round is HALF_EVEN vs Spark's HALF_UP, but the
+        # 1e-9 nudge moves values off exact half-quantum boundaries)
+        tri = np.round(np.tril(sims, k=-1) + 1e-9, 6)
         n_removed = int(((tri >= 0.95).any(axis=1)).sum())
         assert got[c] == (len(members), n_removed), f"cluster {c}"
