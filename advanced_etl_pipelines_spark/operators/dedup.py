@@ -679,6 +679,11 @@ def embedding_near_dups(
     cos = F.when(
         denom > 0, dot(F.col("l.v"), F.col("r.v")) / denom
     ).otherwise(F.lit(None).cast("double"))
+    # Quantize before thresholding (round-9, same rule as semdedup /
+    # SCALE.md §17 addendum): membership decided on ROUND(cs + 1e-9, 6)
+    # so a threshold-straddling pair can't flip between this plan and a
+    # replay that sums the dot product in a different order — the
+    # ~1e-15 accumulation noise sits 9 orders below the quantum.
     return (
         l.join(
             r,
@@ -688,7 +693,7 @@ def embedding_near_dups(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            cos.alias("cos_sim"),
+            F.round(cos + F.lit(1e-9), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -5226,7 +5226,7 @@ def q_order_cadence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT month,
            ROUND(1e-9 + total_rev, 2) AS total_rev,
            ROUND(1e-9 + tail_rev / total_rev, 4) AS last3d_share,
-           (tail_rev / total_rev > 0.2) AS loading_flag
+           (ROUND(tail_rev / total_rev + 1e-9, 6) > 0.2) AS loading_flag
     FROM m
     """,
 )
@@ -5249,11 +5249,14 @@ def q_month_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tail_rev"),
     )
     share = F.col("tail_rev") / F.col("total_rev")
+    # boolean derives from the QUANTIZED share (round-9, semdedup rule:
+    # both engines' SUMs accumulate in different orders, so a raw-float
+    # > 0.2 on a share within ~1e-13 of the line could flip the flag)
     return m.select(
         "month",
         r2(F.col("total_rev")).alias("total_rev"),
         r4(share).alias("last3d_share"),
-        (share > 0.2).alias("loading_flag"),
+        (F.round(share + F.lit(1e-9), 6) > 0.2).alias("loading_flag"),
     )
 
 

@@ -719,7 +719,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'near_dup_pairs' AS metric,
            CAST(COUNT(*) AS BIGINT) AS n_pairs
-    FROM pairs WHERE cs >= 0.99
+    FROM pairs WHERE ROUND(cs + 1e-9, 6) >= 0.99
     """.replace("{planes}", _HYPER8_SQL),
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
