@@ -83,3 +83,35 @@ def test_readme_registry_counts_match_reality():
     assert (int(m.group(1)), int(m.group(2))) == (n_q, n_o), (
         f"README says {m.groups()}, registry has ({n_q}, {n_o})"
     )
+
+
+def test_graph_first_prefixes_match_the_registry():
+    """bench.sweep_order hoists the graph family at sf >= 1 by name
+    prefix (round-8 VERDICT item 3) — a renamed graph query would
+    silently fall out of the hoist and re-create the eviction outlier,
+    so pin the prefix list against the live registry."""
+    import importlib.util
+    import os
+
+    import __spark_entry__ as e
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    hoisted = {
+        n for n in e.queries() if n.startswith(bench.GRAPH_FIRST_PREFIXES)
+    }
+    assert hoisted == {
+        "triangle_count_copurchase",
+        "pagerank_copurchase",
+        "personalized_pagerank_recs",
+        "kcore_copurchase",
+        "community_label_propagation",
+        "local_clustering_topk",
+        "link_prediction_adamic_adar",
+        "degree_assortativity",
+        "textrank_keywords",
+    }
