@@ -331,7 +331,12 @@ def main() -> None:
         # session ends (ADVICE r3, medium).
         release_tracked_caches()
 
-    # regression guard: committed per-query map, read BEFORE any write
+    # regression guard: committed per-query map, read BEFORE any write.
+    # The baseline is read whenever it would be REPLACED (default sf)
+    # regardless of SPARK_GRAFT_BENCH_GUARD — a guard-off run still
+    # writes bench_queries.json, and losing prior_splits there would
+    # silently erase the drift chain's seed; the env toggle only
+    # disables the violation verdict.
     default_sf = is_default_sf(sf_dir)
     here = os.path.dirname(os.path.abspath(__file__))
     committed: dict[str, float] = {}
@@ -340,7 +345,7 @@ def main() -> None:
         os.environ.get("SPARK_GRAFT_BENCH_GUARD", "1") != "0" and default_sf
     )
     baseline_path = os.path.join(here, artifact_name_for(sf_dir))
-    if guard_on and os.path.exists(baseline_path):
+    if default_sf and os.path.exists(baseline_path):
         try:
             with open(baseline_path) as f:
                 prior = json.load(f)
@@ -353,7 +358,7 @@ def main() -> None:
     # Guard verdict FIRST, artifact write second (round-7 VERDICT item
     # 2): a violating run routes to bench_queries.failed.json so the
     # committed baseline is never replaced by a failing sweep.
-    violations = guard_violations(timings, committed)
+    violations = guard_violations(timings, committed) if guard_on else []
 
     # Targeted re-measure of violators (round-8): best-of-2 occasionally
     # lands BOTH samples of one query inside a GC/compile burst —

@@ -285,3 +285,20 @@ def test_artifact_name_routes_nondefault_sf_dirs_away_from_baseline():
     assert b.artifact_name_for("/root/testdata/sf0.01") == (
         "bench_queries_sf0_01.json"
     )
+
+
+def test_guard_off_run_still_reads_prior_splits_for_the_chain():
+    """A SPARK_GRAFT_BENCH_GUARD=0 default-sf run still REPLACES
+    bench_queries.json, so it must still read the committed baseline's
+    splits — otherwise it silently erases the drift chain's seed.  The
+    env toggle may only disable the violation verdict."""
+    import inspect
+
+    src = inspect.getsource(_bench().main)
+    # baseline read is gated on default_sf, NOT on guard_on
+    assert "if default_sf and os.path.exists(baseline_path)" in src
+    # the verdict (and only the verdict) respects the toggle
+    assert (
+        "violations = guard_violations(timings, committed) if guard_on"
+        in src
+    )
