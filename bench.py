@@ -184,10 +184,21 @@ def chain_drift(
         float(prior_splits.get("cumulative_load", 1.0)) * load_raw, 3
     )
     probe_ref = float(prior_splits.get("probe_ref_sec") or probe_sec or 1.0)
+    probe_ratio = (
+        round(probe_sec / probe_ref, 3) if probe_ref else 1.0
+    )
     return {
         "cumulative_load": cum,
         "probe_ref_sec": round(probe_ref, 3),
-        "probe_ratio": round(probe_sec / probe_ref, 3) if probe_ref else 1.0,
+        "probe_ratio": probe_ratio,
+        # box-normalized code drift: cumulative_load folds together box
+        # speed and code cost vs the anchor; dividing by probe_ratio
+        # (pure-CPU box index) isolates the code term.  Needed because
+        # the chain can legitimately sit BELOW 1 on a fast box (first
+        # observed: 0.846 in round 9), where an absolute 1.5x threshold
+        # on cumulative_load alone would let a uniform code regression
+        # climb back through ~1.8x of headroom unalarmed.
+        "drift_net": round(cum / probe_ratio, 3) if probe_ratio else cum,
         "drift_anchor": prior_splits.get(
             "drift_anchor", "r6 quiet-box 227.8s; probe anchored driver-r8"
         ),
@@ -463,6 +474,7 @@ def main() -> None:
                 "load_median_ratio": load,
                 "cumulative_load": chained.get("cumulative_load"),
                 "probe_ratio": chained.get("probe_ratio"),
+                "drift_net": chained.get("drift_net"),
                 "queries": top10,
             }
         )
@@ -477,19 +489,24 @@ def main() -> None:
             " box before trusting this sweep",
             file=sys.stderr,
         )
-    if chained and chained["cumulative_load"] > CUM_DRIFT_WARN:
+    if chained and (
+        chained["cumulative_load"] > CUM_DRIFT_WARN
+        or chained["drift_net"] > CUM_DRIFT_WARN
+    ):
         # round-8 VERDICT item 1: compounded <=1.2x-per-refresh drift
-        # that no single refresh can see.  probe_ratio attributes it:
-        # ~equal to cumulative_load means the BOX slowed (the probe is
-        # data-independent CPU work); near 1.0 means the CODE did.
+        # that no single refresh can see.  drift_net (cumulative /
+        # probe_ratio) is the box-normalized code term, so the alarm
+        # holds even when a fast box has pushed cumulative_load below
+        # 1; probe_ratio attributes a raw cumulative alarm: ~equal to
+        # cumulative_load means the BOX slowed, near 1.0 means CODE.
         print(
-            f"WARN cumulative drift {chained['cumulative_load']:.2f}x"
-            f" since anchor ({chained['drift_anchor']}) exceeds"
-            f" {CUM_DRIFT_WARN}x; probe_ratio"
-            f" {chained['probe_ratio']:.2f}x — if probe_ratio is ~1.0"
-            " this is compounded CODE drift ratcheted through"
-            " guard-clean refreshes: bisect before committing this"
-            " baseline",
+            f"WARN cumulative drift {chained['cumulative_load']:.2f}x /"
+            f" box-normalized {chained['drift_net']:.2f}x since anchor"
+            f" ({chained['drift_anchor']}) exceeds {CUM_DRIFT_WARN}x;"
+            f" probe_ratio {chained['probe_ratio']:.2f}x — if the"
+            " box-normalized term is high this is compounded CODE"
+            " drift ratcheted through guard-clean refreshes: bisect"
+            " before committing this baseline",
             file=sys.stderr,
         )
 

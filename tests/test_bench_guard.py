@@ -128,6 +128,7 @@ def test_drift_chain_multiplies_raw_median_and_carries_anchor():
     assert out["cumulative_load"] == 1.32  # 1.2 * 1.1
     assert out["probe_ref_sec"] == 0.3  # anchor carried, never refreshed
     assert out["probe_ratio"] == 1.5  # 0.45 / 0.3 — box attribution
+    assert out["drift_net"] == 0.88  # 1.32 / 1.5 — box-normalized code term
     assert out["drift_anchor"] == prior["drift_anchor"]
     # a faster box UNWINDS the chain (raw median < 1)
     assert chain(prior, load_raw=0.9, probe_sec=0.3)["cumulative_load"] == 1.08
@@ -136,6 +137,28 @@ def test_drift_chain_multiplies_raw_median_and_carries_anchor():
     assert seeded["cumulative_load"] == 1.05
     assert seeded["probe_ref_sec"] == 0.4
     assert seeded["probe_ratio"] == 1.0
+    # the below-1 masking hole (first observed: chain at 0.846 on a
+    # fast box): compounding code regressions must not hide behind box
+    # speed.  After one 1.6x uniform step the absolute threshold is
+    # still blind (cum 1.35 < 1.5) — that single step is caught by the
+    # per-refresh LOAD_WARN instead — but drift_net carries the full
+    # box-normalized code term forward so the NEXT compounding step
+    # (1.35 * 1.2 = 1.62) alarms, where cumulative_load alone would
+    # need the box to cooperate.
+    masked = chain(
+        {"cumulative_load": 0.846, "probe_ref_sec": 0.315},
+        load_raw=1.6,
+        probe_sec=0.315,
+    )
+    assert masked["cumulative_load"] < 1.5  # absolute threshold blind
+    assert masked["drift_net"] == masked["cumulative_load"]  # probe 1.0
+    again = chain(
+        {"cumulative_load": masked["cumulative_load"],
+         "probe_ref_sec": 0.315},
+        load_raw=1.2,
+        probe_sec=0.315,
+    )
+    assert again["drift_net"] > 1.5  # compounding trips the alarm
 
 
 def test_drift_alarm_and_chain_are_wired_into_main():
@@ -153,6 +176,9 @@ def test_drift_alarm_and_chain_are_wired_into_main():
     assert chain_at < write_at  # chained fields land in the artifact
     assert "splits.update(chained)" in src
     assert 'chained["cumulative_load"] > CUM_DRIFT_WARN' in src
+    # the alarm must ALSO fire on the box-normalized code term, or a
+    # fast box's sub-1 chain masks a uniform code regression
+    assert 'chained["drift_net"] > CUM_DRIFT_WARN' in src
     # the committed baseline is stamped with the r6-anchored seed, so
     # history predating the chain is already in the index
     import json
@@ -160,8 +186,12 @@ def test_drift_alarm_and_chain_are_wired_into_main():
     path = os.path.join(os.path.dirname(__file__), "..", "bench_queries.json")
     with open(path) as f:
         splits = json.load(f)["splits"]
-    assert splits["cumulative_load"] >= 1.0
+    # the chain is UNCLAMPED by design — it sat at 0.846 after the
+    # round-9 fast-box refreshes — so pin presence and positivity, not
+    # a floor
+    assert splits["cumulative_load"] > 0
     assert splits["probe_ref_sec"] > 0
+    assert splits["drift_net"] > 0
     assert "drift_anchor" in splits
 
 
