@@ -654,6 +654,11 @@ def embedding_near_dups(
     """Near-duplicate vectors: random-hyperplane sign bucket (all planes
     agree) as the blocking key, exact cosine verify within bucket.
 
+    ``threshold`` is compared against the QUANTIZED cosine,
+    ``ROUND(cos_sim + 1e-9, 6)`` — i.e. membership resolves at 1e-6;
+    thresholds finer than that are meaningless here.  The returned
+    ``cos_sim`` column is the raw (unquantized) similarity.
+
     ``planes`` must be generated deterministically (seeded) by the caller.
     Projections come from the Arrow matmul seam
     (``similarity.with_projections`` — one BLAS call per batch instead of
@@ -679,11 +684,17 @@ def embedding_near_dups(
     cos = F.when(
         denom > 0, dot(F.col("l.v"), F.col("r.v")) / denom
     ).otherwise(F.lit(None).cast("double"))
-    # Quantize before thresholding (round-9, same rule as semdedup /
-    # SCALE.md §17 addendum): membership decided on ROUND(cs + 1e-9, 6)
-    # so a threshold-straddling pair can't flip between this plan and a
+    # MEMBERSHIP is decided on the quantized ROUND(cos_sim + 1e-9, 6)
+    # (round-9, same rule as semdedup / SCALE.md §17 addendum): a
+    # threshold-straddling pair can't flip between this plan and a
     # replay that sums the dot product in a different order — the
-    # ~1e-15 accumulation noise sits 9 orders below the quantum.
+    # ~1e-15 accumulation noise sits 9 orders below the quantum.  The
+    # RETURNED cos_sim column stays raw (round-9 ADVICE): quantizing
+    # the output too would silently shift the similarity for any
+    # future caller consuming it as a value or passing a threshold
+    # finer than 1e-6.  Contract: ``threshold`` is compared at 1e-6
+    # resolution; callers replaying the predicate in another engine
+    # must apply the same ROUND(x + 1e-9, 6).
     return (
         l.join(
             r,
@@ -693,9 +704,9 @@ def embedding_near_dups(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.round(cos + F.lit(1e-9), 6).alias("cos_sim"),
+            cos.alias("cos_sim"),
         )
-        .where(F.col("cos_sim") >= threshold)
+        .where(F.round(F.col("cos_sim") + F.lit(1e-9), 6) >= threshold)
     )
 
 

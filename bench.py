@@ -35,11 +35,13 @@ skipped; SPARK_GRAFT_BENCH_GUARD=0 disables.
 Cross-refresh drift chain (round-8 VERDICT item 1): every guard-clean
 refresh REPLACES the baseline, so per-refresh normalization can only
 see one step of drift — splits.cumulative_load chains the unclamped
-median ratio across refreshes from a fixed anchor (r6, 227.8 s;
-seeded 1.227 on the committed driver-r8 baseline), probe_ref_sec
+median ratio across refreshes from a fixed anchor, probe_ref_sec
 carries the anchor box's fixed CPU-probe time, and the run WARNs when
 the chain exceeds CUM_DRIFT_WARN with probe_ratio attributing box vs
-code.  See chain_drift().
+code.  Both anchors name the driver-r8 box (279.5 s, probe 0.315 s)
+since round 10 — the original r6 time anchor predates the probe, and
+the r6->r8 segment it carried was proven pure box band by the r9
+chain datapoints.  See chain_drift().
 """
 
 from __future__ import annotations
@@ -149,12 +151,29 @@ def estimate_load(
 
     ``clamp=False`` returns the raw median — the drift CHAIN must see a
     faster box as < 1 so the cumulative index walks back down when the
-    hardware recovers; the clamped value feeds only the guard."""
-    ratios = sorted(
-        t / max(committed[name], floor)
-        for name, t in timings.items()
-        if name in committed
-    )
+    hardware recovers; the clamped value feeds only the guard.  The
+    chain's median is computed ONLY over queries whose committed time
+    is >= the floor (round-9 ADVICE): the guard's t/max(committed,
+    floor) denominator is fine for a one-shot >=1-clamped verdict, but
+    143/321 committed queries already sit under 0.5 s, so their ratios
+    read t/0.5 instead of t/committed — systematically < 1 — and once
+    sub-floor queries crossed half the registry the raw median would
+    multiply a spurious < 1 factor into cumulative_load every refresh,
+    silently unwinding the chain.  tests/test_bench_guard.py pins both
+    the exclusion and that the committed baseline keeps enough
+    above-floor queries for the chain median to be meaningful."""
+    if clamp:
+        ratios = sorted(
+            t / max(committed[name], floor)
+            for name, t in timings.items()
+            if name in committed
+        )
+    else:
+        ratios = sorted(
+            t / committed[name]
+            for name, t in timings.items()
+            if name in committed and committed[name] >= floor
+        )
     if len(ratios) < 20:
         return 1.0
     med = ratios[len(ratios) // 2]
@@ -176,31 +195,66 @@ def chain_drift(
     alarm to box speed (probe is data-independent CPU work) vs code.
     ``drift_anchor`` documents where the chain is pinned.  Seeds for a
     baseline that predates the chain: cumulative_load starts at this
-    run's raw median, probe_ref at this run's probe — the committed
-    bench_queries.json was stamped once with the r6-anchored seed
-    (279.5 s driver-r8 / 227.8 s r6 = 1.227) so history since r6 is in
-    the chain.  Pure; pinned by tests/test_bench_guard.py."""
-    cum = round(
-        float(prior_splits.get("cumulative_load", 1.0)) * load_raw, 3
-    )
+    run's raw median, probe_ref at this run's probe.
+
+    ANCHOR (re-unified round 10): both the time anchor and probe_ref
+    name the SAME box — the driver-r8 box (279.5 s sweep, probe
+    0.315 s).  Through round 9 the time anchor was the r6 quiet box
+    (227.8 s, pre-probe, so its probe was never measured) while
+    probe_ref came from driver-r8, smearing drift_net by the two
+    boxes' constant speed offset; and the r9 chain datapoints proved
+    the r6->r8 227.8->284.2 s segment was pure box band (zero code
+    information), so the committed baseline was re-stamped by dividing
+    the r6-seeded cumulative_load by that 1.227 seed.  The retired
+    segment is recorded in SCALE.md §16 and BASELINE.md.
+
+    Degenerate prior (round-9 ADVICE): a hand-edited / partial
+    baseline that carries cumulative_load but LOST probe_ref_sec would
+    silently reseed the probe anchor from the current run — probe_ratio
+    resets to 1.0 while cumulative_load keeps its accumulated value, so
+    drift_net would misattribute all prior box drift to code.  That
+    case now WARNs on stderr and refuses to emit drift_net (None);
+    cumulative_load still chains.  Pure apart from the stderr warn;
+    pinned by tests/test_bench_guard.py."""
+    prior_cum = float(prior_splits.get("cumulative_load", 1.0))
+    cum = round(prior_cum * load_raw, 3)
+    reseeding = not prior_splits.get("probe_ref_sec")
     probe_ref = float(prior_splits.get("probe_ref_sec") or probe_sec or 1.0)
     probe_ratio = (
         round(probe_sec / probe_ref, 3) if probe_ref else 1.0
+    )
+    anchor_lost = reseeding and prior_cum != 1.0
+    if anchor_lost:
+        print(
+            "WARN drift chain probe anchor lost: prior splits carry"
+            f" cumulative_load={prior_cum} but no probe_ref_sec —"
+            " probe_ref reseeded from THIS run, so drift_net would"
+            " misattribute accumulated box drift to code; drift_net"
+            " withheld (restore probe_ref_sec in the committed"
+            " baseline to resume box attribution)",
+            file=sys.stderr,
+        )
+    # box-normalized code drift: cumulative_load folds together box
+    # speed and code cost vs the anchor; dividing by probe_ratio
+    # (pure-CPU box index) isolates the code term.  Needed because
+    # the chain can legitimately sit BELOW 1 on a fast box (first
+    # observed: 0.846 in round 9), where an absolute 1.5x threshold
+    # on cumulative_load alone would let a uniform code regression
+    # climb back through ~1.8x of headroom unalarmed.
+    drift_net = (
+        None
+        if anchor_lost
+        else (round(cum / probe_ratio, 3) if probe_ratio else cum)
     )
     return {
         "cumulative_load": cum,
         "probe_ref_sec": round(probe_ref, 3),
         "probe_ratio": probe_ratio,
-        # box-normalized code drift: cumulative_load folds together box
-        # speed and code cost vs the anchor; dividing by probe_ratio
-        # (pure-CPU box index) isolates the code term.  Needed because
-        # the chain can legitimately sit BELOW 1 on a fast box (first
-        # observed: 0.846 in round 9), where an absolute 1.5x threshold
-        # on cumulative_load alone would let a uniform code regression
-        # climb back through ~1.8x of headroom unalarmed.
-        "drift_net": round(cum / probe_ratio, 3) if probe_ratio else cum,
+        "drift_net": drift_net,
         "drift_anchor": prior_splits.get(
-            "drift_anchor", "r6 quiet-box 227.8s; probe anchored driver-r8"
+            "drift_anchor",
+            "driver-r8 box 279.5s, probe 0.315 (r6->r8 segment retired"
+            " as box band, SCALE.md §16)",
         ),
     }
 
@@ -461,24 +515,28 @@ def main() -> None:
     # load_median_ratio are the load-normalization index (item 6):
     # probe is data-independent CPU work, load is the median per-query
     # ratio vs the committed baseline (1.0 when no baseline overlaps).
-    print(
-        json.dumps(
-            {
-                "metric": "registry_sweep_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "sf": sf_val,
-                "n_queries": len(timings),
-                "cache_build_sec": cache_sec,
-                "probe_sec": probe_sec,
-                "load_median_ratio": load,
-                "cumulative_load": chained.get("cumulative_load"),
-                "probe_ratio": chained.get("probe_ratio"),
-                "drift_net": chained.get("drift_net"),
-                "queries": top10,
-            }
-        )
-    )
+    summary = {
+        "metric": "registry_sweep_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "cache_build_sec": cache_sec,
+        "probe_sec": probe_sec,
+        "load_median_ratio": load,
+        "cumulative_load": chained.get("cumulative_load"),
+        "probe_ratio": chained.get("probe_ratio"),
+        "drift_net": chained.get("drift_net"),
+        "queries": top10,
+    }
+    # chained keys are OMITTED (not null) when absent — an empty chain
+    # (non-default sf dir, first run, or a withheld drift_net) printed
+    # "cumulative_load": null and a strict driver-side parse assuming
+    # numeric fields would trip on it (round-9 ADVICE)
+    for k in ("cumulative_load", "probe_ratio", "drift_net"):
+        if summary[k] is None:
+            del summary[k]
+    print(json.dumps(summary))
     if load > LOAD_WARN_RATIO:
         # round-7 ADVICE: the median normalizer can absorb a sweep-wide
         # code regression — make a large divided-out factor loud
@@ -491,7 +549,7 @@ def main() -> None:
         )
     if chained and (
         chained["cumulative_load"] > CUM_DRIFT_WARN
-        or chained["drift_net"] > CUM_DRIFT_WARN
+        or (chained["drift_net"] or 0) > CUM_DRIFT_WARN
     ):
         # round-8 VERDICT item 1: compounded <=1.2x-per-refresh drift
         # that no single refresh can see.  drift_net (cumulative /
@@ -499,9 +557,11 @@ def main() -> None:
         # holds even when a fast box has pushed cumulative_load below
         # 1; probe_ratio attributes a raw cumulative alarm: ~equal to
         # cumulative_load means the BOX slowed, near 1.0 means CODE.
+        net = chained["drift_net"]
         print(
             f"WARN cumulative drift {chained['cumulative_load']:.2f}x /"
-            f" box-normalized {chained['drift_net']:.2f}x since anchor"
+            f" box-normalized {'withheld' if net is None else f'{net:.2f}x'}"
+            " since anchor"
             f" ({chained['drift_anchor']}) exceeds {CUM_DRIFT_WARN}x;"
             f" probe_ratio {chained['probe_ratio']:.2f}x — if the"
             " box-normalized term is high this is compounded CODE"

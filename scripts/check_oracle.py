@@ -60,7 +60,14 @@ ROTATION_BUCKETS = 5
 # The floors from tests/test_similarity.py are asserted here instead,
 # so the values get checked wherever the gate runs — including the
 # sf1 slices, closing the last untested-at-scale value surface.
-ANN_RECALL_FLOORS = {"lsh": 0.4, "ivf": 0.5, "pq": 0.6}
+# pq is floored at 0.7 HERE, tighter than the suite's 0.6 (round-9
+# VERDICT item 3): measured recall@5 at sf0.01 is ~0.87, so the old
+# floor left a silent 30-point decay window; lsh/ivf floors are
+# already within ~15% of their measured values.  The measured recalls
+# are also RECORDED in the gate's JSON artifact (records[...]
+# ["recalls"]), so a slow decay inside the floors is visible across
+# rounds instead of collapsing to pass/fail.
+ANN_RECALL_FLOORS = {"lsh": 0.4, "ivf": 0.5, "pq": 0.7}
 
 
 def ann_recall_violations(rows) -> list[str]:
@@ -327,12 +334,14 @@ def main() -> int:
     failures = []
     records: dict[str, dict] = {}
 
-    def record(name, status, rows, t0):
+    def record(name, status, rows, t0, extra=None):
         records[name] = {
             "status": status,
             "rows": rows,
             "sec": round(time.time() - t0, 2),
         }
+        if extra:
+            records[name].update(extra)
         release_tracked_caches()
 
     for name, fn in qs.items():
@@ -356,15 +365,26 @@ def main() -> int:
                 print(f"FAIL  {name}: zero rows")
                 continue
             # no-oracle queries with a registered value invariant get
-            # it asserted at THIS sf (round-8 VERDICT item 4)
-            inv = (
-                ann_recall_violations(srows)
-                if name == "ann_recall_report"
-                else []
-            )
+            # it asserted at THIS sf (round-8 VERDICT item 4); the
+            # measured recalls land in the artifact either way (round-9
+            # VERDICT item 3 — pass/fail alone hides a slow decay
+            # inside the floors)
+            inv, extra = [], None
+            if name == "ann_recall_report":
+                inv = ann_recall_violations(srows)
+                extra = {
+                    "recalls": {
+                        r["method"]: (
+                            None
+                            if r["recall_at_5"] is None
+                            else round(float(r["recall_at_5"]), 4)
+                        )
+                        for r in srows
+                    }
+                }
             if inv:
                 failures.append(name)
-                record(name, "fail:invariant", len(srows), t0)
+                record(name, "fail:invariant", len(srows), t0, extra)
                 print(f"FAIL  {name}: " + "; ".join(inv))
             else:
                 record(
@@ -374,6 +394,7 @@ def main() -> int:
                     else "rowsonly",
                     len(srows),
                     t0,
+                    extra,
                 )
             continue
         try:

@@ -111,6 +111,61 @@ def test_estimate_load_is_surfaced_and_clamped():
     assert est({"q1": 0.2}, committed, clamp=False) == 1.0
 
 
+def test_chain_median_excludes_subfloor_committed_queries():
+    """Round-9 ADVICE (medium): the guard's t/max(committed, 0.5)
+    denominator is fine for its >=1-clamped one-shot verdict, but fed
+    raw into the CHAIN it turns every sub-floor query into a ratio of
+    t/0.5 — systematically < 1 — and 143/321 committed queries already
+    sit under the floor.  Once they crossed half the registry, the raw
+    median would multiply a spurious < 1 into cumulative_load every
+    refresh, silently unwinding the chain.  clamp=False therefore
+    computes the median ONLY over committed >= floor, with exact
+    t/committed ratios."""
+    est = _bench().estimate_load
+    # 25 above-floor queries steady at 1.2x, 26 sub-floor queries whose
+    # floored ratios would read 0.04/0.5 = 0.08 and drag the raw median
+    # to a fabricated "fast box"
+    committed = {f"big{i}": 2.0 for i in range(25)}
+    committed.update({f"tiny{i}": 0.02 for i in range(26)})
+    timings = {f"big{i}": 2.4 for i in range(25)}
+    timings.update({f"tiny{i}": 0.04 for i in range(26)})
+    assert est(timings, committed, clamp=False) == 1.2
+    # the guard's clamped view keeps the floored denominators (the
+    # sub-floor majority's 0.08 ratios own its median, then the >=1
+    # clamp holds) — exactly the fabricated <1 factor the chain's
+    # unclamped path must never see
+    assert est(timings, committed) == 1.0
+    # and if too few above-floor queries remain, the chain median
+    # degenerates to 1.0 (no fabricated factor) instead of trusting a
+    # handful of samples
+    few = {f"big{i}": 2.0 for i in range(5)}
+    few.update({f"tiny{i}": 0.02 for i in range(40)})
+    t_few = {f"big{i}": 2.4 for i in range(5)}
+    t_few.update({f"tiny{i}": 0.04 for i in range(40)})
+    assert est(t_few, few, clamp=False) == 1.0
+
+
+def test_committed_baseline_keeps_chain_median_meaningful():
+    """The hazard above only stays theoretical while the committed
+    baseline keeps a healthy above-floor population: fail loudly when
+    sub-floor queries reach half the registry (round-9 ADVICE asked for
+    exactly this tripwire — at that point the chain's eligible set is
+    the slow half only, and the convention needs rethinking, e.g. a
+    lower floor for the chain)."""
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "..", "bench_queries.json")
+    with open(path) as f:
+        q = json.load(f)["queries"]
+    sub = sum(1 for v in q.values() if v < 0.5)
+    assert sub / len(q) < 0.5, (
+        f"{sub}/{len(q)} committed queries below the 0.5s floor — the "
+        "drift chain's median now reflects only the above-floor half; "
+        "revisit estimate_load's chain floor before refreshing again"
+    )
+    assert len(q) - sub >= 20  # the chain median never degenerates
+
+
 def test_drift_chain_multiplies_raw_median_and_carries_anchor():
     """Round-8 VERDICT item 1: committed baselines ratcheted
     227.8 -> 237.8 -> 284.2 s at constant 321 queries, each refresh
@@ -122,7 +177,8 @@ def test_drift_chain_multiplies_raw_median_and_carries_anchor():
     prior = {
         "cumulative_load": 1.2,
         "probe_ref_sec": 0.3,
-        "drift_anchor": "r6 quiet-box 227.8s; probe anchored driver-r8",
+        "drift_anchor": "driver-r8 box 279.5s, probe 0.315 (r6->r8"
+        " segment retired as box band, SCALE.md §16)",
     }
     out = chain(prior, load_raw=1.1, probe_sec=0.45)
     assert out["cumulative_load"] == 1.32  # 1.2 * 1.1
@@ -161,6 +217,39 @@ def test_drift_chain_multiplies_raw_median_and_carries_anchor():
     assert again["drift_net"] > 1.5  # compounding trips the alarm
 
 
+def test_chain_refuses_drift_net_when_probe_anchor_is_lost(capsys):
+    """Round-9 ADVICE (low): a partial / hand-edited baseline carrying
+    cumulative_load but NO probe_ref_sec silently reseeds the probe
+    anchor from the current run — probe_ratio resets to 1.0 while
+    cumulative_load keeps its history, so drift_net would misattribute
+    all accumulated box drift to code.  chain_drift must WARN and
+    withhold drift_net (None); cumulative_load still chains."""
+    chain = _bench().chain_drift
+    out = chain({"cumulative_load": 1.3}, load_raw=1.1, probe_sec=0.4)
+    assert out["cumulative_load"] == 1.43
+    assert out["probe_ref_sec"] == 0.4  # reseeded, by necessity
+    assert out["probe_ratio"] == 1.0
+    assert out["drift_net"] is None  # refused, not fabricated
+    assert "probe anchor lost" in capsys.readouterr().err
+    # the legit fresh-seed path (no history at all) keeps drift_net and
+    # stays silent
+    seeded = chain({}, load_raw=1.05, probe_sec=0.4)
+    assert seeded["drift_net"] == 1.05
+    assert capsys.readouterr().err == ""
+    # and both anchors in the default anchor string name the SAME box
+    # (round-10: the r6 time anchor + driver-r8 probe pair smeared
+    # drift_net by the boxes' constant offset)
+    assert "driver-r8" in seeded["drift_anchor"]
+    # main() survives a withheld drift_net: the alarm guards the None
+    # and the summary omits None chained keys instead of printing null
+    # (round-9 ADVICE, low)
+    import inspect
+
+    src = inspect.getsource(_bench().main)
+    assert '(chained["drift_net"] or 0) > CUM_DRIFT_WARN' in src
+    assert "del summary[k]" in src
+
+
 def test_drift_alarm_and_chain_are_wired_into_main():
     """main() must chain vs the COMMITTED baseline's splits, write the
     chained fields into the artifact (a clean run's artifact becomes
@@ -177,8 +266,9 @@ def test_drift_alarm_and_chain_are_wired_into_main():
     assert "splits.update(chained)" in src
     assert 'chained["cumulative_load"] > CUM_DRIFT_WARN' in src
     # the alarm must ALSO fire on the box-normalized code term, or a
-    # fast box's sub-1 chain masks a uniform code regression
-    assert 'chained["drift_net"] > CUM_DRIFT_WARN' in src
+    # fast box's sub-1 chain masks a uniform code regression (None-
+    # guarded: a withheld drift_net can't crash the alarm)
+    assert '(chained["drift_net"] or 0) > CUM_DRIFT_WARN' in src
     # the committed baseline is stamped with the r6-anchored seed, so
     # history predating the chain is already in the index
     import json
@@ -192,7 +282,11 @@ def test_drift_alarm_and_chain_are_wired_into_main():
     assert splits["cumulative_load"] > 0
     assert splits["probe_ref_sec"] > 0
     assert splits["drift_net"] > 0
-    assert "drift_anchor" in splits
+    # round 10: the committed baseline was re-stamped onto the unified
+    # driver-r8 anchor (cumulative_load / the 1.227 r6 seed — that
+    # segment was proven box band by the r9 datapoints, so dropping it
+    # loses no code information and un-smears drift_net)
+    assert "driver-r8" in splits["drift_anchor"]
 
 
 def test_remeasure_uses_fresh_budget_and_is_audited():

@@ -161,19 +161,22 @@ def test_ann_recall_invariant_floors(co):
     ok = [
         {"method": "lsh", "recall_at_5": 0.4},
         {"method": "ivf", "recall_at_5": 0.5},
-        {"method": "pq", "recall_at_5": 0.6},
+        {"method": "pq", "recall_at_5": 0.7},
     ]
     assert co.ann_recall_violations(ok) == []
     # one method under floor -> named violation
     low = [dict(r) for r in ok]
-    low[2]["recall_at_5"] = 0.59
-    assert co.ann_recall_violations(low) == ["pq recall 0.59 < floor 0.6"]
+    low[2]["recall_at_5"] = 0.69
+    assert co.ann_recall_violations(low) == ["pq recall 0.69 < floor 0.7"]
     # a NULL recall is a violation, not a skip
     low[2]["recall_at_5"] = None
-    assert co.ann_recall_violations(low) == ["pq recall None < floor 0.6"]
+    assert co.ann_recall_violations(low) == ["pq recall None < floor 0.7"]
     # a method dropping out of the report entirely must fail too
     assert co.ann_recall_violations(ok[:2]) == ["missing methods: ['pq']"]
-    assert co.ANN_RECALL_FLOORS == {"lsh": 0.4, "ivf": 0.5, "pq": 0.6}
+    # pq floored at 0.7 in the GATE, tighter than the suite's 0.6
+    # (round-9 VERDICT item 3: measured ~0.87 at sf0.01 left a silent
+    # 30-point decay window under the old floor)
+    assert co.ANN_RECALL_FLOORS == {"lsh": 0.4, "ivf": 0.5, "pq": 0.7}
 
 
 def test_ann_recall_invariant_is_wired_into_rowsonly_path(co):
@@ -187,3 +190,8 @@ def test_ann_recall_invariant_is_wired_into_rowsonly_path(co):
     assert src.index('"fail:zero-rows"') < inv_at
     assert '"fail:invariant"' in src
     assert '"rowsonly+floors"' in src
+    # measured recalls land in the artifact record on BOTH the pass and
+    # the invariant-fail path (round-9 VERDICT item 3: pass/fail alone
+    # hides a slow decay inside the floors)
+    assert '"recalls"' in src
+    assert src.count("extra") >= 3
