@@ -60,9 +60,9 @@ ROTATION_BUCKETS = 5
 # The floors from tests/test_similarity.py are asserted here instead,
 # so the values get checked wherever the gate runs — including the
 # sf1 slices, closing the last untested-at-scale value surface.
-# pq is floored at 0.7 HERE, tighter than the suite's 0.6 (round-9
-# VERDICT item 3): measured recall@5 at sf0.01 is ~0.87, so the old
-# floor left a silent 30-point decay window; lsh/ivf floors are
+# pq is floored at 0.7 (round-9 VERDICT item 3, suite floor in
+# test_similarity.py aligned): measured recall@5 at sf0.01 is ~0.87, so
+# the old 0.6 left a silent 30-point decay window; lsh/ivf floors are
 # already within ~15% of their measured values.  The measured recalls
 # are also RECORDED in the gate's JSON artifact (records[...]
 # ["recalls"]), so a slow decay inside the floors is visible across

@@ -19,6 +19,13 @@ Semantics that matter (pinned by tests/test_round_close.py):
   bench_queries.failed.json by bench.py) is NOT adoptable; if no run is
   clean the committed baseline is left byte-identical and the script
   exits 1.
+* The child env PINS the convention's semantics: SPARK_GRAFT_SF_DIR is
+  forced to bench.py's default (an inherited sf1 dir would route bench's
+  artifact to bench_sf1.json, leaving BASELINE as the restored snapshot
+  — this script would then "adopt" the committed baseline as if it were
+  a fresh sweep and print its chain datapoint as new) and
+  SPARK_GRAFT_BENCH_GUARD is forced on (guard-off rc=0 is not
+  "guard-clean", so a regressing run must never be adoptable here).
 
 Usage:  python scripts/round_close.py          # the round-close pair
         SPARK_GRAFT_CLOSE_RUNS=3 python scripts/round_close.py
@@ -39,6 +46,9 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 BENCH = os.path.join(REPO, "bench.py")
 BASELINE = os.path.join(REPO, "bench_queries.json")
+
+sys.path.insert(0, REPO)
+from bench import DEFAULT_SF_DIR  # noqa: E402  (import is side-effect free)
 
 
 def total(artifact: dict | None) -> float | None:
@@ -77,7 +87,17 @@ def main() -> int:
         if snapshot is not None:
             with open(BASELINE, "wb") as f:
                 f.write(snapshot)
-        rc = subprocess.call([sys.executable, BENCH])
+        # pin the convention's semantics regardless of the caller's
+        # shell: default sf (anything else routes the artifact away
+        # from BASELINE and the adopt step would re-adopt the restored
+        # snapshot as "new"), guard ON (rc=0 with the guard disabled
+        # is not guard-clean)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR=DEFAULT_SF_DIR,
+            SPARK_GRAFT_BENCH_GUARD="1",
+        )
+        rc = subprocess.call([sys.executable, BENCH], env=env)
         art = None
         if rc == 0 and os.path.exists(BASELINE):
             try:

@@ -173,9 +173,9 @@ def test_ann_recall_invariant_floors(co):
     assert co.ann_recall_violations(low) == ["pq recall None < floor 0.7"]
     # a method dropping out of the report entirely must fail too
     assert co.ann_recall_violations(ok[:2]) == ["missing methods: ['pq']"]
-    # pq floored at 0.7 in the GATE, tighter than the suite's 0.6
-    # (round-9 VERDICT item 3: measured ~0.87 at sf0.01 left a silent
-    # 30-point decay window under the old floor)
+    # pq floored at 0.7 (round-9 VERDICT item 3: measured ~0.87 at
+    # sf0.01 left a silent 30-point decay window under the old 0.6;
+    # the suite's sf0.001 floor in test_similarity.py is aligned)
     assert co.ANN_RECALL_FLOORS == {"lsh": 0.4, "ivf": 0.5, "pq": 0.7}
 
 

@@ -57,3 +57,24 @@ def test_pair_runs_against_the_same_committed_baseline():
     assert call < restore_before_adopt < pick
     # only a clean exit's artifact is adoptable; rc=1 runs read as None
     assert "if rc == 0 and os.path.exists(BASELINE)" in src
+
+
+def test_child_env_pins_default_sf_and_guard_on():
+    """The bench subprocess env must force the default sf dir and the
+    guard ON, regardless of the caller's shell: an inherited
+    SPARK_GRAFT_SF_DIR routes bench's artifact away from BASELINE, so
+    the adopt step would re-adopt the restored committed snapshot as a
+    "fresh" sweep and print its chain datapoint as new; an inherited
+    SPARK_GRAFT_BENCH_GUARD=0 makes a regressing run rc=0 and therefore
+    adoptable, which is not guard-clean."""
+    import inspect
+
+    mod = _rc()
+    src = inspect.getsource(mod.main)
+    assert "SPARK_GRAFT_SF_DIR=DEFAULT_SF_DIR" in src
+    assert 'SPARK_GRAFT_BENCH_GUARD="1"' in src
+    assert "env=env" in src
+    # the pinned default is bench.py's own, not a copy that could skew
+    import bench
+
+    assert mod.DEFAULT_SF_DIR == bench.DEFAULT_SF_DIR

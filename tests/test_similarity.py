@@ -133,15 +133,17 @@ def test_semdedup_removal_rule_matches_numpy(emb, spark):
 
 def test_pq_recall_floor_vs_brute_force(emb, spark):
     """PQ-ADC shortlist + exact rerank on sf0.001: with a 16x32 codebook
-    on 64-dim data and a 4k shortlist, demand >= 60% top-5 recall
-    (measured 0.85 with the 16x32 codebook; numpy reference agrees)."""
+    on 64-dim data and a 4k shortlist, demand >= 70% top-5 recall —
+    aligned with the oracle gate's tightened floor (round-9 VERDICT
+    item 3; measured 0.85 here with the 16x32 codebook, 0.87 at sf0.01,
+    numpy reference agrees)."""
     q = emb.where(F.col("vec_id") < 20)
     bf = S.brute_force_topk(emb, q, "embedding", "vec_id", k=5)
     pq = S.pq_topk(emb, q, "embedding", "vec_id", k=5)
     bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
     pq_pairs = {(r["query_id"], r["neighbor_id"]) for r in pq.collect()}
     recall = len(bf_pairs & pq_pairs) / len(bf_pairs)
-    assert recall >= 0.6, f"PQ recall {recall:.2f} below floor"
+    assert recall >= 0.7, f"PQ recall {recall:.2f} below floor"
 
 
 def test_pq_deterministic_and_exact_scores(emb, spark):
