@@ -68,8 +68,8 @@ LOAD_WARN_RATIO = 1.5
 # (observed: 227.8 s r6 -> 237.8 s r7 -> 284.2 s r8 at constant 321
 # queries, every step individually guard-clean).  cumulative_load
 # chains the UNCLAMPED median ratio across refreshes from a fixed
-# anchor (r6, 227.8 s), so compounded drift trips an alarm even though
-# no single refresh does.
+# anchor (the driver-r8 box since round 10 — see chain_drift), so
+# compounded drift trips an alarm even though no single refresh does.
 CUM_DRIFT_WARN = 1.5
 
 # sf>=1 sweep order: graph family first (round-8 VERDICT item 3).  The

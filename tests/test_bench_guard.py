@@ -269,8 +269,8 @@ def test_drift_alarm_and_chain_are_wired_into_main():
     # fast box's sub-1 chain masks a uniform code regression (None-
     # guarded: a withheld drift_net can't crash the alarm)
     assert '(chained["drift_net"] or 0) > CUM_DRIFT_WARN' in src
-    # the committed baseline is stamped with the r6-anchored seed, so
-    # history predating the chain is already in the index
+    # the committed baseline carries the chain's seed, so history
+    # predating any given refresh is already in the index
     import json
 
     path = os.path.join(os.path.dirname(__file__), "..", "bench_queries.json")
