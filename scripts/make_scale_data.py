@@ -13,11 +13,16 @@ Texts and embeddings are MUTATED per copy, not reused verbatim: naive
 replication gives every document 9 identical twins, which inflates the
 near-dup pair space ~K²/2-fold and turns every dedup-family query into
 a pathological all-cliques workload (measured 70× growth for 10× data
-— an artifact of the replication, not of scale).  Copy i Caesar-rotates
-the document text by i (token structure, lengths and within-copy dup
-rate preserved; cross-copy texts disjoint) and adds a deterministic
-per-copy perturbation to embeddings (cosine between copies drops well
-below the near-dup thresholds).
+— an artifact of the replication, not of scale).  Copy i applies a
+bijective character map to the document text (Caesar rotation ×
+alphabet reversal × digit rotation — 520 distinct maps, see
+``letter_map``; token structure, lengths and within-copy dup rate
+preserved; cross-copy texts disjoint for K <= 520) and adds a
+deterministic per-copy perturbation to embeddings (distinct per copy
+for K <= 210, see ``embedding_perturb_expr``; cosine between copies
+drops well below the near-dup thresholds).  Copies 0-9 are
+byte-identical to the original K=10 scheme, so a regenerated sf1
+corpus stays comparable with every recorded sf1 number.
 
 Usage:  python scripts/make_scale_data.py [K] [out_dir]
         (defaults: K=10, out_dir=.localdata/sf1)
@@ -35,6 +40,108 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
+
+LOWER = "abcdefghijklmnopqrstuvwxyz"
+UPPER = LOWER.upper()
+DIGITS = "0123456789"
+
+
+# multiplicative units mod 26 — each (a, b) pair gives a distinct
+# affine permutation x -> a*x + b of the alphabet
+UNITS_26 = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+
+def letter_map(i: int) -> tuple[str, str]:
+    """Per-copy bijective character map (from_chars, to_chars) for the
+    document texts: an AFFINE permutation of the letters, x -> a*x + b
+    (mod 26) with a = UNITS_26[(i // 26) % 12] and b = i % 26 — 12 x 26
+    = 312 distinct letter-only permutations, so copies' texts are
+    mutually distinct for K <= 312 even when a document contains no
+    digits (the driver's synthetic documents are word-only, so the
+    letter map must carry ALL the distinguishing power; an earlier
+    rotation x reversal x digit-rotation scheme had only 52 distinct
+    letter transforms and copies 52 apart shared identical texts).
+    The original K=10 scheme was rotation only: `LOWER[i:] + LOWER[:i]`
+    is the identity whenever i >= 26 (the slice goes empty, not
+    modular), so at K=100 copies {0, 26, 52, 78} would have shared
+    identical texts and the near-dup families would have re-grown the
+    cross-copy cliques this script exists to prevent.  i < 26 has
+    a = 1, i.e. the legacy pure rotation — i < 10 reproduces the old
+    map exactly, keeping the sf1 corpus byte-identical across this
+    change.  Digits additionally rotate by (i // 26) % 10.  Docs with
+    NO letters and NO digits (empty / pure punctuation) remain
+    identical across copies at any K — same bounded artifact as
+    before.  Length, character class, and token structure are
+    preserved by construction."""
+    a = UNITS_26[(i // 26) % 12]
+    b = i % 26
+    rl = "".join(LOWER[(a * x + b) % 26] for x in range(26))
+    drot = (i // 26) % 10
+    rd = DIGITS[drot:] + DIGITS[:drot]
+    return LOWER + UPPER + DIGITS, rl + rl.upper() + rd
+
+
+def embedding_perturb_expr(i: int) -> str:
+    """Per-copy embedding perturbation (DuckDB lambda body addend) for
+    copy i > 0.  Copies 1-9 keep the original K=10 formula
+    (0.05 * ((i*31 + dim) % 7 - 3), byte-identical sf1 corpus); that
+    formula is PERIODIC mod 7 in the copy index, so at K=100 copies
+    with i === j (mod 7) would receive IDENTICAL vectors — ~14 exact
+    twins per base vector, a cross-copy near-dup clique explosion.
+    KNOWN LEGACY ARTIFACT (kept for sf1 byte-compat, pinned by
+    tests/test_make_scale_data.py): the mod-7 period already collides
+    INSIDE copies 1-9 — copies (1,8) and (2,9) get identical
+    perturbations, so every base vector has exactly one exact
+    cross-copy twin (cosine 1.0) in each of those two pairs at K >= 9.
+    That is a BOUNDED, linear-in-corpus pair count, not a clique
+    explosion, and it is present in every recorded sf1 number; fixing
+    it would change the sf1 corpus and break comparability with those
+    records, so it is documented instead.
+    Copies i >= 10 draw the perturbation from DuckDB's 64-bit
+    ``hash()`` of (i*101 + dim), mapped to +-0.15 — the same amplitude
+    as the original.  The hash must be genuinely NONLINEAR: affine
+    schemes (a*i + b*dim mod p, or a multiplicative Knuth hash — both
+    tried first) satisfy h(x + c) = h(x) + h(c), so two copies at a
+    constant offset get near-identical perturbation VECTORS whenever
+    h(offset) is small mod the quantum, and measured cross-copy
+    cosines hit 0.9999 — a worse near-dup explosion than the mod-7
+    bug this replaces.  With hash(): measured max non-legacy
+    cross-copy cosine 0.905 over sampled base vectors at K=100, under
+    the 0.95/0.99 near-dup thresholds.  Deterministic per DuckDB
+    version (fine for a regenerated-per-round perf corpus; the
+    correctness oracle never reads this data)."""
+    if i < 10:
+        return f"0.05 * (({i} * 31 + z[2]) % 7 - 3)"
+    return f"0.15 * ((hash({i} * 101 + z[2]) % 4096) - 2047.5) / 2047.5"
+
+
+def mutate(t: str, c: str, i: int, strides: dict[str, int]) -> str | None:
+    """Per-copy value mutation expression (None = reuse verbatim)."""
+    # entity names regenerate from the OFFSET key — otherwise every
+    # name exists K times and name-blocked linkage queries degrade
+    # to quadratic all-clique joins (same artifact as verbatim text)
+    if t == "customer" and c == "c_name":
+        off = i * strides["customer.c_custkey"]
+        return (
+            f"'Customer#' || lpad(CAST(c_custkey + {off} AS VARCHAR),"
+            f" 9, '0') AS {c}"
+        )
+    if t == "supplier" and c == "s_name":
+        off = i * strides["supplier.s_suppkey"]
+        return (
+            f"'Supplier#' || lpad(CAST(s_suppkey + {off} AS VARCHAR),"
+            f" 9, '0') AS {c}"
+        )
+    if t == "documents" and c == "text" and i > 0:
+        frm, to = letter_map(i)
+        return f"translate({c}, '{frm}', '{to}') AS {c}"
+    if t == "embeddings" and c == "embedding" and i > 0:
+        return (
+            f"list_transform(list_zip({c}, range(1, len({c}) + 1)),"
+            f" z -> CAST(z[1] + {embedding_perturb_expr(i)}"
+            f" AS FLOAT)) AS {c}"
+        )
+    return None
 
 # table -> {column: stride-key} ; stride(key) = (max key + 1) of its
 # own table so offset keys never collide across copies
@@ -79,38 +186,6 @@ def main() -> None:
         )
         print(f"{t}: copied as-is")
 
-    lower = "abcdefghijklmnopqrstuvwxyz"
-    upper = lower.upper()
-
-    def mutate(t: str, c: str, i: int) -> str | None:
-        """Per-copy value mutation expression (None = reuse verbatim)."""
-        # entity names regenerate from the OFFSET key — otherwise every
-        # name exists K times and name-blocked linkage queries degrade
-        # to quadratic all-clique joins (same artifact as verbatim text)
-        if t == "customer" and c == "c_name":
-            off = i * strides["customer.c_custkey"]
-            return (
-                f"'Customer#' || lpad(CAST(c_custkey + {off} AS VARCHAR),"
-                f" 9, '0') AS {c}"
-            )
-        if t == "supplier" and c == "s_name":
-            off = i * strides["supplier.s_suppkey"]
-            return (
-                f"'Supplier#' || lpad(CAST(s_suppkey + {off} AS VARCHAR),"
-                f" 9, '0') AS {c}"
-            )
-        if t == "documents" and c == "text" and i > 0:
-            rl = lower[i:] + lower[:i]
-            ru = upper[i:] + upper[:i]
-            return f"translate({c}, '{lower}{upper}', '{rl}{ru}') AS {c}"
-        if t == "embeddings" and c == "embedding" and i > 0:
-            return (
-                f"list_transform(list_zip({c}, range(1, len({c}) + 1)),"
-                f" z -> CAST(z[1] + 0.05 * (({i} * 31 + z[2]) % 7 - 3)"
-                f" AS FLOAT)) AS {c}"
-            )
-        return None
-
     for t, cols in KEYED.items():
         src_cols = [
             c[0]
@@ -127,7 +202,7 @@ def main() -> None:
             proj = ", ".join(
                 f"{c} + {i * strides[cols[c]]} AS {c}"
                 if c in cols
-                else (mutate(t, c, i) or c)
+                else (mutate(t, c, i, strides) or c)
                 for c in src_cols
             )
             con.sql(
