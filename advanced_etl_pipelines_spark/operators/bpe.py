@@ -78,12 +78,16 @@ def bpe_learn(
     marker appended as its own symbol (the Sennrich formulation — it
     lets the vocabulary distinguish word-final subwords, e.g. 'est</w>'
     in 'newest' vs 'est' in 'estimate')."""
+    # lazy: round 1's argmax collect is the first action — it
+    # materializes + persists this frame (and the upstream word_freq
+    # aggregate) in the same job; rounds 2+ then read the persisted
+    # blocks.  Same one-job-per-round discipline as the loop below.
     cur = words.select(
         "freq",
         F.concat(
             F.split(F.col("word"), ""), F.array(F.lit(end_of_word))
         ).alias("symbols"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     pair_counts = (
         lambda d: d.select(
@@ -129,9 +133,17 @@ def bpe_learn(
             break  # words are fully merged — no adjacent pairs left
         a, b, cnt = top["p"]["a"], top["p"]["b"], int(top["cnt"])
         merges.append((rank, a, b, a + b, cnt))
+        # lazy checkpoint: the NEXT round's argmax collect is the first
+        # action over the rewritten frame — it materializes + persists
+        # the fold and truncates lineage in the same job, so each merge
+        # round costs ONE job instead of two (an eager checkpoint here
+        # ran a dedicated materialization job per round; at 12 merges
+        # that was 12 extra scheduler round-trips per bpe_learn caller).
+        # The final round's frame is never materialized — it is dead
+        # (only `merges` is returned), so the lazy marker costs nothing.
         cur = cur.withColumn(
             "symbols", _merge_expr(a, b)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges
 
 

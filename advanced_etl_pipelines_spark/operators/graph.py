@@ -191,7 +191,14 @@ def pagerank(
         # occurrence volume to distinct-pair volume.  Same stochastic
         # chain: flow splits by weight share of the source's total.
         e = e.groupBy("s", "d").agg(F.sum("ew").alias("ew"))
-    e = e.localCheckpoint()
+    # lazy checkpoint discipline (optimization round 10): every frame
+    # below still cuts lineage via localCheckpoint, but materialization
+    # rides the NEXT unavoidable full action instead of a dedicated
+    # eager job — the first action that scans a lazily-marked frame
+    # computes, persists, and truncates it in one job.  The old eager
+    # chain paid ~6 + iters scheduler round-trips per pagerank call
+    # before any ranks flowed; the math and results are unchanged.
+    e = e.localCheckpoint(eager=False)
     # the (node) and (node, rank) frames are two orders of magnitude
     # smaller than the edges; keeping them on the full shuffle-partition
     # count makes every iteration pay ~32 near-empty tasks per stage —
@@ -202,9 +209,8 @@ def pagerank(
         .union(e.select(F.col("d").alias("node")))
         .distinct()
         .coalesce(small_parts)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    n = nodes.count()
     # fold weight/out-strength into the edge list ONCE: per-iteration
     # work is then a single broadcast join + aggregate (unweighted
     # graphs have ew = 1, so this reduces to the classic 1/out-degree)
@@ -212,11 +218,15 @@ def pagerank(
     ew = (
         e.join(outdeg, "s")
         .select("s", "d", (F.col("ew") / F.col("deg")).alias("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     if seeds is None:
-        # classic PageRank: uniform start, uniform teleport
-        ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+        # classic PageRank: uniform start, uniform teleport.  The node
+        # count (needed only for the uniform 1/n mass) is the one
+        # unavoidable driver action of the setup phase — it also
+        # materializes e and nodes (lazy markers above) in the same job.
+        n = nodes.count()
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
         reset = nodes.withColumn("r0", F.lit(1.0 / n))
     else:
         # PERSONALIZED PageRank (Jeh & Widom 2003): start AND teleport
@@ -228,7 +238,11 @@ def pagerank(
         sd = seeds.select(
             F.col(seeds.columns[0]).cast("long").alias("node")
         ).distinct()
-        sd = nodes.join(F.broadcast(sd), "node").localCheckpoint()
+        # the seed-count action below is the seeded path's one setup
+        # job — it materializes e, nodes and sd together (lazy markers)
+        sd = nodes.join(F.broadcast(sd), "node").localCheckpoint(
+            eager=False
+        )
         k = sd.count()
         if k == 0:
             raise ValueError("pagerank: no seed id exists in the graph")
@@ -237,8 +251,12 @@ def pagerank(
             "node",
             "left",
         ).select("node", F.coalesce("r0", F.lit(0.0)).alias("r0"))
-        ranks = reset.withColumnRenamed("r0", "rank").localCheckpoint()
-    reset = reset.localCheckpoint()
+    # reset re-enters the teleport join every round: checkpoint so the
+    # join/coalesce above runs once (round 1 materializes it); ranks at
+    # iteration 0 is reset relabeled, sharing those persisted blocks
+    reset = reset.localCheckpoint(eager=False)
+    if seeds is not None:
+        ranks = reset.withColumnRenamed("r0", "rank")
     for _ in range(iters):
         # ranks is |nodes| rows — broadcast it so the (much larger) edge
         # list never shuffles; only the per-dst partial sums move.  At
@@ -253,6 +271,10 @@ def pagerank(
             .agg(F.sum("c").alias("inflow"))
             .coalesce(small_parts)
         )
+        # lazy: the next round's broadcast of ranks (or the caller's
+        # action on the final frame) is the first full scan — it
+        # materializes + persists this round and truncates lineage in
+        # the same job, one job per iteration instead of two
         ranks = (
             reset.join(
                 F.broadcast(contrib.withColumnRenamed("d", "node")),
@@ -266,7 +288,7 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -511,6 +533,9 @@ def label_propagation(
                 "max_by(label, struct(cnt, -label))"
             ).alias("new_label")
         )
+        # lazy: the next round's broadcast into the edge join (or the
+        # caller's action on the final frame) materializes + persists
+        # this round — one job per round instead of two, same results
         labels = (
             labels.join(
                 F.broadcast(new), "node", "left"
@@ -520,6 +545,6 @@ def label_propagation(
                 F.coalesce("new_label", "label").alias("label"),
             )
             .coalesce(small_parts)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return labels

@@ -5477,37 +5477,72 @@ def q_catalog_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         if t in fact_tables:
             one = df.agg(*aggs)
+            # The per-column exact-distinct subtrees are UNIONED into
+            # one (column_name, n_distinct) side frame and attached
+            # with a single broadcast join on column_name, instead of
+            # the old chain of one crossJoin PER COLUMN: each of those
+            # 1-row crossJoins was its own BroadcastExchange, i.e. an
+            # extra AQE stage + scheduler round-trip per column (23
+            # across the three fact tables; the sf0.1 harness measured
+            # the query at 87 Spark jobs, mostly this).  The distinct
+            # subtrees themselves — the scale-correct part of the plan
+            # (no Expand of the fact table) — are unchanged, and so is
+            # every computed value.  count(col) over the distinct
+            # frame skips the NULL group, matching COUNT(DISTINCT c).
+            dist = None
             for c in cols:
-                # count(col) over the distinct frame skips the NULL
-                # group, matching COUNT(DISTINCT c)
-                one = one.crossJoin(
-                    df.select(c)
+                d = (
+                    df.select(F.col(c).alias("__v"))
                     .distinct()
-                    .agg(F.count(F.col(c)).alias(f"__dist_{c}"))
+                    .agg(
+                        F.lit(c).alias("column_name"),
+                        F.count("__v").alias("__dist"),
+                    )
                 )
+                dist = d if dist is None else dist.unionAll(d)
+            stack_args = ", ".join(
+                f"'{c}', round(__null_{c} / __n + 1e-9, 4)" for c in cols
+            )
+            rows = (
+                one.select(
+                    F.col("__n").cast("bigint").alias("n_rows"),
+                    F.expr(
+                        f"stack({len(cols)}, {stack_args})"
+                        " AS (column_name, null_frac)"
+                    ),
+                )
+                .join(F.broadcast(dist), "column_name")
+                .select(
+                    F.lit(t).alias("table_name"),
+                    "column_name",
+                    "n_rows",
+                    "null_frac",
+                    F.col("__dist").cast("bigint").alias("n_distinct"),
+                )
+            )
         else:
             for c in cols:
                 aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
             one = df.agg(*aggs)
-        # one stack() per table reshapes the single agg row to
-        # per-column rows in ONE plan branch (a per-column select-union
-        # would re-evaluate the aggregate once per column)
-        stack_args = ", ".join(
-            f"'{c}', round(__null_{c} / __n + 1e-9, 4),"
-            f" cast(__dist_{c} as bigint)"
-            for c in cols
-        )
-        rows = one.select(
-            F.lit(t).alias("table_name"),
-            F.col("__n").cast("bigint").alias("n_rows"),
-            F.expr(
-                f"stack({len(cols)}, {stack_args})"
-                " AS (column_name, null_frac, n_distinct)"
-            ),
-        ).select(
-            "table_name", "column_name", "n_rows", "null_frac",
-            "n_distinct",
-        )
+            # one stack() per table reshapes the single agg row to
+            # per-column rows in ONE plan branch (a per-column
+            # select-union would re-evaluate the aggregate per column)
+            stack_args = ", ".join(
+                f"'{c}', round(__null_{c} / __n + 1e-9, 4),"
+                f" cast(__dist_{c} as bigint)"
+                for c in cols
+            )
+            rows = one.select(
+                F.lit(t).alias("table_name"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+                F.expr(
+                    f"stack({len(cols)}, {stack_args})"
+                    " AS (column_name, null_frac, n_distinct)"
+                ),
+            ).select(
+                "table_name", "column_name", "n_rows", "null_frac",
+                "n_distinct",
+            )
         out = rows if out is None else out.unionAll(rows)
     return out
 
@@ -5604,41 +5639,88 @@ def q_catalog_null_profile_approx(
             )
         if t in fact_tables:
             one = df.agg(*aggs)
+            # single broadcast join instead of one crossJoin per spot
+            # column — same de-Expand'd distinct subtrees, same values,
+            # fewer BroadcastExchange stages (see the sibling exact
+            # query for the measured rationale)
+            dist = None
             for c in cols:
                 if c not in spot:
                     continue
-                one = one.crossJoin(
-                    df.select(c)
+                d = (
+                    df.select(F.col(c).alias("__v"))
                     .distinct()
-                    .agg(F.count(F.col(c)).alias(f"__dist_{c}"))
+                    .agg(
+                        F.lit(c).alias("__dcol"),
+                        F.count("__v").alias("__dist"),
+                    )
                 )
+                dist = d if dist is None else dist.unionAll(d)
         else:
             for c in cols:
                 aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
             one = df.agg(*aggs)
-        stack_args = ", ".join(
-            (
+        if t in fact_tables:
+            # fact rows: the stack carries (column_name, null_frac,
+            # sketch estimate); the spot columns' exact counts arrive
+            # through ONE broadcast join (dist above) and non-spot rows
+            # left-join to NULL — the same NULL n_distinct/flag the old
+            # per-column branch emitted, with the identical tolerance
+            # expression evaluated post-join
+            # non-spot rows stack a NULL estimate instead of their
+            # sketch so the optimizer keeps pruning the unused sketch
+            # aggregates exactly as it did under the old shape (their
+            # flag is NULL either way — a non-NULL estimate would add
+            # ~40 never-read hll buffers to the single-pass aggregate)
+            stack_args = ", ".join(
+                f"'{c}', round(__null_{c} / __n + 1e-9, 4),"
+                + (f" __approx_{c}" if c in spot else " cast(null as bigint)")
+                for c in cols
+            )
+            rows = (
+                one.select(
+                    F.col("__n").cast("bigint").alias("n_rows"),
+                    F.expr(
+                        f"stack({len(cols)}, {stack_args})"
+                        " AS (column_name, null_frac, __approx)"
+                    ),
+                )
+                .join(
+                    F.broadcast(dist),
+                    F.col("column_name") == F.col("__dcol"),
+                    "left",
+                )
+                .select(
+                    F.lit(t).alias("table_name"),
+                    "column_name",
+                    "n_rows",
+                    "null_frac",
+                    F.col("__dist").cast("bigint").alias("n_distinct"),
+                    (
+                        F.abs(F.col("__approx") - F.col("__dist"))
+                        <= 0.05 * F.col("__dist")
+                    ).alias("approx_within_5pct"),
+                )
+            )
+        else:
+            stack_args = ", ".join(
                 f"'{c}', round(__null_{c} / __n + 1e-9, 4),"
                 f" cast(__dist_{c} as bigint),"
                 f" abs(__approx_{c} - __dist_{c}) <= 0.05 * __dist_{c}"
-                if c in spot
-                else f"'{c}', round(__null_{c} / __n + 1e-9, 4),"
-                " cast(null as bigint), cast(null as boolean)"
+                for c in cols
             )
-            for c in cols
-        )
-        rows = one.select(
-            F.lit(t).alias("table_name"),
-            F.col("__n").cast("bigint").alias("n_rows"),
-            F.expr(
-                f"stack({len(cols)}, {stack_args})"
-                " AS (column_name, null_frac, n_distinct,"
-                " approx_within_5pct)"
-            ),
-        ).select(
-            "table_name", "column_name", "n_rows", "null_frac",
-            "n_distinct", "approx_within_5pct",
-        )
+            rows = one.select(
+                F.lit(t).alias("table_name"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+                F.expr(
+                    f"stack({len(cols)}, {stack_args})"
+                    " AS (column_name, null_frac, n_distinct,"
+                    " approx_within_5pct)"
+                ),
+            ).select(
+                "table_name", "column_name", "n_rows", "null_frac",
+                "n_distinct", "approx_within_5pct",
+            )
         out = rows if out is None else out.unionAll(rows)
     return out
 

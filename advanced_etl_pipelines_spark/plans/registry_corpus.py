@@ -660,14 +660,24 @@ def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    merges = bpe_learn(word_freq_table(docs, "text"), n_merges=12)
+    # ONE corpus-scale tokenize pass (optimization round 10): the
+    # (lang, word) count table is computed and persisted first, and the
+    # trainer's (word, freq) table is DERIVED from it by summing over
+    # lang — identical multiset to word_freq_table(docs) (both count
+    # every token occurrence), so the learned merges are unchanged,
+    # but the corpus is tokenized+exploded once instead of twice.  The
+    # persisted frame is vocabulary x language bounded, not corpus
+    # bounded.
     counts = (
         docs.select(
             "lang", F.explode(word_tokens("text")).alias("word")
         )
         .groupBy("lang", "word")
         .agg(F.count(F.lit(1)).alias("n"))
+        .transform(tracked_persist)
     )
+    wf = counts.groupBy("word").agg(F.sum("n").alias("freq"))
+    merges = bpe_learn(wf, n_merges=12)
     vocab = bpe_segment_vocab(
         counts.select("word").distinct(), merges
     ).select("word", "n_subwords")
@@ -718,16 +728,22 @@ def q_unigram_lm_fertility(
     )
 
     docs = _t(spark, sf_dir, "documents")
-    wf = word_freq_table(docs, "text")
-    pieces = unigram_piece_table(wf)
-    seg = unigram_viterbi_words(wf, pieces)
+    # ONE corpus-scale tokenize pass (same derivation as
+    # bpe_fertility_by_lang): (lang, word) counts are persisted and the
+    # (word, freq) trainer table is their per-word sum — identical
+    # values, half the corpus passes; persisted frame is vocab x lang
+    # bounded
     counts = (
         docs.select(
             "lang", F.explode(word_tokens("text")).alias("word")
         )
         .groupBy("lang", "word")
         .agg(F.count(F.lit(1)).alias("n"))
+        .transform(tracked_persist)
     )
+    wf = counts.groupBy("word").agg(F.sum("n").alias("freq"))
+    pieces = unigram_piece_table(wf)
+    seg = unigram_viterbi_words(wf, pieces)
     return (
         counts.join(seg, "word")
         .groupBy("lang")
@@ -786,7 +802,23 @@ def q_unigram_em_refined(
     )
 
     docs = _t(spark, sf_dir, "documents")
-    wf = word_freq_table(docs, "text").transform(tracked_persist)
+    # ONE corpus-scale tokenize pass (same derivation as
+    # bpe_fertility_by_lang): per-(lang, word) counts are the persisted
+    # corpus aggregate and the trainer's (word, freq) table is their
+    # per-word sum — identical values, half the corpus passes
+    counts = (
+        docs.select(
+            "lang", F.explode(word_tokens("text")).alias("word")
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .transform(tracked_persist)
+    )
+    wf = (
+        counts.groupBy("word")
+        .agg(F.sum("n").alias("freq"))
+        .transform(tracked_persist)
+    )
     occ = occ_frame(wf).transform(tracked_persist)
     pieces = unigram_piece_table(wf)
     for _ in range(2):
@@ -794,13 +826,6 @@ def q_unigram_em_refined(
             wf, pieces, occ=occ
         ).transform(tracked_persist)
     seg = unigram_viterbi_words(wf, pieces, occ=occ)
-    counts = (
-        docs.select(
-            "lang", F.explode(word_tokens("text")).alias("word")
-        )
-        .groupBy("lang", "word")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
     return (
         counts.join(seg, "word")
         .groupBy("lang")
@@ -912,9 +937,18 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             word_tokens("text"), lambda x: F.length(x) >= 4
         ).alias("toks"),
     )
-    pos = toks.select(
-        "doc_id", F.posexplode("toks").alias("i", "w")
-    ).select("doc_id", (F.col("i") + 1).alias("i"), "w")
+    # persist the one corpus-scale pass: pos feeds the vocabulary count
+    # AND (via pv) both sides of the two co-occurrence equi-joins —
+    # without the persist the tokenize+posexplode subtree re-executes
+    # once per consumer (~4x; only identical exchanges get reused, and
+    # these consumers shuffle on different keys).  The persisted frame
+    # is the narrow (doc_id, i, w) token table — the same spill-safe
+    # MEMORY_AND_DISK class as every other tracked corpus intermediate.
+    pos = (
+        toks.select("doc_id", F.posexplode("toks").alias("i", "w"))
+        .select("doc_id", (F.col("i") + 1).alias("i"), "w")
+        .transform(tracked_persist)
+    )
     vc = pos.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     vocab = top_k_global(vc, [F.desc("c"), F.asc("w")], 500).select(
         "w", F.col("rnk").alias("id")
