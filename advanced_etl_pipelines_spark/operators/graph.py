@@ -44,10 +44,14 @@ def connected_components(
     )
     # symmetrize once and materialize: the edge producer may be an
     # expensive join (n-gram pairs) that must not re-execute per round
+    # lazy: the labels-init eager checkpoint right below derives from
+    # sym, so its materialization job computes + persists BOTH frames —
+    # one setup job instead of two; sym's later per-round references
+    # read the persisted blocks
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.groupBy("a")
@@ -311,11 +315,13 @@ def k_core(
     frame, not a data collect.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # lazy: the edge count below is the setup's one action — it
+    # materializes + persists the symmetrized frame in the same job
     cur = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_cur = cur.count()
     for _ in range(max_iter):

@@ -4436,6 +4436,9 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    # persisted: the symmetrizing union below references ends twice,
+    # and without the persist the whole two-join subtree re-executes
+    # for the swapped branch (only its exchanges were reused)
     ends = (
         pairs.join(
             nodes.withColumnsRenamed({"node": "s", "deg": "ds"}), "s"
@@ -4444,6 +4447,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             nodes.withColumnsRenamed({"node": "d", "deg": "dd"}), "d"
         )
         .select("ds", "dd")
+        .transform(tracked_persist)
     )
     sym = ends.unionAll(
         ends.select(F.col("dd").alias("ds"), F.col("ds").alias("dd"))
@@ -4925,8 +4929,8 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .transform(tracked_persist)
     )
-    out = None
-    for method, fn in [("lsh", lsh), ("ivf", ivf), ("pq", pq)]:
+
+    def report(method, fn):
         approx = fn(emb, queries_df).select("query_id", "neighbor_id")
         hits = approx.join(
             brute, ["query_id", "neighbor_id"], "left_semi"
@@ -4934,7 +4938,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_q = hits.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("n_hit")
         )
-        rep = brute.select("query_id").distinct().join(
+        return brute.select("query_id").distinct().join(
             per_q, "query_id", "left_outer"
         ).agg(
             F.lit(method).alias("method"),
@@ -4943,6 +4947,22 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(F.coalesce(F.col("n_hit"), F.lit(0)) / 5.0)
             ).alias("recall_at_5"),
         )
+
+    # The three index BUILDS are independent and each mixes driver-side
+    # numpy training with small Spark sample jobs (IVF's Lloyd loop,
+    # PQ's per-subspace codebooks, LSH's banding): running them from a
+    # small thread pool overlaps one build's Spark waits with another's
+    # numpy time (guide-standard concurrent independent jobs), without
+    # changing any result — each trainer is deterministic and touches
+    # only its own state.  Order of the output rows is fixed by the
+    # union below, not by thread completion.
+    from concurrent.futures import ThreadPoolExecutor
+
+    methods = [("lsh", lsh), ("ivf", ivf), ("pq", pq)]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        reps = list(pool.map(lambda m: report(*m), methods))
+    out = None
+    for rep in reps:
         out = rep if out is None else out.unionAll(rep)
     return out
 
@@ -6461,21 +6481,36 @@ def q_categorical_entropy_profile(
     near 0 = one dominant value) — the information-content companion to
     catalog_null_profile's cardinalities: a high-cardinality column
     with low balance is a skew hazard for joins and partitions.  Each
-    column is one grouped count; value frames are category-sized."""
+    column is one grouped count; value frames are category-sized.
+
+    Entropy folds into ONE aggregate over the count frame via
+    H = log2(T) - (Σ n·log2(n)) / T with T = Σ n — algebraically equal
+    to -Σ (n/T)·log2(n/T), so the old second pass (total + broadcast
+    crossJoin back into the counts, one extra aggregate and one
+    BroadcastExchange per column) is gone.  The ~1e-12 relative float
+    difference between the two summation orders is absorbed by the
+    house ROUND(x + 1e-9, 4) convention, orders of magnitude inside
+    the tolerance it already grants reduce-order noise."""
     out = None
     for t, c in _ENTROPY_COLS:
         df = _t(spark, sf_dir, t)
         cnt = df.groupBy(c).agg(F.count(F.lit(1)).alias("n"))
-        tot = cnt.agg(F.sum("n").alias("tot"))
-        p = F.col("n") * 1.0 / F.col("tot")
+        n = F.col("n") * 1.0
         row = (
-            cnt.crossJoin(F.broadcast(tot))
-            .agg(
+            cnt.agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_values"),
-                F.sum(-p * F.log2(p)).alias("h"),
+                F.sum("n").alias("tot"),
+                F.sum(n * F.log2(n)).alias("nlogn"),
             )
             .select(
                 F.lit(f"{t}.{c}").alias("column_ref"),
+                "n_values",
+                (
+                    F.log2(F.col("tot")) - F.col("nlogn") / F.col("tot")
+                ).alias("h"),
+            )
+            .select(
+                "column_ref",
                 "n_values",
                 r4(F.col("h")).alias("entropy_bits"),
                 r4(

@@ -109,8 +109,20 @@ def cache_sf_tables(
         # rule would leave the most compute-heavy operators single-core.
         # The pre-persist count is metadata-only on parquet (footer row
         # counts), not a scan.
+        #
+        # rows // 60 (was // 500, optimization round 10): the heaviest
+        # per-row work rides the SMALL tables — documents carries the
+        # pure-Python codec seams (JPEG/AVI/WAV encode+decode at
+        # ~5-10 ms/row) and embeddings the BLAS seams — and at sf0.1
+        # the 500-row rule left documents on 10 partitions and
+        # embeddings on 4, so those operators used a third (resp. an
+        # eighth) of the cores.  60 rows/partition saturates the box
+        # once a table has ~2k rows while the core-count cap keeps big
+        # tables unchanged; the handful of extra near-empty tasks on
+        # trivial dimension queries is microseconds against a 3x
+        # parallelism win on every codec query.
         rows = df.count()
-        want = max(1, min(cores, max(bytes_ // (8 << 20), rows // 500)))
+        want = max(1, min(cores, max(bytes_ // (8 << 20), rows // 60)))
         if df.rdd.getNumPartitions() < want:
             df = df.repartition(want)
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
