@@ -27,6 +27,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Materialize iterative lazy-checkpoint chains every N rounds: each
+# lazy round nests one BroadcastExchange future inside the next round's
+# plan, so the cap bounds both the broadcast-pool threads pinned at
+# once and the cumulative work any single broadcastTimeout window must
+# cover (round-10 ADVICE).  4 keeps every registry caller (iters <= 3)
+# on the one-job-per-round fast path.
+_MAT_EVERY = 4
+
 
 def connected_components(
     edges: DataFrame, src: str, dst: str, max_iter: int = 20
@@ -261,7 +269,7 @@ def pagerank(
     reset = reset.localCheckpoint(eager=False)
     if seeds is not None:
         ranks = reset.withColumnRenamed("r0", "rank")
-    for _ in range(iters):
+    for it in range(iters):
         # ranks is |nodes| rows — broadcast it so the (much larger) edge
         # list never shuffles; only the per-dst partial sums move.  At
         # node counts past the broadcast budget, hash-partition ew and
@@ -294,6 +302,18 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
+        # Bound the lazy-round nesting (round-10 ADVICE): with every
+        # round lazy, the caller's final action computes ALL rounds
+        # nested inside BroadcastExchange futures, each pinning a
+        # broadcast-pool thread and all covered by the outermost
+        # spark.sql.broadcastTimeout.  A cheap count on the node-sized
+        # frame every _MAT_EVERY rounds materializes the chain so the
+        # nesting depth (and the work under any one timeout window)
+        # stays bounded; registry callers run iters <= 3, so they pay
+        # zero extra jobs.  session.py also raises broadcastTimeout —
+        # belt and braces for deep custom runs.
+        if (it + 1) % _MAT_EVERY == 0 and (it + 1) < iters:
+            ranks.count()
     return ranks
 
 
@@ -523,7 +543,7 @@ def label_propagation(
         .localCheckpoint()
     )
     labels = nodes.withColumn("label", F.col("node"))
-    for _ in range(iters):
+    for it in range(iters):
         counts = (
             e.join(
                 F.broadcast(
@@ -553,4 +573,9 @@ def label_propagation(
             .coalesce(small_parts)
             .localCheckpoint(eager=False)
         )
+        # bound the lazy-round broadcast nesting — same rationale and
+        # cadence as pagerank (_MAT_EVERY); registry callers run
+        # iters = 2, so this never fires for them
+        if (it + 1) % _MAT_EVERY == 0 and (it + 1) < iters:
+            labels.count()
     return labels

@@ -5470,101 +5470,100 @@ def q_catalog_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     engineer checks after a load (keys must be distinct == n_rows,
     dimension attrs low-cardinality, nothing unexpectedly null).
 
-    Two strategies by table class (same exact answers, same oracle):
+    One plan shape for the WHOLE catalog (round-11 optimization; same
+    exact answers, same oracle): every table contributes ONE branch
+    that explodes each row into (column_name, value) pairs, with the
+    value carried as a 5-field struct of the catalog's type classes
+    (ints widened to long — injective, so distinct counts are
+    untouched; exactly one field non-null per column, and the struct
+    itself NULL iff the value is NULL).  The union of the 10 branches
+    reduces through ONE (table, column, value) hash aggregate, and
+    everything the profile reports derives from that aggregate's
+    output: n_rows = Σ counts, null count = the NULL group's count,
+    exact n_distinct = the number of non-null groups.  The
+    null-fraction pass, the 23 per-column distinct subtrees, and the
+    per-dim-table Expand aggregates of the previous shape all collapse
+    into 2 exchanges (measured at sf0.1: 67 → 3 Spark jobs, wall
+    7.2 → 1.9 s same box; plan-construction is one SQL expression per
+    table, not per-column py4j chains, because with 53 branch plans the
+    driver's per-fresh-plan analysis/codegen cost dominated the query).
 
-    * FACT tables (lineitem/orders/events): the row-count/null-sums
-      ride one aggregate and each column's EXACT distinct count is its
-      own scan→distinct→count subtree, composed back with 1-row cross
-      joins.  The classic single-aggregate multi-distinct form Expands
-      the table ×(columns+1) through one shuffle — columns× the fact
-      table's shuffle IO at scale; the subtrees shuffle only each
-      column's partial-aggregated distinct sets.
-    * DIM/small tables: the multi-distinct Expand IS the right plan —
-      one shuffle of a small table beats per-column shuffle floors.
+    Scale shape: the explode feeds a MAP-SIDE partial aggregate, so
+    the one shuffle carries per-partition DISTINCT sets per column —
+    the same row volume as the old per-column subtrees, just sharing
+    one exchange; nothing Expands through the shuffle un-aggregated.
+    The struct wrapper costs ~4 unused 8-byte slots per shuffled row
+    (they compress to ~nothing; if shuffle bytes ever dominate, split
+    the union per type class to shed the wrapper — measured 2 s SLOWER
+    here because plan count, not bytes, is the sf0.1 bottleneck).
+    At 100 TB swap the exact distincts for the sketch form
+    (catalog_null_profile_approx) — one pass, no distinct shuffle."""
+    def _norm(dt: str, c: str) -> tuple[str, str]:
+        if dt in ("tinyint", "smallint", "int", "bigint"):
+            return "bigint", f"cast({c} as bigint)"
+        if dt == "float":
+            return "double", f"cast({c} as double)"
+        return dt, c
 
-    At 100 TB swap the exact distincts for approx_count_distinct —
-    one pass, no Expand and no subtrees."""
-    fact_tables = {"lineitem", "orders", "events"}
-    out = None
+    frames = {t: _t(spark, sf_dir, t) for t, _ in _PROFILE_COLS}
+    schemas = {
+        t: {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for t, df in frames.items()
+    }
+    # the value-struct's field list = every distinct (normalized) type
+    # in the catalog, fixed across all branches so the union lines up
+    classes = sorted(
+        {
+            _norm(schemas[t][c], c)[0]
+            for t, cols in _PROFILE_COLS
+            for c in cols
+        }
+    )
+    branches = []
     for t, cols in _PROFILE_COLS:
-        df = _t(spark, sf_dir, t)
-        aggs = [F.count(F.lit(1)).alias("__n")]
+        df = frames[t]
+        kvs = []
         for c in cols:
-            aggs.append(
-                F.sum(
-                    F.when(F.col(c).isNull(), 1.0).otherwise(0.0)
-                ).alias(f"__null_{c}")
+            dt, expr = _norm(schemas[t][c], c)
+            fields = ", ".join(
+                f"'f{i}', {expr}" if dt == cl else f"'f{i}', cast(null as {cl})"
+                for i, cl in enumerate(classes)
             )
-        if t in fact_tables:
-            one = df.agg(*aggs)
-            # The per-column exact-distinct subtrees are UNIONED into
-            # one (column_name, n_distinct) side frame and attached
-            # with a single broadcast join on column_name, instead of
-            # the old chain of one crossJoin PER COLUMN: each of those
-            # 1-row crossJoins was its own BroadcastExchange, i.e. an
-            # extra AQE stage + scheduler round-trip per column (23
-            # across the three fact tables; the sf0.1 harness measured
-            # the query at 87 Spark jobs, mostly this).  The distinct
-            # subtrees themselves — the scale-correct part of the plan
-            # (no Expand of the fact table) — are unchanged, and so is
-            # every computed value.  count(col) over the distinct
-            # frame skips the NULL group, matching COUNT(DISTINCT c).
-            dist = None
-            for c in cols:
-                d = (
-                    df.select(F.col(c).alias("__v"))
-                    .distinct()
-                    .agg(
-                        F.lit(c).alias("column_name"),
-                        F.count("__v").alias("__dist"),
-                    )
-                )
-                dist = d if dist is None else dist.unionAll(d)
-            stack_args = ", ".join(
-                f"'{c}', round(__null_{c} / __n + 1e-9, 4)" for c in cols
+            kvs.append(
+                f"named_struct('c', '{c}', 'v', CASE WHEN {expr} IS NOT "
+                f"NULL THEN named_struct({fields}) END)"
             )
-            rows = (
-                one.select(
-                    F.col("__n").cast("bigint").alias("n_rows"),
-                    F.expr(
-                        f"stack({len(cols)}, {stack_args})"
-                        " AS (column_name, null_frac)"
-                    ),
-                )
-                .join(F.broadcast(dist), "column_name")
-                .select(
-                    F.lit(t).alias("table_name"),
-                    "column_name",
-                    "n_rows",
-                    "null_frac",
-                    F.col("__dist").cast("bigint").alias("n_distinct"),
-                )
-            )
-        else:
-            for c in cols:
-                aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
-            one = df.agg(*aggs)
-            # one stack() per table reshapes the single agg row to
-            # per-column rows in ONE plan branch (a per-column
-            # select-union would re-evaluate the aggregate per column)
-            stack_args = ", ".join(
-                f"'{c}', round(__null_{c} / __n + 1e-9, 4),"
-                f" cast(__dist_{c} as bigint)"
-                for c in cols
-            )
-            rows = one.select(
-                F.lit(t).alias("table_name"),
-                F.col("__n").cast("bigint").alias("n_rows"),
-                F.expr(
-                    f"stack({len(cols)}, {stack_args})"
-                    " AS (column_name, null_frac, n_distinct)"
-                ),
+        branches.append(
+            df.select(
+                F.expr(f"explode(array({', '.join(kvs)}))").alias("kv")
             ).select(
-                "table_name", "column_name", "n_rows", "null_frac",
-                "n_distinct",
+                F.lit(t).alias("table_name"),
+                F.col("kv.c").alias("column_name"),
+                F.col("kv.v").alias("__v"),
             )
-        out = rows if out is None else out.unionAll(rows)
-    return out
+        )
+    u = branches[0]
+    for b in branches[1:]:
+        u = u.unionAll(b)
+    per_val = u.groupBy("table_name", "column_name", "__v").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    per_col = per_val.groupBy("table_name", "column_name").agg(
+        F.sum("__n").alias("__rows"),
+        F.sum(
+            F.when(F.col("__v").isNull(), F.col("__n")).otherwise(F.lit(0))
+        ).alias("__nulls"),
+        F.count("__v").alias("__dist"),
+    )
+    return per_col.select(
+        "table_name",
+        "column_name",
+        F.col("__rows").cast("bigint").alias("n_rows"),
+        F.round(
+            F.col("__nulls") / F.col("__rows") + F.lit(1e-9), 4
+        ).alias("null_frac"),
+        F.col("__dist").cast("bigint").alias("n_distinct"),
+    )
 
 
 # exact-twin spot columns on the fact tables (one per table, spanning
@@ -5635,114 +5634,135 @@ def q_catalog_null_profile_approx(
     columns emit NULL exact/flag, so the oracle still hash-matches and
     a sketch bug on a spot column still flips its flag.  The approx
     pass ALONE is the production number, measured separately in
-    BASELINE.md."""
-    fact_tables = {"lineitem", "orders", "events"}
+    BASELINE.md.
 
-    def hashed(c: str):
-        return F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c)))
+    Round-11 shape (same values, same oracle): the sketch pass rides
+    the SAME explode-union-aggregate skeleton as the exact sibling —
+    every table explodes to (column_name, null?, xxhash64) rows (the
+    hash already normalizes every type to one BIGINT class, so no
+    value struct is needed) and ONE (table, column) aggregate computes
+    n_rows, null count, and ``hll_sketch_agg`` per column; sketch
+    partials merge map-side (register-max is order-independent, so
+    estimates are bit-identical to the per-table form).  Non-spot fact
+    columns explode a NULL hash instead of their sketch input — their
+    estimate is never read (flag stays NULL) and the empty sketch
+    keeps the old optimizer-pruning intent.  The exact-twin subset
+    (dims + 3 spot columns) reuses the sibling's value-struct union.
+    Measured at sf0.1: 27 → 5 Spark jobs, wall 5.6 → 3.5 s same box;
+    the ten per-table aggregates + 3 spot subtrees collapsed into two
+    shuffle pairs + one broadcast join."""
+    frames = {t: _t(spark, sf_dir, t) for t, _ in _PROFILE_COLS}
+    schemas = {
+        t: {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for t, df in frames.items()
+    }
 
-    out = None
+    # sketch + null/count pass: one explode branch per table, one
+    # (table, column) aggregate over the union
+    branches = []
     for t, cols in _PROFILE_COLS:
-        df = _t(spark, sf_dir, t)
         spot = _PROFILE_SPOT_FACT.get(t, set(cols))
-        aggs = [F.count(F.lit(1)).alias("__n")]
+        kvs = []
         for c in cols:
-            aggs.append(
-                F.sum(
-                    F.when(F.col(c).isNull(), 1.0).otherwise(0.0)
-                ).alias(f"__null_{c}")
+            h = (
+                f"CASE WHEN {c} IS NOT NULL THEN xxhash64({c}) END"
+                if c in spot
+                else "cast(null as bigint)"
             )
-            aggs.append(
-                F.hll_sketch_estimate(
-                    F.hll_sketch_agg(hashed(c), 14)
-                ).alias(f"__approx_{c}")
+            kvs.append(
+                f"named_struct('c', '{c}', 'isnull', {c} IS NULL,"
+                f" 'h', {h})"
             )
-        if t in fact_tables:
-            one = df.agg(*aggs)
-            # single broadcast join instead of one crossJoin per spot
-            # column — same de-Expand'd distinct subtrees, same values,
-            # fewer BroadcastExchange stages (see the sibling exact
-            # query for the measured rationale)
-            dist = None
-            for c in cols:
-                if c not in spot:
-                    continue
-                d = (
-                    df.select(F.col(c).alias("__v"))
-                    .distinct()
-                    .agg(
-                        F.lit(c).alias("__dcol"),
-                        F.count("__v").alias("__dist"),
-                    )
-                )
-                dist = d if dist is None else dist.unionAll(d)
-        else:
-            for c in cols:
-                aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
-            one = df.agg(*aggs)
-        if t in fact_tables:
-            # fact rows: the stack carries (column_name, null_frac,
-            # sketch estimate); the spot columns' exact counts arrive
-            # through ONE broadcast join (dist above) and non-spot rows
-            # left-join to NULL — the same NULL n_distinct/flag the old
-            # per-column branch emitted, with the identical tolerance
-            # expression evaluated post-join
-            # non-spot rows stack a NULL estimate instead of their
-            # sketch so the optimizer keeps pruning the unused sketch
-            # aggregates exactly as it did under the old shape (their
-            # flag is NULL either way — a non-NULL estimate would add
-            # ~40 never-read hll buffers to the single-pass aggregate)
-            stack_args = ", ".join(
-                f"'{c}', round(__null_{c} / __n + 1e-9, 4),"
-                + (f" __approx_{c}" if c in spot else " cast(null as bigint)")
-                for c in cols
-            )
-            rows = (
-                one.select(
-                    F.col("__n").cast("bigint").alias("n_rows"),
-                    F.expr(
-                        f"stack({len(cols)}, {stack_args})"
-                        " AS (column_name, null_frac, __approx)"
-                    ),
-                )
-                .join(
-                    F.broadcast(dist),
-                    F.col("column_name") == F.col("__dcol"),
-                    "left",
-                )
-                .select(
-                    F.lit(t).alias("table_name"),
-                    "column_name",
-                    "n_rows",
-                    "null_frac",
-                    F.col("__dist").cast("bigint").alias("n_distinct"),
-                    (
-                        F.abs(F.col("__approx") - F.col("__dist"))
-                        <= 0.05 * F.col("__dist")
-                    ).alias("approx_within_5pct"),
-                )
-            )
-        else:
-            stack_args = ", ".join(
-                f"'{c}', round(__null_{c} / __n + 1e-9, 4),"
-                f" cast(__dist_{c} as bigint),"
-                f" abs(__approx_{c} - __dist_{c}) <= 0.05 * __dist_{c}"
-                for c in cols
-            )
-            rows = one.select(
+        branches.append(
+            frames[t]
+            .select(F.expr(f"explode(array({', '.join(kvs)}))").alias("kv"))
+            .select(
                 F.lit(t).alias("table_name"),
-                F.col("__n").cast("bigint").alias("n_rows"),
-                F.expr(
-                    f"stack({len(cols)}, {stack_args})"
-                    " AS (column_name, null_frac, n_distinct,"
-                    " approx_within_5pct)"
-                ),
-            ).select(
-                "table_name", "column_name", "n_rows", "null_frac",
-                "n_distinct", "approx_within_5pct",
+                F.col("kv.c").alias("column_name"),
+                F.col("kv.isnull").alias("__isnull"),
+                F.col("kv.h").alias("__h"),
             )
-        out = rows if out is None else out.unionAll(rows)
-    return out
+        )
+    u = branches[0]
+    for b in branches[1:]:
+        u = u.unionAll(b)
+    est = u.groupBy("table_name", "column_name").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col("__isnull"), 1).otherwise(0)).alias("__nulls"),
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("__h"), 14)).alias(
+            "__approx"
+        ),
+    )
+
+    # exact-twin subset (dims keep every column, facts their one spot
+    # column) through the sibling's value-struct union — one more
+    # shuffle pair for all 33 exact columns together
+    def _norm(dt: str, c: str) -> tuple[str, str]:
+        if dt in ("tinyint", "smallint", "int", "bigint"):
+            return "bigint", f"cast({c} as bigint)"
+        if dt == "float":
+            return "double", f"cast({c} as double)"
+        return dt, c
+
+    exact_cols = [
+        (t, [c for c in cols if c in _PROFILE_SPOT_FACT.get(t, set(cols))])
+        for t, cols in _PROFILE_COLS
+    ]
+    classes = sorted(
+        {
+            _norm(schemas[t][c], c)[0]
+            for t, cols in exact_cols
+            for c in cols
+        }
+    )
+    ebranches = []
+    for t, cols in exact_cols:
+        kvs = []
+        for c in cols:
+            dt, expr = _norm(schemas[t][c], c)
+            fields = ", ".join(
+                f"'f{i}', {expr}" if dt == cl else f"'f{i}', cast(null as {cl})"
+                for i, cl in enumerate(classes)
+            )
+            kvs.append(
+                f"named_struct('c', '{c}', 'v', CASE WHEN {expr} IS NOT "
+                f"NULL THEN named_struct({fields}) END)"
+            )
+        ebranches.append(
+            frames[t]
+            .select(F.expr(f"explode(array({', '.join(kvs)}))").alias("kv"))
+            .select(
+                F.lit(t).alias("table_name"),
+                F.col("kv.c").alias("column_name"),
+                F.col("kv.v").alias("__v"),
+            )
+        )
+    eu = ebranches[0]
+    for b in ebranches[1:]:
+        eu = eu.unionAll(b)
+    dist = (
+        eu.groupBy("table_name", "column_name", "__v")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .groupBy("table_name", "column_name")
+        .agg(F.count("__v").alias("__dist"))
+    )
+
+    return (
+        est.join(F.broadcast(dist), ["table_name", "column_name"], "left")
+        .select(
+            "table_name",
+            "column_name",
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.round(
+                F.col("__nulls") / F.col("__n") + F.lit(1e-9), 4
+            ).alias("null_frac"),
+            F.col("__dist").cast("bigint").alias("n_distinct"),
+            (
+                F.abs(F.col("__approx") - F.col("__dist"))
+                <= 0.05 * F.col("__dist")
+            ).alias("approx_within_5pct"),
+        )
+    )
 
 
 @query(

@@ -937,33 +937,66 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             word_tokens("text"), lambda x: F.length(x) >= 4
         ).alias("toks"),
     )
-    # persist the one corpus-scale pass: pos feeds the vocabulary count
-    # AND (via pv) both sides of the two co-occurrence equi-joins —
-    # without the persist the tokenize+posexplode subtree re-executes
-    # once per consumer (~4x; only identical exchanges get reused, and
-    # these consumers shuffle on different keys).  The persisted frame
-    # is the narrow (doc_id, i, w) token table — the same spill-safe
-    # MEMORY_AND_DISK class as every other tracked corpus intermediate.
-    pos = (
-        toks.select("doc_id", F.posexplode("toks").alias("i", "w"))
-        .select("doc_id", (F.col("i") + 1).alias("i"), "w")
+    # vocabulary: one corpus pass.  The 500-row result is persisted —
+    # it re-enters the plan three times (both vocab-filter joins below
+    # and the final word attach), and without the persist each
+    # BroadcastExchange would re-run the corpus aggregate (the round-10
+    # fix persisted the corpus-scale token table instead, which traded
+    # a cheap recompute for a corpus-width cache materialization and
+    # measured 3.9 -> 5.4 s; persisting the POST-aggregate frame keeps
+    # the sharing and caches 500 rows instead of every token).
+    vc = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = (
+        top_k_global(vc, [F.desc("c"), F.asc("w")], 500)
+        .select("w", F.col("rnk").alias("id"))
         .transform(tracked_persist)
     )
-    vc = pos.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    vocab = top_k_global(vc, [F.desc("c"), F.asc("w")], 500).select(
-        "w", F.col("rnk").alias("id")
-    )
-    pv = pos.join(F.broadcast(vocab), "w").select("doc_id", "i", "id")
-    a1 = pv.select("doc_id", "i", F.col("id").alias("s"))
-    co = None
-    for off in (1, 2):
-        b = pv.select(
-            "doc_id", (F.col("i") - off).alias("i"),
-            F.col("id").alias("d"),
+    # co-occurrence pairs are generated MAP-SIDE from the token array
+    # (offsets 1 and 2 = the 3-token window): zip the array against its
+    # own off-shifted slice and explode — the multiset of
+    # (toks[j], toks[j+off]) pairs is exactly what the old
+    # posexplode + two (doc_id, position) self-joins produced, with
+    # ZERO corpus-scale shuffles (the joins shuffled the token table
+    # twice on (doc_id, i); guide §2.4).  The vocab filter is two
+    # broadcast joins, so the pair aggregate partial-aggregates
+    # map-side onto int ids.
+
+    def _off_pairs(off: int):
+        n = F.size("toks")
+        return F.when(
+            n > off,
+            F.zip_with(
+                F.slice("toks", 1, n - off),
+                F.slice("toks", off + 1, n - off),
+                lambda x, y: F.struct(x.alias("ws"), y.alias("wd")),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<ws:string,wd:string>>")
         )
-        j = a1.join(b, ["doc_id", "i"]).select("s", "d")
-        co = j if co is None else co.unionAll(j)
-    co = co.where(F.col("s") != F.col("d"))
+
+    pairs = toks.select(
+        F.explode(F.concat(_off_pairs(1), _off_pairs(2))).alias("p")
+    ).select(F.col("p.ws").alias("ws"), F.col("p.wd").alias("wd"))
+    co = (
+        pairs.join(
+            F.broadcast(
+                vocab.select(F.col("w").alias("ws"), F.col("id").alias("s"))
+            ),
+            "ws",
+        )
+        .join(
+            F.broadcast(
+                vocab.select(F.col("w").alias("wd"), F.col("id").alias("d"))
+            ),
+            "wd",
+        )
+        .select("s", "d")
+        .where(F.col("s") != F.col("d"))
+    )
     e = (
         co.unionAll(co.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .groupBy("s", "d")

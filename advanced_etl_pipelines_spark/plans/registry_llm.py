@@ -507,7 +507,12 @@ def q_semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clustering, not a near-miss.
     n_vec = emb.where(F.col("embedding").isNotNull()).count()
     k = max(16, n_vec // 256)
-    _, assign = kmeans_lloyd(emb, "embedding", "vec_id", k=k, iters=3)
+    # n_rows=n_vec: the trainer's internal count IS this count (its
+    # null filter drops exactly the NULL-embedding rows) — passing it
+    # through saves one corpus action per call (round-11)
+    _, assign = kmeans_lloyd(
+        emb, "embedding", "vec_id", k=k, iters=3, n_rows=n_vec
+    )
     base = (
         emb.select(
             F.col("vec_id").alias("id"),

@@ -57,6 +57,14 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Iterative operators (pagerank/LPA) chain lazy localCheckpoints
+        # whose materialization nests inside BroadcastExchange futures —
+        # the outermost future's timeout covers up to _MAT_EVERY rounds
+        # of upstream work (operators/graph.py), and at sf1 one LPA
+        # round already runs ~100s.  The default 300s is a latency
+        # tripwire, not a memory bound; raise it so a loaded box or a
+        # 10x corpus cannot kill a correct plan mid-broadcast.
+        .config("spark.sql.broadcastTimeout", "1800")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
@@ -72,4 +80,7 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # same rationale as get_spark: nested lazy-checkpoint broadcasts in
+    # the iterative operators need headroom beyond the 300s default
+    spark.conf.set("spark.sql.broadcastTimeout", "1800")
     return spark

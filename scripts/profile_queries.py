@@ -56,7 +56,16 @@ def main() -> None:
 
     cache_sf_tables(spark, args.sf_dir)
     queries = e.queries()
-    tracker = spark.sparkContext.statusTracker()
+
+    # Count jobs via the AppStatusStore (all jobs, any thread): setJobGroup
+    # is thread-local under pinned-thread PySpark, so jobs launched from
+    # worker threads (e.g. ann_recall_report's ThreadPoolExecutor index
+    # builds) never join the group and a group-based count undercounts
+    # exactly the queries this profiler inspects (round-10 ADVICE).
+    store = spark.sparkContext._jsc.sc().statusStore()
+
+    def n_jobs() -> int:
+        return store.jobsList(None).size()
 
     # warm the JVM on the first named query once, untimed
     if names:
@@ -68,16 +77,13 @@ def main() -> None:
         fn = queries[name]
         best, bb, be, bj = float("inf"), 0.0, 0.0, 0
         for run in range(args.runs):
-            group = f"prof-{name}-{run}"
-            sc = spark.sparkContext
-            sc.setJobGroup(group, name)
+            j0 = n_jobs()
             t0 = time.perf_counter()
             df = fn(spark, args.sf_dir)
             t1 = time.perf_counter()
             df.collect()
             t2 = time.perf_counter()
-            njobs = len(tracker.getJobIdsForGroup(group) or [])
-            sc.setJobGroup("", "")
+            njobs = n_jobs() - j0
             if t2 - t0 < best:
                 best, bb, be, bj = t2 - t0, t1 - t0, t2 - t1, njobs
             release_tracked_caches()

@@ -347,3 +347,37 @@ def test_personalized_pagerank_rejects_unknown_seeds(spark):
     seeds = spark.createDataFrame([(99,)], "node long")
     with pytest.raises(ValueError, match="no seed id"):
         pagerank(edges, "s", "d", seeds=seeds)
+
+
+def test_iterative_materialization_cadence_is_result_neutral(
+    spark, monkeypatch
+):
+    """The periodic mid-loop materialization that bounds lazy-checkpoint
+    broadcast nesting (_MAT_EVERY, round-10 ADVICE) must not change any
+    rank or label: forcing a materialization EVERY round has to produce
+    bit-identical output to the default cadence."""
+    from advanced_etl_pipelines_spark.operators import graph
+
+    pairs = [(0, 1), (0, 2), (0, 3), (3, 4), (4, 5), (2, 5)]
+    und = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(und, "s long, d long")
+
+    base_pr = sorted(
+        map(tuple, graph.pagerank(edges, "s", "d", iters=6).collect())
+    )
+    base_lpa = sorted(
+        map(
+            tuple,
+            graph.label_propagation(edges, "s", "d", iters=5).collect(),
+        )
+    )
+    monkeypatch.setattr(graph, "_MAT_EVERY", 1)
+    assert base_pr == sorted(
+        map(tuple, graph.pagerank(edges, "s", "d", iters=6).collect())
+    )
+    assert base_lpa == sorted(
+        map(
+            tuple,
+            graph.label_propagation(edges, "s", "d", iters=5).collect(),
+        )
+    )

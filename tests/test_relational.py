@@ -425,3 +425,23 @@ def test_maintain_additive_agg_matches_flat_recompute(spark):
         .collect()
     }
     assert inc == flat
+
+
+def test_kmeans_lloyd_n_rows_passthrough_is_identical(spark):
+    """Passing the (already-known) null-filtered row count through
+    ``n_rows`` must reproduce the internally-counted run exactly —
+    same centroids, same assignments (round-11: semdedup hands its
+    adaptive-k count to the trainer to skip a duplicate corpus count)."""
+    from advanced_etl_pipelines_spark.operators.linalg import kmeans_lloyd
+    from advanced_etl_pipelines_spark.sources.readers import read_sf_table
+
+    emb = read_sf_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.where(emb.embedding.isNotNull()).count()
+    cent_a, assign_a = kmeans_lloyd(emb, "embedding", "vec_id", 4, 3)
+    cent_b, assign_b = kmeans_lloyd(
+        emb, "embedding", "vec_id", 4, 3, n_rows=n
+    )
+    assert cent_a == cent_b
+    assert sorted(map(tuple, assign_a.collect())) == sorted(
+        map(tuple, assign_b.collect())
+    )
