@@ -220,11 +220,16 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(tracked_persist)
     )
+    # persist the node-sized degree frame: four consumers (both
+    # orientation broadcasts, the wedge/node-count aggregate) would
+    # otherwise each re-run the union + groupBy shuffle over the cached
+    # edge list (round-11)
     nodes = (
         pairs.select(F.col("s").alias("node"))
         .unionAll(pairs.select(F.col("d").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .transform(tracked_persist)
     )
     # degree orientation: (deg, id) is a total order, so exactly one
     # directed copy per undirected edge and one generator per triangle
@@ -268,15 +273,16 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("t").alias("n_tri"))
     )
-    wed = nodes.agg(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("n_wedges")
+    # one pass over the node frame for both scalars (was two aggregates
+    # and an extra crossJoin)
+    node_stats = nodes.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("n_wedges"),
     )
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     return (
-        n_edges.crossJoin(n_nodes)
+        n_edges.crossJoin(node_stats)
         .crossJoin(tri)
-        .crossJoin(wed)
         .select(
             "n_edges",
             "n_nodes",
@@ -2335,11 +2341,16 @@ def q_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(tracked_persist)
     )
+    # persist the node-sized degree frame: three consumers (both
+    # orientation broadcasts, the final lcc join) would otherwise each
+    # re-run the union + groupBy shuffle over the cached edge list
+    # (round-11)
     nodes = (
         pairs.select(F.col("s").alias("node"))
         .unionAll(pairs.select(F.col("d").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .transform(tracked_persist)
     )
     ds = nodes.select(F.col("node").alias("s"), F.col("deg").alias("deg_s"))
     dd = nodes.select(F.col("node").alias("d"), F.col("deg").alias("deg_d"))
@@ -4430,11 +4441,15 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(tracked_persist)
     )
+    # persist the node-sized degree frame: both endpoint joins below
+    # consume it, and each would otherwise re-run the union + groupBy
+    # shuffle over the cached edge list (round-11)
     nodes = (
         pairs.select(F.col("s").alias("node"))
         .unionAll(pairs.select(F.col("d").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .transform(tracked_persist)
     )
     # persisted: the symmetrizing union below references ends twice,
     # and without the persist the whole two-join subtree re-executes

@@ -2432,8 +2432,14 @@ def q_personalized_pagerank_recs(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    seeds = top_k_global(pc, [F.desc("c"), F.asc("l_partkey")], 2).select(
-        F.col("l_partkey").alias("node")
+    # persist the 2-row seed frame: it enters the plan twice (the
+    # teleport setup broadcast inside pagerank AND the final non-seed
+    # anti-join) and each BroadcastExchange would otherwise re-run the
+    # lineitem count + two-level rank that derives it (round-11)
+    seeds = (
+        top_k_global(pc, [F.desc("c"), F.asc("l_partkey")], 2)
+        .select(F.col("l_partkey").alias("node"))
+        .transform(tracked_persist)
     )
     ranks = pagerank(
         e, "s", "d", iters=3, weight="cnt", seeds=seeds
