@@ -529,18 +529,25 @@ def label_propagation(
             directed.select(F.col("d").alias("s"), F.col("s").alias("d"))
         )
     )
+    # lazy setup (round-11, same discipline as pagerank/CC/k_core —
+    # proven by the r11 close numbers): round 1's broadcast of labels
+    # (derived from nodes, derived from e) is the first action — it
+    # materializes + persists BOTH setup frames in one nested job
+    # instead of two dedicated eager jobs, and the join's probe side
+    # then reads e's persisted blocks.  Nesting depth is the fixed
+    # setup chain (2), far under the _MAT_EVERY broadcast-window bound.
     e = (
         undirected.where(F.col("s").isNotNull() & F.col("d").isNotNull())
         .where(F.col("s") != F.col("d"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
         .distinct()
         .coalesce(small_parts)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = nodes.withColumn("label", F.col("node"))
     for it in range(iters):
