@@ -72,6 +72,18 @@ LOAD_WARN_RATIO = 1.5
 # compounded drift trips an alarm even though no single refresh does.
 CUM_DRIFT_WARN = 1.5
 
+# Eligibility floor for the drift CHAIN's unclamped median (the guard's
+# 2x clamp keeps its own 0.5 s floor — timing methodology unchanged).
+# The chain excludes committed-sub-floor queries because their ratios
+# are fixed-overhead/JIT noise, not signal; round 11's optimizations +
+# fast-box adoption pushed sub-0.5 s queries to 190/321, tripping the
+# round-9 tripwire (the chain median would have drawn on the slow half
+# only).  0.3 s keeps 223/321 eligible on the round-11 baseline while
+# staying ~3x the measured fixed per-query overhead; the tripwire test
+# asserts against THIS constant so the next speed-up trips it again
+# instead of silently thinning the median.
+CHAIN_FLOOR = 0.3
+
 # sf>=1 sweep order: graph family first (round-8 VERDICT item 3).  The
 # round-8 sf1 sweep measured triangle_count at 62 s in-sweep vs 22.6 s
 # standalone-warm — cached-table eviction pressure from the big
@@ -155,13 +167,16 @@ def estimate_load(
     chain's median is computed ONLY over queries whose committed time
     is >= the floor (round-9 ADVICE): the guard's t/max(committed,
     floor) denominator is fine for a one-shot >=1-clamped verdict, but
-    143/321 committed queries already sit under 0.5 s, so their ratios
-    read t/0.5 instead of t/committed — systematically < 1 — and once
-    sub-floor queries crossed half the registry the raw median would
-    multiply a spurious < 1 factor into cumulative_load every refresh,
-    silently unwinding the chain.  tests/test_bench_guard.py pins both
-    the exclusion and that the committed baseline keeps enough
-    above-floor queries for the chain median to be meaningful."""
+    sub-floor queries' ratios read t/0.5 instead of t/committed —
+    systematically < 1 — and once they crossed half the registry the
+    raw median would multiply a spurious < 1 factor into
+    cumulative_load every refresh, silently unwinding the chain.  The
+    chain caller passes ``floor=CHAIN_FLOOR`` (0.3 s — round 11's
+    speed-ups pushed sub-0.5 s queries past half the registry, firing
+    the round-9 tripwire; the guard keeps 0.5).
+    tests/test_bench_guard.py pins both the exclusion and that the
+    committed baseline keeps enough above-CHAIN_FLOOR queries for the
+    chain median to be meaningful."""
     if clamp:
         ratios = sorted(
             t / max(committed[name], floor)
@@ -465,7 +480,9 @@ def main() -> None:
         violations = guard_violations(timings, committed)
 
     load = round(estimate_load(timings, committed), 3)
-    load_raw = round(estimate_load(timings, committed, clamp=False), 3)
+    load_raw = round(
+        estimate_load(timings, committed, floor=CHAIN_FLOOR, clamp=False), 3
+    )
     artifact = os.path.join(
         here, artifact_name_for(sf_dir, violated=bool(violations))
     )
